@@ -1,0 +1,81 @@
+"""Multimodal column operators: decode / feature-extract over opaque
+binary payloads (BASELINE.json extension; no reference analog — the
+reference carries text only).
+
+Design: media is an opaque ``binary`` column plus typed metadata
+columns. Decode and feature extraction run as ``mapInPandas`` — Arrow
+batches of (doc_id, payload, media_type) stream through Python in
+columnar form, never row-at-a-time. The actual codecs (PIL/librosa/…)
+are NOT in this container, so the decode step is stubbed: a
+deterministic byte-level "decoder" stands in, and `decode_media`
+raises ``NotImplementedError`` for real media types, keeping the
+plumbing (schema, batch shape, partitioning) real and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, mean_byte double, first_byte int, media_type string"
+)
+
+_STUB_TYPES = {"text/plain", "application/octet-stream"}
+
+
+def decode_media(payload: bytes, media_type: str) -> bytes:
+    """Decode one media payload. Real codecs are unavailable in this
+    environment — only the byte-identity stub types are supported;
+    image/audio/video decode is a clearly-marked stub."""
+    if media_type in _STUB_TYPES:
+        return payload
+    raise NotImplementedError(
+        f"decode for {media_type!r} requires a codec library not present "
+        "in this environment (PIL/librosa/av); plumbing is real, codec is stubbed"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over (doc_id, payload, media_type).
+
+    Arrow-batched via mapInPandas: each batch is vectorized pandas ops,
+    no per-row Python loops beyond the payload byte view. Partitioning
+    is preserved — no shuffle; scales as a pure map stage.
+
+    IMPORTANT: the closure is fully self-contained (no references to
+    module-level names) so cloudpickle serializes it BY VALUE — Spark
+    Python workers do not have this package on their sys.path unless
+    the driver was launched from the repo root.
+    """
+    stub_types = frozenset(_STUB_TYPES)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(payload: bytes, media_type: str) -> bytes:
+            if media_type in stub_types:
+                return payload
+            raise NotImplementedError(
+                f"decode for {media_type!r} requires a codec library not "
+                "present in this environment; plumbing real, codec stubbed"
+            )
+
+        for pdf in batches:
+            payloads = [_decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "mean_byte": pd.Series(
+                        [float(sum(p)) / len(p) if len(p) else 0.0 for p in payloads],
+                        dtype="float64",
+                    ),
+                    "first_byte": pd.Series(
+                        [p[0] if len(p) else -1 for p in payloads], dtype="int32"
+                    ),
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

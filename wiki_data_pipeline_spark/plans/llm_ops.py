@@ -1,0 +1,677 @@
+"""LLM-training-data pipeline operators (Phase 5, per BASELINE.json):
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + IVF), and text analysis.
+
+Cross-engine determinism: every hash is md5 (identical lowercase hex in
+Spark and DuckDB); hex→int via Spark ``conv`` ≡ DuckDB ``'0x…'::BIGINT``;
+MinHash ordering uses the md5 hex strings themselves (lexicographic min
+is a valid minhash — no integer conversion needed); cosine scores are
+rounded to 6 decimals on both sides and ranked on the rounded value
+with id tie-breaks.
+
+Scale design (100 TB): every dedup op is shuffle-on-signature — no
+pairwise O(n²) anywhere except *within* LSH/blocking buckets; skewed
+buckets (stop-shingle style) are the known hazard, mitigated by
+distinct-per-doc shingling + AQE skew handling; see SCALE.md.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wiki_data_pipeline_spark.functions.vectors import as_double, cosine
+from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared dedup corpus: the documents table + synthesized exact and
+# near duplicates (the fixture has none — FIXTURES.md §B mapping).
+# ---------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zz yy xx qq' AS text
+    FROM documents WHERE doc_id >= 50 AND doc_id < 100
+"""
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx qq")).alias("text"),
+    )
+    return base.unionAll(exact).unionAll(near)
+
+
+# Word 3-gram shingles, distinct per doc.
+_SHINGLE_SQL = """
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(tokens) - 2),
+          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+      FROM tok WHERE len(tokens) >= 3
+    )
+"""
+
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles."""
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - 3),
+        lambda i: F.concat_ws(
+            " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+        ),
+    )
+    return (
+        corpus.filter(F.size(tokens) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content-hash groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT
+      md5(text)            AS content_hash,
+      CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+      count(*)             AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash aggregation (generalizes reference
+    F9 title-dedup, src/queue_manager.py:52-58, to content identity).
+    groupBy(md5) — one shuffle on the hash, min() picks the canonical
+    row. At 100 TB: hash is uniform → no skew; equivalent to
+    dropDuplicates() but keeps group size for reporting."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup.
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # → 4 bands
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    sig AS (
+      SELECT doc_id,
+        {', '.join(f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS sig FROM sig"
+        for b in range(_N_HASHES // _BAND_SIZE))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH:
+    word-3-gram shingles → 8 salted-md5 minhashes (lexicographic min of
+    md5 hex is a valid minhash and is identical across engines) →
+    4 bands of 2 → docs sharing any band bucket pair up.
+
+    Scale path: the only joins are equi-joins on band signatures —
+    shuffle-on-signature, never all-pairs. Band-bucket skew (a bucket
+    with B docs → B² pairs) is the classic hazard; distinct-per-doc
+    shingles + uniform md5 keep buckets ~duplicate-group-sized, and AQE
+    skew-join splits oversized buckets."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    sh = _shingles(corpus)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(_N_HASHES)
+        ]
+    )
+    bands = reduce(
+        DataFrame.unionAll,
+        [
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("sig"),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ],
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: distinct unigram tokens → 32-bit
+    md5-derived hash → per-bit ±1 vote sums → sign vector recomposed to
+    a single BIGINT. Near-dups have small Hamming distance; equal
+    simhash = strong near-dup signal (pairing = groupBy(simhash),
+    banding over bit-slices generalizes it).
+
+    One explode + one groupBy(doc_id) — the 32 bit-vote sums are 32
+    columns of one hash aggregate, not 32 passes."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "token"
+        ),
+    ).distinct()
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    hashed = tok.select("doc_id", h.alias("h"))
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"b{j}"
+            )
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_SIMHASH_BITS)
+        ],
+    )
+    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity pairs.
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.5
+_JACCARD_MAX_DOC = 1000  # bound the self-join corpus
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM ({_CORPUS_SQL}) WHERE doc_id % 100000 < {_JACCARD_MAX_DOC}
+    ),
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+      CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity pairs ≥ 0.5, computed relationally:
+    explode distinct shingles, self-equi-join on shingle (inverted
+    index!), count common, Jaccard = |∩| / (|A|+|B|−|∩|). Exact integer
+    counts → the double division is bitwise identical across engines.
+
+    This IS the scalable formulation — the shingle join is an inverted
+    index lookup, so cost is Σ(posting-list²) not n²; hot shingles are
+    the skew hazard, which MinHash-LSH (above) avoids — kept here as the
+    exact verifier LSH candidates feed into."""
+    corpus = _dedup_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
+    )
+    sh = _shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings.
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+_N_QUERIES = 5
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dp = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return f"round({dp} / ({na} * {nb}), 6)"
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id, {_cos_sql('q.qe', 'v.embedding')} AS score
+      FROM q CROSS JOIN embeddings v
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline. Query set
+    (vec_id < 5) is broadcast against the full embedding table; the dot
+    product is a zip_with/aggregate higher-order expression — all
+    JVM-side, no Python. Scores rounded to 6 decimals BEFORE ranking
+    (with vec_id tie-break) so both engines rank identical values.
+
+    At scale: O(Q·N) per batch of queries — right answer for recall
+    evaluation; the IVF variant below is the serving path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
+    )
+    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+_N_CENTROIDS_MOD = 100  # vec_id % 100 == 0 → deterministic "trained" centroids
+_NPROBE = 2
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % {_N_CENTROIDS_MOD} = 0),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_cos_sql('v.embedding', 'c.ce')} DESC, c.cid) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {_cos_sql('q.embedding', 'c.ce')} DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+        {_cos_sql('q.embedding', 'v.embedding')} AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings v ON v.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: deterministic centroid
+    set (every 100th vector — stand-in for k-means, which would be
+    iterated offline), every vector assigned to its nearest centroid
+    (inverted file), queries probe their nprobe=2 nearest cells and
+    search only those posting lists.
+
+    Scale path: assignment is a broadcast join vectors×centroids (one
+    map pass); the probe search is an equi-join on cell id — search
+    cost drops from O(N) to O(N·nprobe/k) per query. Cell skew → AQE."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
+    )
+    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+
+    score_vc = F.round(cosine(F.col("ve"), F.col("ce")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(score_vc.desc(), F.col("cid"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
+    )
+    score_qc = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(score_qc.desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("query_id", "cid")
+    )
+
+    cand = (
+        probes.join(assign, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(q.select("query_id", "qe"), on="query_id")
+        .join(v, on="vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID heuristic, quality score, token counts,
+# document fingerprint.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tokens
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CAST(len(list_filter(tokens, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        / len(tokens) AS en_marker_ratio,
+      CASE WHEN CAST(len(list_filter(tokens, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                / len(tokens) >= 0.05
+           THEN 'en' ELSE 'other' END AS guessed_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: ratio of English marker stopwords among
+    whitespace tokens (n-gram-profile LID reduced to its SQL core —
+    real profiles would broadcast-join a per-language n-gram table,
+    same plan shape). Higher-order filter keeps it JVM-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    hits = F.size(F.filter(tokens, lambda x: (x == "the") | (x == "a")))
+    ratio = hits.cast("double") / F.size(tokens)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_marker_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "guessed_lang"
+        ),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS cc,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS wc
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(wc AS BIGINT) AS word_count,
+      least(1.0, cc / 500.0) AS length_score,
+      (cc - (wc - 1)) / wc   AS avg_word_len,
+      0.6 * least(1.0, cc / 500.0)
+        + 0.4 * least(1.0, ((cc - (wc - 1)) / wc) / 8.0) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length + mean-word-length heuristics —
+    the punctuation/stopword-ratio family from C4/Gopher-style filters;
+    the fixture corpus has no punctuation so those terms are
+    structural zeros). Pure arithmetic, deterministic across engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    cc = F.length("text").cast("double")
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    length_score = F.least(F.lit(1.0), cc / 500.0)
+    awl = (cc - (wc - 1)) / wc
+    quality = 0.6 * length_score + 0.4 * F.least(F.lit(1.0), awl / 8.0)
+    return docs.select(
+        "doc_id",
+        wc.cast("bigint").alias("word_count"),
+        length_score.alias("length_score"),
+        awl.alias("avg_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+        AS regex_tokens,
+      CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, a BPE-ish regex
+    segmentation (letters / digits / other), and the chars/4 BPE
+    estimate used for quick corpus sizing. All JVM-side regex."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rx = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+    est = F.ceil(F.length("text") / 4.0)
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        rx.cast("bigint").alias("regex_tokens"),
+        est.cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_fingerprint,
+      md5(array_to_string(list_sort(list_distinct(
+        string_split_regex(trim(text), '\\s+'))), ' ')) AS bag_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (a) md5 of whitespace-normalized
+    content — order-sensitive exact identity; (b) md5 of the sorted
+    distinct token bag — order-insensitive identity (catches shuffled
+    near-dups). Both are single-pass expressions; fingerprints are the
+    join keys all dedup passes shuffle on at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    bag = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_fingerprint"),
+        F.md5(bag).alias("bag_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary column plumbing (decode stubs live in
+# operators/multimodal.py — the Spark-side schema/batching is real).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS content_sha256,
+      lang AS media_lang
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: payload as ``binary`` + typed
+    metadata alongside (the multimodal storage pattern — image/audio
+    bytes are exactly this shape). Byte length + sha256 checksum
+    computed on the binary column JVM-side; the decode/feature path is
+    operators/multimodal.py (mapInPandas with stubbed codecs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.col("lang").alias("media_lang"),
+    )
+
+
+@query("multimodal_feature_extract", oracle=None)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary payloads via
+    mapInPandas (rows-only check: the deterministic fake 'decoder'
+    isn't SQL-expressible). Real Spark plumbing — binary column, Arrow
+    batches, explicit output schema; the codec itself is stubbed per
+    the environment contract (no image/audio libs)."""
+    from wiki_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return extract_features(media)

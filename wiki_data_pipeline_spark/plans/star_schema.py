@@ -1,0 +1,312 @@
+"""Joins & aggregations at star-schema shape (SURVEY.md §2.4/§2.5, Phase 2).
+
+The reference's dataflow joins (J1 stub→content enrichment, J2 seen-set
+anti-join, J3 primary/fallback merge — SURVEY.md §2.4) become real
+relational joins over the TPC-H-ish tables, which also carry the
+classic multi-way join + aggregate workload the engine must sustain at
+100 TB.
+
+Float determinism: every SUM over doubles goes through
+``CAST(expr AS DECIMAL(28,6))`` — decimal addition is exact and
+associative, so Spark's partial-agg + shuffle order and DuckDB's
+single-threaded order produce bitwise-identical results; the final
+value is cast back to DOUBLE (deterministic round-to-nearest on both
+engines). Averages divide the exact sum by the exact count in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.plans.registry import query
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Exact, order-independent sum of a double expression → DOUBLE."""
+    return F.sum(expr.cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+def davg(expr: Column, alias: str) -> Column:
+    """Exact-sum average → DOUBLE (sum in decimal, divide in double)."""
+    return (
+        F.sum(expr.cast("decimal(28,6)")).cast("double") / F.count("*")
+    ).alias(alias)
+
+
+# SQL fragment mirrors of dsum/davg for the DuckDB oracles.
+def _dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) AS {alias}"
+
+
+def _davg_sql(expr: str, alias: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary — the bench workhorse aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {_dsum_sql('l_quantity', 'sum_qty')},
+      {_dsum_sql('l_extendedprice', 'sum_base_price')},
+      {_dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+      {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+      {_davg_sql('l_quantity', 'avg_qty')},
+      {_davg_sql('l_extendedprice', 'avg_price')},
+      {_davg_sql('l_discount', 'avg_disc')},
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (reference analog: A1/A2 corpus
+    sums at lineitem scale). Scan filter pushes to parquet; hash
+    aggregate on a 6-value key with map-side partials — the canonical
+    'survives 100×' aggregation shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — enrichment join (stub → content analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_enrichment_join",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      o.o_totalprice,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      coalesce(c.c_name, 'UNKNOWN')       AS customer_name,
+      coalesce(c.c_mktsegment, 'NONE')    AS mktsegment
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key enrichment as a left join (reference J1: the per-row
+    ``get_article_content`` lookup loop, src/main.py:101-110 →
+    stubs⋈content). The dimension side is explicitly broadcast —
+    at 100 TB the fact side streams through map tasks with zero
+    shuffle; null-fill mirrors the reference's fetch-miss path."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — primary/fallback source merge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_coalesce_merge",
+    oracle="""
+    WITH primary_src AS (
+      SELECT doc_id, text AS content, 'mwclient' AS src
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    fallback_src AS (
+      SELECT doc_id, 'FB:' || substr(text, 1, 20) AS content, 'fallback_api' AS src
+      FROM documents
+    )
+    SELECT
+      f.doc_id,
+      coalesce(p.content, f.content) AS content,
+      coalesce(p.src, f.src)         AS source
+    FROM fallback_src f
+    LEFT JOIN primary_src p ON f.doc_id = p.doc_id
+    """,
+)
+def j3_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary/fallback failover merge (reference J3/S7:
+    src/production_mediawiki_client.py:157-160 — on mwclient error
+    re-fetch via raw API, rows tagged by source). Expressed as
+    coalesce-priority left join; the reference's per-row try/except
+    becomes a set-level operation."""
+    docs = read_table(spark, sf_dir, "documents")
+    primary = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.col("text").alias("p_content"),
+        F.lit("mwclient").alias("p_src"),
+    )
+    fallback = docs.select(
+        "doc_id",
+        F.concat(F.lit("FB:"), F.substring("text", 1, 20)).alias("f_content"),
+        F.lit("fallback_api").alias("f_src"),
+    )
+    return fallback.join(primary, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("p_content", "f_content").alias("content"),
+        F.coalesce("p_src", "f_src").alias("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join with dimension broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_star_join_revenue",
+    oracle=f"""
+    SELECT
+      n.n_name AS nation,
+      r.r_name AS region,
+      {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+      count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q5_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join: local-supplier revenue by
+    nation/region. lineitem⋈orders shuffles on orderkey (the only big
+    shuffle); customer/supplier/nation/region are broadcast — at scale
+    the dims stay under the broadcast threshold and AQE re-plans if
+    not. Proves the equi/broadcast join family the reference never had
+    (SURVEY.md §2.4 'not present')."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    revenue_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            dsum(revenue_expr, "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: filtered join chain + grouped revenue + top-k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_orders",
+    oracle=f"""
+    SELECT
+      l.l_orderkey,
+      {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment-filtered join chain, grouped revenue,
+    ordered top-k. The segment filter prunes customer before the
+    broadcast; top-k compiles to TakeOrderedAndProject (no global
+    sort). Ties broken by orderkey for determinism."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue_expr, "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — per-batch grouped summary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_per_batch_summary",
+    oracle="""
+    SELECT
+      doc_id // 100                                 AS batch_id,
+      count(*)                                      AS n_docs,
+      CAST(sum(n_chars) AS BIGINT)                  AS total_chars,
+      CAST(sum(n_chars) AS DOUBLE) / count(*)       AS avg_chars
+    FROM documents
+    GROUP BY doc_id // 100
+    """,
+)
+def a7_per_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch summary (reference A7, src/production_main.py:204-207:
+    A2 recomputed per uploaded batch). Batch id derives from the dense
+    doc_id — grouped aggregate, no window needed."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.floor(F.col("doc_id") / 100).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )

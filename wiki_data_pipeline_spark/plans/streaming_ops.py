@@ -1,0 +1,285 @@
+"""Incremental / event-time semantics as batch-checkable queries
+(SURVEY.md §2.9, Phase 3).
+
+The reference is a resumable batch job (checkpoint/queue JSON files);
+its incremental machinery maps to high-watermark predicates and
+event-time windows here, and to real Structured Streaming jobs in
+``wiki_data_pipeline_spark/streaming/`` (exercised by tests — streaming
+itself can't be DuckDB-oracled, but these batch twins share the same
+expressions).
+
+Timestamps are emitted as formatted strings: Spark collects
+TimestampType via the driver's local zone while DuckDB returns naive
+datetimes — strings sidestep the mismatch (session tz pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.plans.registry import query
+from wiki_data_pipeline_spark.plans.star_schema import _dsum_sql, dsum
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# ST2 — checkpoint/resume as a high-watermark predicate (batch form).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st2_highwatermark_resume",
+    oracle=f"""
+    SELECT
+      event_type,
+      count(*) AS n_events,
+      {_dsum_sql('value', 'total_value')},
+      CAST(min(event_id) AS BIGINT) AS first_event_id,
+      CAST(max(event_id) AS BIGINT) AS last_event_id
+    FROM events
+    WHERE event_id > 500
+    GROUP BY event_type
+    """,
+)
+def st2_highwatermark_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume as a high-watermark scan (reference ST2:
+    can_resume/get_resume_info, src/checkpoint_manager.py:96-108 —
+    'skip already-processed rows'). The imperative index skip becomes
+    ``WHERE seq > last_committed`` — a pushed-down range predicate, so
+    resume cost is proportional to NEW data only (partition pruning on
+    a date/seq-partitioned layout at scale)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") > 500)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+            F.max("event_id").cast("bigint").alias("last_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — dead-letter routing.
+# ---------------------------------------------------------------------------
+
+_DLQ_MIN_CHARS = 100
+
+
+@query(
+    "st4_dead_letter_split",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CASE WHEN n_chars < {_DLQ_MIN_CHARS} THEN 'dead_letter' ELSE 'ok' END AS route,
+      CASE WHEN n_chars < {_DLQ_MIN_CHARS}
+           THEN 'content_too_short: ' || n_chars ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def st4_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (reference ST4 mark_failed,
+    src/queue_manager.py:80-84 — which DROPS the error reason, a bug
+    per SURVEY.md §2.11; we keep it). One pass tags every row with its
+    route + error; sinks filter by route — the split is two filters on
+    one cached scan, not two scans."""
+    docs = read_table(spark, sf_dir, "documents")
+    bad = F.col("n_chars") < _DLQ_MIN_CHARS
+    return docs.select(
+        "doc_id",
+        F.when(bad, F.lit("dead_letter")).otherwise(F.lit("ok")).alias("route"),
+        F.when(
+            bad, F.concat(F.lit("content_too_short: "), F.col("n_chars").cast("string"))
+        ).alias("error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — duration aggregate over event time.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_event_span",
+    oracle=f"""
+    SELECT
+      strftime(min(ts), '{TS_US_DUCK}') AS first_ts,
+      strftime(max(ts), '{TS_US_DUCK}') AS last_ts,
+      CAST(floor(date_part('epoch', max(ts))) - floor(date_part('epoch', min(ts)))
+           AS BIGINT) AS span_seconds
+    FROM events
+    """,
+)
+def a6_event_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-duration aggregate (reference A6,
+    src/checkpoint_manager.py:123-138: last_updated − start_time).
+    min/max + epoch diff — single global aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    return events.agg(
+        F.date_format(F.min("ts"), TS_US_SPARK).alias("first_ts"),
+        F.date_format(F.max("ts"), TS_US_SPARK).alias("last_ts"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("span_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (tumbling / sliding / session) — batch twins of the
+# streaming jobs in streaming/jobs.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle=f"""
+    SELECT
+      strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
+      event_type,
+      count(*) AS n_events,
+      {_dsum_sql('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window × event_type (SURVEY.md §2.9:
+    the engine adds event-time windows the reference lacks). Same
+    ``window()`` expression runs under Structured Streaming with a
+    watermark (streaming/jobs.py); here the batch twin is
+    oracle-checked against time_bucket."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_1h_30m",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+      FROM events
+    )
+    SELECT
+      strftime(window_start, '{TS_FMT_DUCK}') AS window_start,
+      count(*) AS n_events,
+      {_dsum_sql('value', 'total_value')}
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide. Each event lands
+    in exactly 2 windows; Spark's window() generates the assignment,
+    the oracle mirrors it with two bucket offsets. Sliding windows
+    multiply data by length/slide — at scale prefer tumbling + rollup
+    unless the overlap is semantically required."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_session_30m",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      strftime(min(ts), '{TS_US_DUCK}') AS session_start,
+      strftime(max(ts) + INTERVAL '30 minutes', '{TS_US_DUCK}') AS session_end,
+      count(*) AS n_events,
+      {_dsum_sql('value', 'total_value')}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: 30-minute inactivity gap per user.
+    Spark side uses the native ``session_window`` (merges in the
+    aggregate, streaming-capable with watermark); the oracle rebuilds
+    sessions via gaps-and-islands. Session end = last event + gap
+    (Spark semantics: a new event at exactly start+gap opens a NEW
+    session, hence ``>=`` in the oracle's flag)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_US_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_US_SPARK).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# props JSON extraction (events.props exercises from_json).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_props_json_extract",
+    oracle="""
+    SELECT
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      count(*) AS n,
+      CAST(min(event_id) AS BIGINT) AS min_event_id
+    FROM events
+    GROUP BY 1
+    """,
+)
+def st_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON payload with
+    an explicit schema (reference boundary: json.loads at ingest,
+    src/azure_manager.py:133 → from_json with a fixed StructType —
+    schema-on-read made explicit, SURVEY.md §1.3)."""
+    events = read_table(spark, sf_dir, "events")
+    parsed = events.select(
+        F.from_json("props", "k BIGINT").alias("p"), F.col("event_id")
+    )
+    return parsed.groupBy(F.col("p.k").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+    )
