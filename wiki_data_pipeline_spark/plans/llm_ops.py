@@ -69,8 +69,21 @@ _SHINGLE_SQL = """
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file input to full core parallelism before a
+    compute-heavy narrow stage. The fixture tables are single parquet
+    files → one input split → explode/md5 pipelines would run on one
+    core; a cheap pre-shuffle of the tiny row set buys full fan-out.
+    On a real 100 TB input the scan has thousands of splits and this
+    repartition is a no-op cost-wise (still one small shuffle)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingles(corpus: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct word-3-gram shingles."""
+    """doc_id → exploded distinct word-3-gram shingles.
+
+    Rows are already unique: array_distinct dedups within the doc and
+    doc_id is unique, so no extra distinct/shuffle is needed."""
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - 3),
@@ -79,9 +92,9 @@ def _shingles(corpus: DataFrame) -> DataFrame:
         ),
     )
     return (
-        corpus.filter(F.size(tokens) >= 3)
+        _spread(corpus)
+        .filter(F.size(tokens) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .distinct()
     )
 
 
@@ -154,11 +167,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex is a valid minhash and is identical across engines) →
     4 bands of 2 → docs sharing any band bucket pair up.
 
-    Scale path: the only joins are equi-joins on band signatures —
-    shuffle-on-signature, never all-pairs. Band-bucket skew (a bucket
-    with B docs → B² pairs) is the classic hazard; distinct-per-doc
-    shingles + uniform md5 keep buckets ~duplicate-group-sized, and AQE
-    skew-join splits oversized buckets."""
+    Scale path: ONE shuffle on (band, signature) — bands are generated
+    by posexplode (computed once, not one pass per band), and candidate
+    pairs come from within-bucket pair expansion over collect_list
+    (buckets are duplicate-group-sized by construction, so the in-
+    bucket expansion is tiny; a self-join formulation would rescan the
+    whole signature table per side). Band-bucket skew (a bucket with B
+    docs → B² pairs) is the classic hazard; distinct-per-doc shingles +
+    uniform md5 keep buckets small, and a bucket-size cap would guard
+    pathological corpora."""
     corpus = _dedup_corpus(spark, sf_dir)
     sh = _shingles(corpus)
     sig = sh.groupBy("doc_id").agg(
@@ -167,27 +184,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_N_HASHES)
         ]
     )
-    bands = reduce(
-        DataFrame.unionAll,
-        [
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("sig"),
-            )
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
             for b in range(_N_HASHES // _BAND_SIZE)
-        ],
+        ]
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_idx", "sig"))
+    buckets = (
+        bands.groupBy("band_idx", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all (i < j) pairs within each bucket via nested higher-order fns
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -231,12 +253,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one groupBy(doc_id) — the 32 bit-vote sums are 32
     columns of one hash aggregate, not 32 passes."""
     corpus = _dedup_corpus(spark, sf_dir)
-    tok = corpus.select(
+    tok = _spread(corpus).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
             "token"
         ),
-    ).distinct()
+    )
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
     hashed = tok.select("doc_id", h.alias("h"))
     bits = hashed.groupBy("doc_id").agg(
