@@ -1,0 +1,35 @@
+"""Every registered query must match its DuckDB oracle at sf0.001 —
+the local mirror of the driver's CORRECTNESS gate (which runs the same
+comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wiki_data_pipeline_spark.plans.registry import all_oracles, all_queries
+from wiki_data_pipeline_spark.testing import compare_query
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    res = compare_query(spark, name, sf_dir)
+    assert res.ok, f"{name}: {res.details}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

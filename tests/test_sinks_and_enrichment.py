@@ -1,0 +1,89 @@
+"""Per-record JSON sink (K1 layout, consecutive indices, idempotence)
+and rate-limited enrichment (ST5-ST8: retry/backoff, pacing floor,
+dead-letter on exhaustion)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.operators.enrichment import fetch_enrich
+from wiki_data_pipeline_spark.sinks.per_record_json import write_per_record_json
+
+
+def _stubs(spark, sf_dir, n=None):
+    docs = read_table(spark, sf_dir, "documents")
+    if n is not None:
+        docs = docs.filter(F.col("doc_id") < n)
+    return docs.select(
+        "doc_id", F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title")
+    )
+
+
+def test_per_record_json_layout(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n = write_per_record_json(docs, out, order_col="doc_id", batch_size=100)
+    assert n == docs.count()
+
+    files = sorted(glob.glob(os.path.join(out, "batch_*", "article_*.json")))
+    assert len(files) == n
+    # reference layout: batch_{b:03d}/article_{i:06d}.json, 100 per dir
+    assert files[0].endswith("batch_000/article_000000.json")
+    assert os.path.basename(os.path.dirname(files[150])) == "batch_001"
+    # consecutive global indices
+    idxs = [int(os.path.basename(f)[8:14]) for f in files]
+    assert idxs == list(range(n))
+    # pretty JSON, parseable, ordered by doc_id
+    with open(files[0], encoding="utf-8") as f:
+        rec = json.load(f)
+    assert rec["doc_id"] == 0 and "\n" in open(files[0]).read()
+
+    # idempotent overwrite (ST3): rerun → same file count, same content
+    n2 = write_per_record_json(docs, out, order_col="doc_id", batch_size=100)
+    assert n2 == n
+    assert len(glob.glob(os.path.join(out, "batch_*", "article_*.json"))) == n
+
+
+def test_enrichment_happy_path(spark, sf_dir):
+    enriched = fetch_enrich(_stubs(spark, sf_dir, n=50)).collect()
+    assert len(enriched) == 50
+    assert all(r.error is None and r.content.startswith("content[") for r in enriched)
+    assert all(r.attempts == 1 for r in enriched)
+
+
+def test_enrichment_retry_and_recovery(spark, sf_dir):
+    enriched = fetch_enrich(
+        _stubs(spark, sf_dir, n=30), fail_every=10, initial_delay=0.01
+    ).collect()
+    by_id = {r.doc_id: r for r in enriched}
+    # every 10th doc fails once then succeeds on retry
+    assert by_id[0].attempts == 2 and by_id[0].error is None
+    assert by_id[1].attempts == 1
+
+
+def test_enrichment_dead_letter_on_exhaustion(spark, sf_dir):
+    enriched = fetch_enrich(
+        _stubs(spark, sf_dir, n=10),
+        fail_every=1,  # always fails on attempt 0...
+        max_retries=0,  # ...and no retries → all dead-letter
+        initial_delay=0.01,
+    ).collect()
+    assert all(r.content is None and r.error is not None for r in enriched)
+
+
+def test_enrichment_rate_limit_floor(spark, sf_dir):
+    """Reference test strategy: wall-clock floor at a QPS cap
+    (test_enhanced_parallel_client.py:171-174). 12 docs in 1 partition
+    at 4 QPS global → ≥ ~2.2 s."""
+    stubs = _stubs(spark, sf_dir, n=12).coalesce(1)
+    t0 = time.monotonic()
+    out = fetch_enrich(stubs, global_qps=4.0).collect()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 12
+    assert elapsed >= (12 - 1) / 4.0 * 0.8

@@ -1,0 +1,123 @@
+"""Structured Streaming jobs: watermark window agg, dead-letter split
+with resume, stateful per-user counts (reference ST1-ST4 semantics on
+real streams)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.streaming.checkpoint import HighWatermarkCheckpoint
+from wiki_data_pipeline_spark.streaming.jobs import (
+    run_dead_letter_split,
+    run_stateful_user_counts,
+    run_tumbling_agg,
+    stage_events_as_stream_source,
+)
+
+
+def test_tumbling_agg_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    n = stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    assert n >= 3
+    run_tumbling_agg(
+        spark, src, str(tmp_path / "ckpt"), query_name="t_tumbling", watermark="2 hours"
+    )
+    emitted = spark.table("t_tumbling")
+    assert set(emitted.columns) == {
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    }
+    # every emitted window must match the batch computation exactly
+    events = read_table(spark, sf_dir, "events")
+    batch = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("b_n"))
+    batch = batch.select(
+        F.col("w.start").alias("window_start"), "event_type", "b_n"
+    )
+    joined = emitted.join(batch, on=["window_start", "event_type"], how="left")
+    assert joined.filter(
+        F.col("b_n").isNull() | (F.col("b_n") != F.col("n_events"))
+    ).count() == 0
+    # only the ≤2h watermark tail of a 30-day span may be withheld
+    got = emitted.agg(F.sum("n_events")).collect()[0][0]
+    assert got is not None and got >= events.count() * 0.9
+
+
+def test_dead_letter_split_and_resume(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    ok_dir, dlq_dir = str(tmp_path / "ok"), str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+
+    run_dead_letter_split(spark, src, ckpt, ok_dir, dlq_dir, min_value=10.0)
+    events = read_table(spark, sf_dir, "events")
+    n_ok = spark.read.parquet(ok_dir).count()
+    n_dlq = spark.read.parquet(dlq_dir).count()
+    assert n_ok == events.filter(F.col("value") >= 10.0).count()
+    assert n_dlq == events.filter(F.col("value") < 10.0).count()
+    # DLQ keeps the error reason (reference bug §2.11 fixed)
+    err = spark.read.parquet(dlq_dir).select("error").first()["error"]
+    assert err.startswith("value_below_threshold")
+
+    # resume: add one new file; rerun processes ONLY the delta
+    extra = events.filter(F.col("event_id") < 10).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    run_dead_letter_split(spark, src, ckpt, ok_dir, dlq_dir, min_value=10.0)
+    n_ok2 = spark.read.parquet(ok_dir).count()
+    n_dlq2 = spark.read.parquet(dlq_dir).count()
+    assert (n_ok2 + n_dlq2) - (n_ok + n_dlq) == extra.count()
+
+
+def test_stateful_user_counts(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    run_stateful_user_counts(
+        spark, src, str(tmp_path / "ckpt"), query_name="t_user_state"
+    )
+    # update-mode memory sink: last emitted row per user is the final state
+    final = spark.sql(
+        """
+        SELECT user_id, n_events FROM (
+          SELECT user_id, n_events,
+                 row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM t_user_state) WHERE rn = 1
+        """
+    )
+    expected = (
+        read_table(spark, sf_dir, "events").groupBy("user_id").count()
+    )
+    diff = (
+        final.join(expected, on="user_id")
+        .filter(F.col("n_events") != F.col("count"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_high_watermark_checkpoint_batch(spark, sf_dir, tmp_path):
+    ckpt = HighWatermarkCheckpoint(os.path.join(tmp_path, "progress.json"))
+    events = read_table(spark, sf_dir, "events")
+
+    first = ckpt.incremental(events, "event_id")
+    assert first.count() == events.count()
+    ckpt.commit(first, "event_id")
+
+    # nothing new → empty incremental
+    second = ckpt.incremental(events, "event_id")
+    assert second.count() == 0
+
+    # new rows appear → only they are selected
+    newer = events.withColumn("event_id", F.col("event_id") + 1_000_000)
+    combined = events.unionAll(newer)
+    assert ckpt.incremental(combined, "event_id").count() == events.count()
+    state = ckpt.commit(ckpt.incremental(combined, "event_id"), "event_id")
+    assert state.total_processed == 2 * events.count()
+    assert state.runs == 2

@@ -187,7 +187,9 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window: 1-hour length, 30-minute slide. Each event lands
+    """Sliding window: 1-hour length, 30-minute slide (engine extension
+    per SURVEY.md §2.9 — the reference has no event-time windows; added
+    alongside ST1's micro-batch admission). Each event lands
     in exactly 2 windows; Spark's window() generates the assignment,
     the oracle mirrors it with two bucket offsets. Sliding windows
     multiply data by length/slide — at scale prefer tumbling + rollup
@@ -232,7 +234,8 @@ def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows: 30-minute inactivity gap per user.
+    """Session windows: 30-minute inactivity gap per user (engine
+    extension per SURVEY.md §2.9 — no event-time in the reference).
     Spark side uses the native ``session_window`` (merges in the
     aggregate, streaming-capable with watermark); the oracle rebuilds
     sessions via gaps-and-islands. Session end = last event + gap

@@ -1,0 +1,69 @@
+"""Batch high-watermark checkpointing (reference ST2:
+src/checkpoint_manager.py — resumable progress persisted as JSON).
+
+The reference tracks ``last_processed_index`` and skips re-enumeration
+on resume (can_resume :96-98, get_resume_info :100-108). The batch
+engine analog: persist the max committed sequence value; the next run
+filters ``seq > watermark`` — a pushed-down range predicate, so resume
+cost scales with NEW data only. Structured Streaming's
+checkpointLocation (streaming/jobs.py) is the streaming counterpart —
+we do not hand-roll offset logs for streams."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckpointState:
+    """Reference checkpoint record shape (src/checkpoint_manager.py:9-17),
+    minus wall-clock fields that would break determinism in tests."""
+
+    watermark: int = -1
+    total_processed: int = 0
+    runs: int = 0
+    status: str = "idle"
+
+
+class HighWatermarkCheckpoint:
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def load(self) -> CheckpointState:
+        if not os.path.exists(self.path):
+            return CheckpointState()
+        with open(self.path, encoding="utf-8") as f:
+            return CheckpointState(**json.load(f))
+
+    def save(self, state: CheckpointState) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(asdict(state), f)
+        os.replace(tmp, self.path)  # atomic commit
+
+    def incremental(self, df: DataFrame, seq_col: str) -> DataFrame:
+        """Rows newer than the committed watermark (pushdown-friendly)."""
+        return df.filter(F.col(seq_col) > self.load().watermark)
+
+    def commit(self, df: DataFrame, seq_col: str) -> CheckpointState:
+        """Advance the watermark to max(seq) of the processed batch.
+        Call AFTER the sink write succeeds (at-least-once + idempotent
+        sink ≡ the reference's overwrite=True story, ST3)."""
+        agg = df.agg(
+            F.max(seq_col).alias("mx"), F.count("*").alias("n")
+        ).collect()[0]
+        state = self.load()
+        if agg["n"]:
+            state.watermark = int(agg["mx"])
+            state.total_processed += int(agg["n"])
+        state.runs += 1
+        state.status = "processing"
+        self.save(state)
+        return state

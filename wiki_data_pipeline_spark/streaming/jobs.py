@@ -1,0 +1,174 @@
+"""Structured Streaming jobs (reference ST1-ST4/ST8-ST9 mapped to real
+streams; SURVEY.md §2.9).
+
+The reference's cursor-paginated micro-batching (gapcontinue loop,
+src/mediawiki_client.py:71-110) ≡ a file-source stream with
+``maxFilesPerTrigger`` admission; its JSON checkpoint/queue files ≡
+``checkpointLocation`` offset/commit logs; its dead-letter list ≡ a
+filtered side sink inside ``foreachBatch``.
+
+All jobs use ``trigger(availableNow=True)`` so tests are hermetic:
+process everything pending, then stop — re-running after new files
+arrive processes ONLY the delta (exactly the reference's resume
+semantics, but with exactly-once bookkeeping for free)."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of event rows (ST1). The source dir holds
+    parquet files written by tests from the fixture ``events`` table;
+    each arriving file is a micro-batch page."""
+    schema = spark.read.parquet(source_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def run_tumbling_agg(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_tumbling",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 16,
+) -> None:
+    """Watermarked tumbling-window aggregation → memory sink.
+    Late rows beyond the watermark are dropped — the late-data story
+    the reference never had. Append mode: a window emits once the
+    watermark passes its end; availableNow drains everything pending.
+
+    NOTE on admission order: with per-file triggers and files NOT
+    ordered by event time, the advancing watermark legitimately drops
+    most of the later files as late data — that's correct streaming
+    semantics. Callers staging unordered files should admit them in
+    one batch (default here) or stage in event-time order."""
+    events = read_event_stream(spark, source_dir, max_files_per_trigger)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_dead_letter_split(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    ok_dir: str,
+    dlq_dir: str,
+    min_value: float = 10.0,
+) -> None:
+    """Dead-letter routing on a stream (ST4): one foreachBatch splits
+    each micro-batch into an ok sink and an error-tagged DLQ sink —
+    the reference's mark_failed list (src/queue_manager.py:80-84), but
+    the error reason is PERSISTED (fixing bug §2.11) and delivery is
+    exactly-once per sink via the checkpoint."""
+    events = read_event_stream(spark, source_dir)
+
+    def _split(batch: DataFrame, batch_id: int) -> None:
+        ok = batch.filter(F.col("value") >= min_value)
+        dlq = batch.filter(F.col("value") < min_value).withColumn(
+            "error",
+            F.concat(F.lit("value_below_threshold: "), F.col("value").cast("string")),
+        )
+        ok.write.mode("append").parquet(ok_dir)
+        dlq.write.mode("append").parquet(dlq_dir)
+
+    q = (
+        events.writeStream.foreachBatch(_split)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+USER_STATE_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def run_stateful_user_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_user_state",
+) -> None:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value sum maintained in GroupState across
+    micro-batches (the §2.10 'engine adds a UDAF surface' extension;
+    the reference kept comparable running counters driver-side, A4).
+
+    The update function is self-contained (pickled by value)."""
+    events = read_event_stream(spark, source_dir)
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    result = events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=USER_STATE_SCHEMA,
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stage_events_as_stream_source(
+    spark: SparkSession, sf_dir: str, source_dir: str, n_files: int = 4
+) -> int:
+    """Test helper: materialize the fixture events table into N parquet
+    files (the 'pages' the stream will admit one per trigger)."""
+    from wiki_data_pipeline_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    events.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(
+        source_dir
+    )
+    return len([f for f in os.listdir(source_dir) if f.endswith(".parquet")])
