@@ -110,3 +110,18 @@ def test_queries_have_reference_citations():
     ]
     assert not missing, f"queries without reference citation: {missing}"
     assert all(spec.doc for spec in _REGISTRY.values()), "empty docstrings"
+
+
+def test_wikitext_pandas_udf_fallback(spark):
+    """T6 pandas_udf path: regex fallback strips [[link|label]] and
+    bold markup (reference golden fixture,
+    test_production_pipeline.py:114-131)."""
+    from wiki_data_pipeline_spark.functions.wikitext import plain_text_col
+
+    df = spark.createDataFrame(
+        [("This is [[wikitext]] content with '''bold''' and ''italic''.",), (None,)],
+        "content string",
+    )
+    out = [r.p for r in df.select(plain_text_col("content").alias("p")).collect()]
+    assert out[0] == "This is wikitext content with bold and italic."
+    assert out[1] is None

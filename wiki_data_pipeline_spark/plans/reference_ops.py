@@ -454,3 +454,250 @@ def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("op"), "n"
     )
     return u.unionAll(i).unionAll(e)
+
+
+# ---------------------------------------------------------------------------
+# T6 — wikitext → plain text (JVM regex form; pandas_udf form in
+# functions/wikitext.py for the genuine wikitextparser path).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t6_wikitext_strip",
+    oracle=r"""
+    WITH marked AS (
+      SELECT doc_id,
+        '[[' || lang || '|' || source || ']] ' || text || ' [[See Also]]' AS wikitext
+      FROM documents
+    )
+    SELECT doc_id, wikitext,
+      regexp_replace(wikitext, '\[\[(?:[^\]|]*\|)?([^\]]*)\]\]', '\1', 'g')
+        AS plain_text
+    FROM marked
+    """,
+)
+def t6_wikitext_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikitext → plain text (reference T6,
+    src/production_mediawiki_client.py:106-118: wikitextparser.parse →
+    plain_text, with null-safe fallback). This is the SQL-expressible
+    core — [[link|label]] → label — kept JVM-side; the full parser
+    variant is a pandas_udf behind an import gate
+    (functions/wikitext.py), per SURVEY.md Phase 4(c). Markup is
+    synthesized since fixture docs carry none."""
+    docs = read_table(spark, sf_dir, "documents")
+    wikitext = F.concat(
+        F.lit("[["), F.col("lang"), F.lit("|"), F.col("source"), F.lit("]] "),
+        F.col("text"), F.lit(" [[See Also]]"),
+    )
+    return docs.select(
+        "doc_id",
+        wikitext.alias("wikitext"),
+        F.regexp_replace(
+            wikitext, r"\[\[(?:[^\]|]*\|)?([^\]]*)\]\]", "$1"
+        ).alias("plain_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T10 — timestamp → ISO-8601 string.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t10_timestamp_format",
+    oracle="""
+    SELECT event_id,
+      strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+      strftime(ts, '%Y-%m-%d')           AS event_date,
+      CAST(date_part('hour', ts) AS BIGINT) AS event_hour
+    FROM events WHERE event_id < 100
+    """,
+)
+def t10_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 timestamp formatting (reference T10 _format_timestamp,
+    src/production_mediawiki_client.py:162-172 — every timestamp the
+    reference carries is an ISO string; here typed timestamps are the
+    internal form and strings only appear at the boundary)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").cast("bigint").alias("event_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A5 — work-queue status counts + progress percentage.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a3_status_counts",
+    oracle="""
+    SELECT status, count(*) AS n FROM (
+      SELECT CASE
+        WHEN n_chars < 100 THEN 'failed'
+        WHEN doc_id <= 300 THEN 'processed'
+        ELSE 'queued' END AS status
+      FROM documents)
+    GROUP BY status
+    """,
+)
+def a3_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-queue status aggregation (reference A3 get_queue_status,
+    src/queue_manager.py:86-114: queue/processed/failed counts). The
+    three lists become one status column over a work-items table —
+    groupBy(status) instead of three len() calls on driver lists."""
+    docs = read_table(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("n_chars") < 100, F.lit("failed"))
+        .when(F.col("doc_id") <= 300, F.lit("processed"))
+        .otherwise(F.lit("queued"))
+    )
+    return docs.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "a5_progress_pct",
+    oracle="""
+    SELECT
+      count(*) AS total,
+      CAST(sum(CASE WHEN event_id <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS processed,
+      CAST(sum(CASE WHEN event_id <= 500 THEN 1 ELSE 0 END) AS DOUBLE) * 100
+        / count(*) AS progress_pct
+    FROM events
+    """,
+)
+def a5_progress_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progress percentage (reference A5,
+    src/checkpoint_manager.py:140-146: processed/total×100 with a
+    zero-guard — count(*) of a non-empty scan can't be zero here;
+    the general zero-guard pattern is nullif/coalesce)."""
+    events = read_table(spark, sf_dir, "events")
+    processed = F.sum(F.when(F.col("event_id") <= 500, 1).otherwise(0))
+    return events.agg(
+        F.count("*").alias("total"),
+        processed.cast("bigint").alias("processed"),
+        (processed.cast("double") * 100 / F.count("*")).alias("progress_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — FIFO processing order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l2_fifo_head",
+    oracle="""
+    SELECT event_id, event_type,
+      row_number() OVER (ORDER BY event_id) AS dequeue_seq
+    FROM events ORDER BY event_id LIMIT 20
+    """,
+)
+def l2_fifo_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO dequeue order (reference L2, src/queue_manager.py:66-72:
+    ``queue.pop(0)``). Insertion order ≡ ordering by the enqueue
+    sequence column; the head-of-queue peek is orderBy+limit
+    (TakeOrderedAndProject — no global sort)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        events.select(
+            "event_id", "event_type", F.row_number().over(w).alias("dequeue_seq")
+        )
+        .orderBy("event_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5 — multi-format fetch dispatch as column selection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s5_format_dispatch",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'wikitext' WHEN 1 THEN 'html' ELSE 'plain' END
+        AS format,
+      CASE doc_id % 3
+        WHEN 0 THEN '[[' || substr(text, 1, 40) || ']]'
+        WHEN 1 THEN '<p>' || substr(text, 1, 40) || '</p>'
+        ELSE substr(text, 1, 40) END AS content
+    FROM documents
+    """,
+)
+def s5_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format fetch dispatch (reference S5,
+    src/enhanced_mediawiki_client.py:93-102: route to wikitext/html/
+    plain fetcher by format literal). In columnar form the three
+    fetchers are three derived columns and dispatch is a CASE — no
+    branching control flow, one scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    fmt = F.col("doc_id") % 3
+    head = F.substring("text", 1, 40)
+    return docs.select(
+        "doc_id",
+        F.when(fmt == 0, F.lit("wikitext"))
+        .when(fmt == 1, F.lit("html"))
+        .otherwise(F.lit("plain"))
+        .alias("format"),
+        F.when(fmt == 0, F.concat(F.lit("[["), head, F.lit("]]")))
+        .when(fmt == 1, F.concat(F.lit("<p>"), head, F.lit("</p>")))
+        .otherwise(head)
+        .alias("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — scan provenance (blob listing analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s9_file_provenance",
+    oracle="""
+    SELECT doc_id, 'documents.parquet' AS source_file FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def s9_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan provenance via input_file_name() (reference S9 list_blobs,
+    src/azure_manager.py:107-114 — the blob listing is the file-level
+    catalog; per-row provenance is the lineage version of it). At
+    scale, provenance supports selective reprocessing (delete/rewrite
+    by source file)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source_file"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — semi-join (the positive twin of F9's anti-join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j2_semi_join",
+    oracle="""
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: keep documents whose id appears as an events user
+    (reference J2 family, src/queue_manager.py:55 — membership tests
+    against a seen-set; F9 shows the anti side, this is the semi
+    side). left_semi never duplicates rows from the probe side."""
+    docs = read_table(spark, sf_dir, "documents")
+    events = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id")
+    )
+    return docs.join(events, on="doc_id", how="left_semi").select("doc_id", "lang")

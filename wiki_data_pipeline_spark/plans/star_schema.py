@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wiki_data_pipeline_spark.io import read_table
 from wiki_data_pipeline_spark.plans.registry import query
@@ -309,4 +310,71 @@ def a7_per_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup aggregation (engine extension per SURVEY.md §2.5 — the
+# reference has no grouping sets; exposed natively).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_lang_source",
+    oracle="""
+    SELECT lang, source,
+      GROUPING(lang, source) AS gid,
+      count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def agg_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over (lang, source) with grouping_id —
+    subtotals + grand total in one pass (engine extension, SURVEY.md
+    §2.5: 'engine exposes cube/rollup anyway'; the reference computes
+    only flat A2 summaries). Spark expands rollup into grouping sets
+    in a single shuffle — no per-level rescans."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).select("lang", "source", "gid", "n_docs", "total_chars")
+
+
+# ---------------------------------------------------------------------------
+# Window ranking / offset functions over events.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+      row_number()  OVER w AS seq_in_user,
+      rank()        OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+      lag(event_id)  OVER w AS prev_event_id,
+      lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking + offset functions per user (engine extension,
+    SURVEY.md §2.5: Window ranking exposed beyond the reference's L3
+    row-indexing use). Partitioned windows scale — the shuffle is on
+    user_id and each partition sorts locally; contrast with L4's
+    global window, which is the one deliberately non-scalable form."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq_in_user"),
+        F.rank().over(wv).alias("value_rank"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
     )
