@@ -24,6 +24,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_star_join_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
     "a2_summary_by_source",
     "a1_corpus_summary",
     "f_filter_pipeline",
@@ -33,6 +35,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_ivf",
+    "sim_ann_lsh",
+    "dedup_embedding_cosine",
     "text_fingerprint",
     "text_token_count",
     "window_tumbling_hourly",

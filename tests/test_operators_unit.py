@@ -125,3 +125,47 @@ def test_wikitext_pandas_udf_fallback(spark):
     out = [r.p for r in df.select(plain_text_col("content").alias("p")).collect()]
     assert out[0] == "This is wikitext content with bold and italic."
     assert out[1] is None
+
+
+def test_l3_scalable_index_matches_global_window(spark, sf_dir):
+    """L3 scale path: two-pass partition-offset index must equal the
+    naive row_number() over a global ORDER BY (src/azure_manager.py:66-67)."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    out = get("l3_global_index_scalable").fn(spark, sf_dir).orderBy("doc_id").collect()
+    ids = [r.doc_id for r in out]
+    assert ids == sorted(ids)
+    assert [r.global_idx for r in out] == list(range(len(out)))
+
+
+def test_embedding_neardup_finds_planted_pairs(spark, sf_dir):
+    """Planted dups: ×2-scaled copies must pair with their originals at
+    cosine ≈ 1 (scale invariance); perturbed copies clear the 0.9 bar."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    pairs = get("dedup_embedding_cosine").fn(spark, sf_dir).collect()
+    by_pair = {(r.vec_a, r.vec_b): r.score for r in pairs}
+    for vid in range(5):
+        assert by_pair.get((vid, vid + 100000), 0) >= 0.999999
+    assert all(s >= 0.9 for s in by_pair.values())
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH ANN recall: per query, the approximate top-5 must share ≥2
+    entries with the exact brute-force top-5 (fixture vectors are
+    near-orthogonal — cosine ~0.3 'neighbors' — so this is the honest
+    bar for sign-LSH there), and every LSH score must be ≤ the exact
+    best (LSH can only miss, never invent, a neighbor)."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    exact: dict[int, set[int]] = {}
+    best: dict[int, float] = {}
+    for r in get("sim_cosine_topk").fn(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+        best[r.query_id] = max(best.get(r.query_id, -1.0), r.score)
+    approx: dict[int, set[int]] = {}
+    for r in get("sim_ann_lsh").fn(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+        assert r.score <= best[r.query_id] + 1e-9
+    for q, ids in approx.items():
+        assert len(ids & exact[q]) >= 2, (q, ids, exact[q])

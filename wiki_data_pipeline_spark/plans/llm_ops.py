@@ -697,3 +697,199 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("media_type"),
     )
     return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (sign-LSH blocked).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.9
+_SIGN_BITS = 8
+
+# Synthesized near-dups over the embeddings fixture (it has no exact
+# pairs): ×2-scaled copies (cosine-identical — scale invariance) and
+# first-dim ×1.5 perturbations (cosine slightly < 1).
+_EMB_CORPUS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+      list_transform(embedding::DOUBLE[], x -> x * 2.0) AS e
+    FROM embeddings WHERE vec_id < 20
+    UNION ALL
+    SELECT vec_id + 200000 AS vec_id,
+      list_concat([embedding[1]::DOUBLE * 1.5], (embedding::DOUBLE[])[2:]) AS e
+    FROM embeddings WHERE vec_id >= 20 AND vec_id < 40
+"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    base = emb.select("vec_id", e.alias("e"))
+    scaled = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(e, lambda x: x * 2.0).alias("e"),
+    )
+    pert = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1) * 1.5), F.slice(e, 2, 63)
+        ).alias("e"),
+    )
+    return base.unionAll(scaled).unionAll(pert)
+
+
+def _sign_key(col_name: str, n_bits: int, offset: int = 0) -> Column:
+    """Sign-bit bucket key over dims [offset+1, offset+n_bits] — the
+    axis-aligned case of random-hyperplane (SRP) LSH. Positive-scaled
+    near-dups keep every sign, so they always share the bucket."""
+    e = F.col(col_name)
+    return F.concat(
+        *[
+            F.when(F.element_at(e, offset + i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)
+        ]
+    )
+
+
+def _sign_key_sql(expr: str, n_bits: int, offset: int = 0) -> str:
+    parts = " || ".join(
+        f"(CASE WHEN {expr}[{offset + i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_bits)
+    )
+    return f"({parts})"
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL}),
+    keyed AS (SELECT vec_id, e, {_sign_key_sql('e', _SIGN_BITS)} AS bucket FROM corpus),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        {_cos_sql('a.e', 'b.e')} AS score
+      FROM keyed a JOIN keyed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, score FROM pairs WHERE score >= {_NEARDUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup stage
+    of an LLM data pipeline — SemDeDup-style, arXiv:2303.09540):
+    vectors bucketed by an 8-bit sign-LSH key, pairwise cosine computed
+    only WITHIN buckets, pairs kept at cosine ≥ 0.9.
+
+    Scale path: the bucket join is one shuffle on the key; pairwise
+    cost is Σ(bucket²) not n² — 2^8 buckets bound the blocking factor,
+    and more sign bits (or k-means cells, as in sim_ann_ivf) tighten it
+    at larger N. Cosine stays JVM-side (zip_with/aggregate); scores
+    rounded to 6 decimals before thresholding so both engines keep the
+    same pairs."""
+    keyed = _emb_corpus(spark, sf_dir).withColumn(
+        "bucket", _sign_key("e", _SIGN_BITS)
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    score = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= _NEARDUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN via banded sign-LSH buckets (the LSH alternative to sim_ann_ivf).
+# ---------------------------------------------------------------------------
+
+_LSH_BANDS = 4  # four 4-bit sign bands → candidates from any band
+_LSH_BITS = 4  # bits per band; recall ~1-(1-p^bits)^bands, p=1-angle/pi
+
+
+def _band_union_sql(src: str, id_col: str, vec_col: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, "
+        f"{_sign_key_sql(vec_col, _LSH_BITS, b * _LSH_BITS)} AS key FROM {src}"
+        for b in range(_LSH_BANDS)
+    )
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    qb AS ({_band_union_sql('q', 'query_id', 'qe')}),
+    vb AS ({_band_union_sql('v', 'vec_id', 've')}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, vb.vec_id
+      FROM qb JOIN vb ON qb.band = vb.band AND qb.key = vb.key
+      WHERE vb.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id, {_cos_sql('q.qe', 'v.ve')} AS score
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN v ON v.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbor — the banded
+    alternative to sim_ann_ivf: four 4-bit sign-hyperplane bands per
+    vector; candidates = vectors sharing ANY band bucket with the
+    query (multi-band union recovers recall the single-bucket form
+    loses); exact cosine re-rank of candidates only. Band/bit counts
+    trade recall vs candidate volume — bits grow with log N at scale.
+
+    Scale path: bands posexplode from one pass over the vectors; the
+    candidate join is an equi-join on (band, key) — per-query cost
+    follows bucket occupancy (N/2^bits expected), not N. No training
+    step (vs IVF), so the index is a pure projection — ideal for
+    append-only corpora where centroids would drift."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
+    )
+    band_of = lambda c: F.array(
+        *[_sign_key(c, _LSH_BITS, b * _LSH_BITS) for b in range(_LSH_BANDS)]
+    )
+    vb = v.select("vec_id", F.posexplode(band_of("ve")).alias("band", "key"))
+    qb = q.select("query_id", F.posexplode(band_of("qe")).alias("band", "key"))
+    cand = (
+        F.broadcast(qb)
+        .join(vb, on=["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(v, on="vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+    )

@@ -701,3 +701,112 @@ def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("doc_id")
     )
     return docs.join(events, on="doc_id", how="left_semi").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# T2 — production normalize/project (wider record + nested metadata).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t2_production_project",
+    oracle=f"""
+    SELECT
+      doc_id,
+      'Doc ' || doc_id AS title,
+      '{WIKI_BASE_URL}' || replace('Doc ' || doc_id, ' ', '_') AS url,
+      text AS content,
+      regexp_replace(trim(text), '\\s+', ' ', 'g') AS plain_text,
+      source,
+      to_json(struct_pack(
+        content_length    := CAST(length(text) AS BIGINT),
+        plain_text_length := CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS BIGINT),
+        word_count        := CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
+        source            := source,
+        has_content       := length(text) > 0
+      )) AS metadata
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) >= 1
+    """,
+)
+def t2_production_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production normalize/project (reference T2,
+    src/production_data_processor.py:9-61): the T1 record widened with
+    ``plain_text`` pass-through and a nested ``metadata`` struct
+    (content/plain lengths, word count, source tag T11, boolean flags
+    per T7 extract_structured_data :169-182). The struct is carried as
+    its canonical JSON rendering so both engines hash identical bytes;
+    in the engine proper it stays a typed StructType column.
+
+    Narrow projection — no shuffle; the struct is computed once per row
+    inside whole-stage codegen."""
+    docs = read_table(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    plain = clean_whitespace("text")
+    meta = F.struct(
+        F.length("text").cast("bigint").alias("content_length"),
+        F.length(plain).cast("bigint").alias("plain_text_length"),
+        word_count("text").cast("bigint").alias("word_count"),
+        F.col("source").alias("source"),
+        (F.length("text") > 0).alias("has_content"),
+    )
+    return docs.filter(is_valid_content("text")).select(
+        "doc_id",
+        title.alias("title"),
+        build_url(title).alias("url"),
+        F.col("text").alias("content"),
+        plain.alias("plain_text"),
+        "source",
+        F.to_json(meta).alias("metadata"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — scalable global consecutive index (two-pass, no global window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l3_global_index_scalable",
+    oracle="""
+    SELECT doc_id,
+      CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
+    FROM documents
+    """,
+)
+def l3_global_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally consecutive 0-based index WITHOUT a single-partition
+    window (reference L3 consecutive file indices,
+    src/azure_manager.py:66-67; SURVEY.md §4 flags the naive
+    ``row_number()`` form as not 100 TB-safe — this is the scale-safe
+    variant l4_batch_index's docstring promises).
+
+    Two-pass zipWithIndex pattern, DataFrame-native:
+      1. range-partition by the order key (distributed sort);
+      2. count rows per partition (tiny job: one row per partition);
+      3. cumulative offsets broadcast back; final index =
+         partition offset + intra-partition rank.
+    The per-partition window sorts locally in parallel; the only
+    driver-side state is #partitions integers. Range partitioning's
+    sampler is seeded deterministically, so both passes see identical
+    boundaries."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = docs.repartitionByRange(n_parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").count().orderBy("pid").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["pid"], acc))
+        acc += r["count"]
+    off = spark.createDataFrame(offsets, "pid int, offset bigint")
+    local_rank = F.row_number().over(Window.partitionBy("pid").orderBy("doc_id"))
+    return (
+        ranged.withColumn("local_rank", local_rank)
+        .join(F.broadcast(off), on="pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rank") - 1).cast("bigint").alias("global_idx"),
+        )
+    )

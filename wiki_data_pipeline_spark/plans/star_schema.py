@@ -378,3 +378,128 @@ def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cube aggregation — all marginals of (lang, source) in one pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube_lang_source",
+    oracle="""
+    SELECT lang, source,
+      GROUPING(lang, source) AS gid,
+      count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def agg_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): per-cell counts plus both one-way
+    marginals and the grand total in a single shuffle (engine
+    extension, SURVEY.md §2.5 — completes the grouping-sets family next
+    to agg_rollup_lang_source). grouping_id disambiguates NULL group
+    keys from NULL data. Spark expands the cube via Expand + one hash
+    aggregate — 4× the rows into one exchange, not 4 scans."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-style: pure filter + scan aggregate (pushdown showcase).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT
+      {_dsum_sql('l_extendedprice * l_discount', 'revenue')},
+      count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue: conjunctive range filters +
+    ungrouped aggregate. All four predicates push to the parquet scan
+    (PushedFilters + row-group min/max skipping) and only 4 of 11
+    columns are read — the canonical scan-efficiency probe; at 100 TB
+    with shipdate partitioning this is a partition-pruned scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style: returned-item revenue ranking per customer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      n.n_name AS nation,
+      {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+      count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped (engine extension per SURVEY.md §2.4 — the
+    equi/broadcast join family at star shape): lost-revenue ranking
+    over returned items.
+    The returnflag filter pushes into the lineitem scan BEFORE the
+    orderkey shuffle (≈¼ of rows survive); customer and nation
+    broadcast; top-20 compiles to TakeOrderedAndProject."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            dsum(revenue_expr, "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
