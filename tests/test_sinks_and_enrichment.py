@@ -87,3 +87,59 @@ def test_enrichment_rate_limit_floor(spark, sf_dir):
     elapsed = time.monotonic() - t0
     assert len(out) == 12
     assert elapsed >= (12 - 1) / 4.0 * 0.8
+
+
+def test_s8_json_read_roundtrip(spark, sf_dir, tmp_path):
+    """S8 blob JSON read (src/azure_manager.py:127-136): the K1 sink's
+    per-record files read back with an explicit schema must reproduce
+    the exact rows written — the reference's download_blob path, with
+    schema-on-read made explicit (SURVEY.md §1.3)."""
+    out = str(tmp_path / "rt")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_per_record_json(docs, out, order_col="doc_id", batch_size=100)
+
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").option(
+        "multiLine", True
+    ).json(os.path.join(out, "batch_*", "article_*.json"))
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+
+
+def test_a4_observe_metrics(spark, sf_dir):
+    """A4 running counters (src/main.py:93-94,119,124,139): the
+    processed/failed tallies become observe() metrics computed inline
+    with the action — no second pass over the data."""
+    from pyspark.sql import Observation
+
+    docs = read_table(spark, sf_dir, "documents")
+    obs = Observation("pipeline_counters")
+    valid = F.col("text").isNotNull() & (F.length(F.trim("text")) >= 1)
+    observed = docs.observe(
+        obs,
+        F.count("*").alias("total"),
+        F.sum(valid.cast("long")).alias("processed"),
+        F.sum((~valid).cast("long")).alias("failed"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["total"] == got["processed"] + got["failed"]
+    assert got["total"] == docs.count()
+
+
+def test_l5_chunked_parallelism(spark, sf_dir):
+    """L5 chunking (src/enhanced_production_mediawiki_client.py:368-370):
+    chunk_size=100 slices become repartition(n) — every partition holds
+    a bounded share of the work for the parallel fetch stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    total = docs.count()
+    n_chunks = max(1, total // 100)
+    sizes = (
+        docs.repartition(n_chunks)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == n_chunks
+    assert sum(r["count"] for r in sizes) == total
+    assert max(r["count"] for r in sizes) <= 3 * (total // n_chunks)
