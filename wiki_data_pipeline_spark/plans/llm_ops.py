@@ -139,6 +139,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 8
 _BAND_SIZE = 2  # → 4 bands
+_MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
 @query(
@@ -146,14 +147,20 @@ _BAND_SIZE = 2  # → 4 bands
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
     {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+        ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
-        {', '.join(f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(_N_HASHES))}
-      FROM sh GROUP BY doc_id
+        {', '.join(f"min((h1 + {s} * h2) % {_MH_PRIME}) AS mh{s}" for s in range(_N_HASHES))}
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
       {' UNION ALL '.join(
-        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS sig FROM sig"
+        f"SELECT doc_id, {b} AS band_idx, mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR AS sig FROM sig"
         for b in range(_N_HASHES // _BAND_SIZE))}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -163,9 +170,12 @@ _BAND_SIZE = 2  # → 4 bands
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH:
-    word-3-gram shingles → 8 salted-md5 minhashes (lexicographic min of
-    md5 hex is a valid minhash and is identical across engines) →
-    4 bands of 2 → docs sharing any band bucket pair up.
+    word-3-gram shingles → ONE md5 per shingle split into two 32-bit
+    halves → 8 minhashes by Kirsch-Mitzenmacher double hashing
+    (h_i = (h1 + i·h2) mod p, a valid universal family — one hash
+    computation instead of 8 salted ones, and integer min-aggregation
+    instead of string) → 4 bands of 2 → docs sharing any band bucket
+    pair up.
 
     Scale path: ONE shuffle on (band, signature) — bands are generated
     by posexplode (computed once, not one pass per band), and candidate
@@ -178,15 +188,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological corpora."""
     corpus = _dedup_corpus(spark, sf_dir)
     sh = _shingles(corpus)
-    sig = sh.groupBy("doc_id").agg(
+    md5 = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+            F.min((F.col("h1") + s * F.col("h2")) % _MH_PRIME).alias(f"mh{s}")
             for s in range(_N_HASHES)
         ]
     )
     band_arr = F.array(
         *[
-            F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+            F.concat_ws(
+                ",", F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
+            )
             for b in range(_N_HASHES // _BAND_SIZE)
         ]
     )
