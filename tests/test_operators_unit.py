@@ -169,3 +169,38 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert r.score <= best[r.query_id] + 1e-9
     for q, ids in approx.items():
         assert len(ids & exact[q]) >= 2, (q, ids, exact[q])
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change results: salted fact⋈dim ≡ plain join
+    (operators/skew.py; SCALE.md skew section)."""
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.operators.skew import salted_join
+
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = events.groupBy("user_id").count()
+    plain = events.join(dim, on="user_id").select("event_id", "user_id", "count")
+    salted = salted_join(events, dim, on="user_id", fact_row_key="event_id", n_salts=4).select(
+        "event_id", "user_id", "count"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_distinct_count_exact(spark, sf_dir):
+    """Salted two-phase count(DISTINCT) is exact, not approximate."""
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.operators.skew import salted_distinct_count
+
+    events = read_table(spark, sf_dir, "events")
+    expected = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r.event_type: r.n_distinct_user_id
+        for r in salted_distinct_count(events, "event_type", "user_id", n_salts=4).collect()
+    }
+    assert got == expected

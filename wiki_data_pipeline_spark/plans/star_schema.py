@@ -503,3 +503,63 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation: salted join + salted distinct-count (SCALE.md).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, u.n_events_of_user, u.user_total_value
+    FROM events e
+    JOIN (
+      SELECT user_id, count(*) AS n_events_of_user,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS user_total_value
+      FROM events GROUP BY user_id
+    ) u ON e.user_id = u.user_id
+    WHERE e.event_id < 2000
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (engine extension — SURVEY.md §2.4 J-family
+    at skewed-key shape; operators/skew.py): the fact side is salted by
+    its primary key, the per-user profile dim is replicated per salt,
+    and the join key becomes (user_id, salt) — a hot user spreads over
+    n_salts shuffle partitions instead of melting one reducer. Output
+    is row-identical to the unsalted join (the oracle IS the unsalted
+    join); this is the pre-planned complement to AQE's runtime
+    skew-join splitting."""
+    from wiki_data_pipeline_spark.operators.skew import salted_join
+
+    events = read_table(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events_of_user"),
+        dsum(F.col("value"), "user_total_value"),
+    )
+    fact = events.filter(F.col("event_id") < 2000).select("event_id", "user_id")
+    return salted_join(fact, profile, on="user_id", fact_row_key="event_id").select(
+        "event_id", "user_id", "n_events_of_user", "user_total_value"
+    )
+
+
+@query(
+    "skew_salted_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted count-distinct (operators/skew.py; engine extension per
+    SURVEY.md §2.5 A-family): count(DISTINCT user) per event_type
+    where one hot type would otherwise push its whole user set through
+    a single reducer. Values are partitioned by salt-of-value, deduped
+    per (group, salt), then per-salt counts sum exactly — two bounded
+    shuffles, no hot reducer."""
+    from wiki_data_pipeline_spark.operators.skew import salted_distinct_count
+
+    events = read_table(spark, sf_dir, "events")
+    return salted_distinct_count(events, "event_type", "user_id")
