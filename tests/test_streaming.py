@@ -121,3 +121,67 @@ def test_high_watermark_checkpoint_batch(spark, sf_dir, tmp_path):
     state = ckpt.commit(ckpt.incremental(combined, "event_id"), "event_id")
     assert state.total_processed == 2 * events.count()
     assert state.runs == 2
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join (J1 streaming form) must produce
+    exactly the batch join's rows once the stream drains."""
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        run_stream_static_enrichment,
+        stage_events_as_stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+
+    events = read_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(F.count("*").alias("user_rank"))
+    run_stream_static_enrichment(
+        spark, src, ckpt, dim, query_name="t_enrich_stream"
+    )
+    got = spark.sql("SELECT * FROM t_enrich_stream")
+    expected = events.join(dim, on="user_id", how="left").select(
+        "event_id", "user_id", "event_type",
+        F.coalesce("user_rank", F.lit(-1)).alias("user_rank"),
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, sf_dir, tmp_path):
+    """ST2+watermark: after the first drain advances the watermark (it
+    is persisted in the checkpoint), a file of events older than the
+    watermark arriving later is dropped as late data — the late-data
+    semantics the reference never had (SURVEY.md §2.9)."""
+    import os
+
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.streaming.jobs import run_tumbling_agg
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+    events = read_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).first().m
+
+    recent = events.filter(
+        F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    )
+    old = events.filter(F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 24 HOURS"))
+    assert recent.count() > 0 and old.count() > 0
+
+    out = str(tmp_path / "late_out")
+    recent.coalesce(1).write.mode("append").parquet(src)
+    run_tumbling_agg(spark, src, ckpt, watermark="2 hours", sink_dir=out)
+    n_after_first = spark.read.parquet(out).agg(F.sum("n_events")).first()[0] or 0
+
+    # second drain, SAME checkpoint: only ancient rows arrive — all
+    # beyond the persisted watermark → dropped, no new output rows
+    old.coalesce(1).write.mode("append").parquet(src)
+    run_tumbling_agg(spark, src, ckpt, watermark="2 hours", sink_dir=out)
+    n_after_second = spark.read.parquet(out).agg(F.sum("n_events")).first()[0] or 0
+    assert n_after_second == n_after_first, (
+        "rows older than the persisted watermark must be dropped"
+    )

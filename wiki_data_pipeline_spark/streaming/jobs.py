@@ -44,8 +44,11 @@ def run_tumbling_agg(
     query_name: str = "stream_tumbling",
     watermark: str = "2 hours",
     max_files_per_trigger: int = 16,
+    sink_dir: str | None = None,
 ) -> None:
-    """Watermarked tumbling-window aggregation → memory sink.
+    """Watermarked tumbling-window aggregation → memory sink (tests) or
+    parquet file sink (``sink_dir`` — the fault-tolerant form that also
+    supports checkpoint RECOVERY, which the memory sink does not).
     Late rows beyond the watermark are dropped — the late-data story
     the reference never had. Append mode: a window emits once the
     watermark passes its end; availableNow drains everything pending.
@@ -67,14 +70,13 @@ def run_tumbling_agg(
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = agg.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
+    ).trigger(availableNow=True)
+    if sink_dir is not None:
+        q = writer.format("parquet").option("path", sink_dir).start()
+    else:
+        q = writer.format("memory").queryName(query_name).start()
     q.awaitTermination()
 
 
@@ -172,3 +174,33 @@ def stage_events_as_stream_source(
         source_dir
     )
     return len([f for f in os.listdir(source_dir) if f.endswith(".parquet")])
+
+
+def run_stream_static_enrichment(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    static_dim: DataFrame,
+    query_name: str = "stream_enriched",
+) -> None:
+    """Stream-static broadcast enrichment: the streaming analog of J1
+    (src/main.py:101-110 — per-row content lookup against a reference
+    table). The static dim is broadcast to every micro-batch; no state,
+    no watermark needed — at scale this is the standard pattern for
+    joining a 100 TB event stream against slowly-changing dimensions."""
+    events = read_event_stream(spark, source_dir, max_files_per_trigger=16)
+    enriched = events.join(F.broadcast(static_dim), on="user_id", how="left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("user_rank", F.lit(-1)).alias("user_rank"),
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
