@@ -30,6 +30,7 @@ HEADLINE = [
     "a1_corpus_summary",
     "f_filter_pipeline",
     "j1_enrichment_join",
+    "join_asof",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -563,3 +563,122 @@ def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return salted_distinct_count(events, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join + bucketed range join (engine extensions — SURVEY.md §2.4
+# lists theta/range/as-of as "not present" in the reference; these are
+# the Spark-lacks-it custom operators built as compositions).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH r AS (SELECT user_id, ts, value AS click_value FROM events
+               WHERE event_type = 'click'),
+         l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'click')
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%dT%H:%M:%S') AS event_ts,
+      r.click_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (per-event latest preceding click's value — the
+    quotes/trades shape): Spark has no ASOF JOIN operator, so it is
+    composed as union-both-sides + ``last(value, ignorenulls)`` over a
+    per-key ordered window — ONE shuffle on user_id, no per-row range
+    probe, no cross product. Right rows sort before left rows at equal
+    ts so `l.ts >= r.ts` ties match (DuckDB ASOF semantics).
+
+    Scale: identical to any partitioned window — shuffle on the key,
+    local sort; skewed keys fall under the same salting story as
+    operators/skew.py. This is the standard scalable as-of formulation
+    (a range-join would explode; a point self-join can't express
+    'latest preceding')."""
+    events = read_table(spark, sf_dir, "events")
+    right = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(0).alias("is_left"),
+    )
+    left = events.filter(F.col("event_type") != "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        F.lit(1).alias("is_left"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        right.unionByName(left)
+        .withColumn("matched", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_ts"),
+            F.col("matched").alias("click_value"),
+        )
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+               FROM events WHERE event_type = 'view')
+    SELECT v.view_id, p.purchase_id
+    FROM v JOIN p ON v.user_id = p.user_id
+      AND v.v_ts >  p.p_ts - INTERVAL 1 HOUR
+      AND v.v_ts <= p.p_ts
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join — views attributed to
+    purchases within the preceding hour. A naive theta-join is a
+    per-key cross product; the scale formulation bucketizes time to
+    1-hour grain: the interval side explodes to the hour-buckets it
+    covers (≤2 here), the point side maps to its single bucket, and
+    the join becomes an EQUI-join on (user_id, bucket) + exact range
+    filter. Each point lands in exactly one bucket so no dedup pass is
+    needed. Bucket grain trades replication factor vs candidate count
+    — pick ~the interval width (SCALE.md)."""
+    events = read_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    hour = "INTERVAL 1 HOUR"
+    p_buckets = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("p_ts") - F.expr(hour)),
+                F.date_trunc("hour", F.col("p_ts")),
+                F.expr(hour),
+            )
+        ),
+    )
+    v_b = v.withColumn("bucket", F.date_trunc("hour", F.col("v_ts")))
+    return (
+        v_b.join(p_buckets, on=["user_id", "bucket"])
+        .filter(
+            (F.col("v_ts") > F.col("p_ts") - F.expr(hour))
+            & (F.col("v_ts") <= F.col("p_ts"))
+        )
+        .select("view_id", "purchase_id")
+    )
