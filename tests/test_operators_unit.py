@@ -204,3 +204,19 @@ def test_salted_distinct_count_exact(spark, sf_dir):
         for r in salted_distinct_count(events, "event_type", "user_id", n_salts=4).collect()
     }
     assert got == expected
+
+
+def test_sketch_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate within 5% of exact count(DISTINCT) per group."""
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    events = read_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in get("sketch_approx_distinct").fn(spark, sf_dir).collect():
+        assert abs(r.approx_users - exact[r.event_type]) <= max(1, 0.05 * exact[r.event_type])

@@ -587,8 +587,9 @@ def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (per-event latest preceding click's value — the
-    quotes/trades shape): Spark has no ASOF JOIN operator, so it is
+    """As-of join (engine extension per SURVEY.md §2.4 "not present";
+    per-event latest preceding click's value — the quotes/trades
+    shape): Spark has no ASOF JOIN operator, so it is
     composed as union-both-sides + ``last(value, ignorenulls)`` over a
     per-key ordered window — ONE shuffle on user_id, no per-row range
     probe, no cross product. Right rows sort before left rows at equal
@@ -646,7 +647,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (interval-containment) join — views attributed to
+    """Range (interval-containment) join (engine extension per
+    SURVEY.md §2.4 "not present") — views attributed to
     purchases within the preceding hour. A naive theta-join is a
     per-key cross product; the scale formulation bucketizes time to
     1-hour grain: the interval side explodes to the hour-buckets it

@@ -286,3 +286,72 @@ def st_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("event_id").cast("bigint").alias("min_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style hierarchical rollup: day-grain aggregates computed
+# FROM the hour-grain aggregates (continuous-aggregate pattern).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_hour_to_day",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+      CAST(sum(n) AS BIGINT) AS n_events,
+      CAST(sum(v) AS DOUBLE) AS total_value,
+      count(*) AS n_hours_active
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup (engine extension,
+    SURVEY.md §2.5/§2.9 — the time-series materialized-rollup pattern):
+    day-grain metrics re-aggregated FROM the hour-grain aggregate, not
+    from raw rows. At 100 TB the hourly aggregate is the materialized
+    continuous view that each micro-batch upserts (foreachBatch MERGE);
+    coarser grains read ~24× fewer rows than raw re-scans, and
+    decomposable aggregates (sum/count) roll up exactly. The hour→day
+    re-aggregation is its own tiny shuffle — cardinality |days×types|."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("v"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.count("*").alias("n_hours_active"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch: approximate distinct (HLL++). No oracle — sketch estimates
+# are engine-specific; the unit test bounds relative error vs exact.
+# ---------------------------------------------------------------------------
+
+
+@query("sketch_approx_distinct", oracle=None)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting via HyperLogLog++ (engine
+    extension per SURVEY.md §2.5 — the sketch family for 100 TB cardinality estimation:
+    fixed-size state, mergeable across partitions, no exact-distinct
+    shuffle of the value set). rows-only check (sketch estimates are
+    engine-specific by construction); tests/test_operators_unit.py
+    bounds relative error ≤5% against the exact count."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
