@@ -684,3 +684,39 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("view_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: event-type columns per day (engine extension per SURVEY.md
+# §2.5 — reshaping aggregation the reference has no analog for).
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "agg_pivot_event_types",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      {', '.join(
+        f"CAST(sum(CASE WHEN event_type='{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _PIVOT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine extension per SURVEY.md §2.5): per-day counts
+    reshaped to one column per event type. The pivot value list is
+    EXPLICIT — with it, Spark plans a single hash aggregate (no extra
+    distinct-values job, deterministic column order, and at 100 TB no
+    surprise driver-side collect of the pivot domain)."""
+    events = read_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    out = (
+        events.groupBy(day)
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES]
+    )
