@@ -220,3 +220,56 @@ def test_sketch_approx_distinct_error_bound(spark, sf_dir):
     }
     for r in get("sketch_approx_distinct").fn(spark, sf_dir).collect():
         assert abs(r.approx_users - exact[r.event_type]) <= max(1, 0.05 * exact[r.event_type])
+
+
+def test_label_residuals_against_native(spark, sf_dir):
+    """applyInPandas residuals ≡ Spark-native centroid/residual
+    computation (within float tolerance)."""
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    got = {
+        r.vec_id: (r.residual, r.group_size)
+        for r in get("sim_label_residuals").fn(spark, sf_dir).collect()
+    }
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    n_dims = emb.select(F.size("embedding").alias("d")).first().d
+    cent = emb.groupBy("label").agg(
+        *[F.avg(F.element_at(e, i + 1)).alias(f"c{i}") for i in range(n_dims)],
+        F.count("*").alias("n"),
+    )
+    joined = emb.join(cent, on="label")
+    sq = sum(
+        ((F.element_at(e, i + 1) - F.col(f"c{i}")) ** 2 for i in range(n_dims)),
+        F.lit(0.0),
+    )
+    native = joined.select("vec_id", F.sqrt(sq).alias("res"), "n").collect()
+    assert len(native) == len(got)
+    for r in native:
+        res, n = got[r.vec_id]
+        assert n == r.n
+        assert abs(res - r.res) < 1e-6
+
+
+def test_clean_whitespace_property_vs_python_reference(spark):
+    """Property test (hypothesis): clean_whitespace must equal the
+    reference's exact expression ``' '.join(s.split())``
+    (src/data_processor.py:58-66) for arbitrary ASCII-whitespace
+    strings — including whitespace-only and tab/newline-bounded
+    inputs, the edge the naive trim-first form gets wrong."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(list("ab X.\t\n\r\f\x0b"))
+    texts = st.lists(st.text(alphabet=alphabet, max_size=30), min_size=1, max_size=20)
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts)
+    def check(samples):
+        from wiki_data_pipeline_spark.functions.text import clean_whitespace
+
+        df = spark.createDataFrame([(s,) for s in samples], "content string")
+        got = [r.c for r in df.select(clean_whitespace("content").alias("c")).collect()]
+        assert got == [" ".join(s.split()) for s in samples]
+
+    check()

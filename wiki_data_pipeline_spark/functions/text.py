@@ -16,8 +16,12 @@ def clean_whitespace(col: Column | str) -> Column:
     """Collapse whitespace runs to single spaces (T3).
 
     Reference: ``' '.join(s.split())`` — src/data_processor.py:58-66.
-    """
-    return F.regexp_replace(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+", " ")
+    Collapse BEFORE trim: Spark's trim strips only ' ' (0x20), so a
+    tab/newline-bounded string must first have its boundary runs
+    collapsed to spaces for trim to remove them (property-tested
+    against the Python reference expression in tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def word_count(col: Column | str) -> Column:

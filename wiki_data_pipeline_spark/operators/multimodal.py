@@ -79,3 +79,37 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def label_centroid_residuals(emb_df):
+    """Grouped-map applyInPandas (SURVEY.md §2.10 — the UDAF/UDTF
+    surface the engine adds): per-label embedding centroid and each
+    vector's residual distance to it, computed vectorized in numpy over
+    one Arrow batch per group.
+
+    Scale: one shuffle on the group key; each group is processed as a
+    whole pandas frame, so group size must fit an executor (fine for
+    label-sharded corpora; for giant groups pre-aggregate partial sums
+    per partition first). Self-contained closure — workers don't import
+    this package."""
+    schema = (
+        "label int, vec_id bigint, residual double, group_size bigint"
+    )
+
+    def _residuals(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(pdf["embedding"].to_numpy())  # (n, d) float32
+        centroid = mat.astype(np.float64).mean(axis=0)
+        res = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "label": pdf["label"],
+                "vec_id": pdf["vec_id"],
+                "residual": res,
+                "group_size": len(pdf),
+            }
+        )
+
+    return emb_df.groupBy("label").applyInPandas(_residuals, schema=schema)

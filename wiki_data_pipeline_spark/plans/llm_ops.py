@@ -643,7 +643,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-      md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_fingerprint,
+      md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_fingerprint,
       md5(array_to_string(list_sort(list_distinct(
         string_split_regex(trim(text), '\\s+'))), ' ')) AS bag_fingerprint
     FROM documents
@@ -656,7 +656,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups). Both are single-pass expressions; fingerprints are the
     join keys all dedup passes shuffle on at scale."""
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     bag = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
     )
@@ -911,3 +911,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOPK)
     )
+
+
+@query("sim_label_residuals", oracle=None)
+def sim_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid residuals via grouped-map applyInPandas
+    (SURVEY.md §2.10 extension — the embedding-cluster quality signal
+    used to pick semantic-dedup candidates: small residual ⇒ vector is
+    near its cluster center ⇒ dedup candidate). rows-only check (numpy
+    float summation order is engine-specific); the unit test verifies
+    residuals against a Spark-native recomputation."""
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        label_centroid_residuals,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroid_residuals(emb.select("label", "vec_id", "embedding"))

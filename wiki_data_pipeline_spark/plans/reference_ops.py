@@ -133,8 +133,8 @@ def t1_normalize_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      regexp_replace(trim(text), '\\s+', ' ', 'g') AS cleaned,
-      CAST(length(text) - length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS BIGINT)
+      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned,
+      CAST(length(text) - length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT)
         AS chars_removed
     FROM documents
     """,
@@ -716,11 +716,11 @@ def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       'Doc ' || doc_id AS title,
       '{WIKI_BASE_URL}' || replace('Doc ' || doc_id, ' ', '_') AS url,
       text AS content,
-      regexp_replace(trim(text), '\\s+', ' ', 'g') AS plain_text,
+      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS plain_text,
       source,
       to_json(struct_pack(
         content_length    := CAST(length(text) AS BIGINT),
-        plain_text_length := CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS BIGINT),
+        plain_text_length := CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT),
         word_count        := CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
         source            := source,
         has_content       := length(text) > 0
