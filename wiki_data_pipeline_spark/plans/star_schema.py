@@ -720,3 +720,37 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4-style: order-priority count via EXISTS semi-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_semijoin",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join (reference J2's semi/anti
+    family, SURVEY.md §2.4, at fact-fact shape): orders with at least
+    one lineitem shipped after the order date, counted by priority.
+    LEFT SEMI join — the probe side short-circuits on first match and
+    emits no duplicate rows, so no post-join distinct is needed; one
+    shuffle on orderkey."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))

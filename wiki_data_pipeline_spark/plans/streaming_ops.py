@@ -355,3 +355,111 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles per group.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_value_percentiles",
+    oracle="""
+    SELECT event_type,
+      quantile_disc(value, 0.5)  AS p50,
+      quantile_disc(value, 0.95) AS p95,
+      quantile_disc(value, 0.99) AS p99,
+      count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group (engine extension per
+    SURVEY.md §2.5 — the latency/value-distribution summary every
+    monitoring pipeline needs). percentile_disc picks an actual data
+    value (no interpolation) so both engines agree bit-for-bit. At
+    100 TB exact percentiles sort within each group partition;
+    approx_percentile (sketch_approx_distinct's t-digest cousin) is
+    the constant-memory fallback when groups outgrow that."""
+    events = read_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("_ev_pct")
+    return events.sparkSession.sql(
+        """
+        SELECT event_type,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+          percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+          percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+          count(*) AS n
+        FROM _ev_pct GROUP BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: view → click → purchase in event-time order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, v.v_ts, min(e.ts) AS c_ts
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY v.user_id, v.v_ts
+    ),
+    p AS (
+      SELECT c.user_id, min(e.ts) AS p_ts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY c.user_id
+    )
+    SELECT
+      (SELECT count(*) FROM v) AS n_viewed,
+      (SELECT count(*) FROM c) AS n_clicked_after_view,
+      (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over event time (engine extension per SURVEY.md
+    §2.9 — the sessionized-behavior query a training-data/analytics
+    pipeline runs on its events): users who viewed, then clicked after
+    their first view, then purchased after that first click. Each stage
+    is a conditional-min aggregate joined forward — per-user state
+    carried relationally, no per-user loop. Joins shuffle on user_id
+    once each; at 100 TB the stage frames are tiny relative to raw
+    events (one row per converting user)."""
+    events = read_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("e_ts")
+    )
+    c = (
+        v.join(clicks, on="user_id")
+        .filter(F.col("e_ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("e_ts")
+    )
+    p = (
+        c.join(purchases, on="user_id")
+        .filter(F.col("e_ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
