@@ -273,3 +273,24 @@ def test_clean_whitespace_property_vs_python_reference(spark):
         assert got == [" ".join(s.split()) for s in samples]
 
     check()
+
+
+def test_udtf_chunking_matches_jvm_plan(spark, sf_dir):
+    """§2.10 UDTF surface: the Python UDTF chunker must emit exactly
+    the JVM higher-order plan's rows (text_chunking)."""
+    from wiki_data_pipeline_spark.operators.multimodal import chunk_doc_udtf
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    spark.udtf.register("chunk_doc", chunk_doc_udtf())
+    from wiki_data_pipeline_spark.io import read_table
+
+    read_table(spark, sf_dir, "documents").filter("doc_id < 50").createOrReplaceTempView(
+        "_docs_chunk"
+    )
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM _docs_chunk d, LATERAL chunk_doc(d.text, 50) c"
+    )
+    via_jvm = get("text_chunking").fn(spark, sf_dir).filter("doc_id < 50")
+    assert via_udtf.count() == via_jvm.count()
+    assert via_udtf.exceptAll(via_jvm).count() == 0

@@ -113,3 +113,24 @@ def label_centroid_residuals(emb_df):
         )
 
     return emb_df.groupBy("label").applyInPandas(_residuals, schema=schema)
+
+
+def chunk_doc_udtf():
+    """Python UDTF (SURVEY.md §2.10 — the UDTF surface; PySpark 4):
+    same chunking semantics as the JVM text_chunking plan, usable as a
+    SQL LATERAL table function. Row-at-a-time Python — the DEMO of the
+    surface, not the hot path (plans/llm_ops.text_chunking is); the
+    unit test asserts both produce identical rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str, chunk_size: int):
+            if text is None:
+                return
+            toks = text.split()
+            for i in range(0, len(toks), chunk_size):
+                c = toks[i : i + chunk_size]
+                yield (i // chunk_size, " ".join(c), len(c))
+
+    return ChunkDoc

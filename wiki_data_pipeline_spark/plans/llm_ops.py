@@ -934,3 +934,49 @@ def sim_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return label_centroid_residuals(emb.select("label", "vec_id", "embedding"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-data prep): fixed token-count chunks.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 50
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+      array_to_string(t[(i-1)*{_CHUNK_TOKENS} + 1 : i*{_CHUNK_TOKENS}], ' ') AS chunk_text,
+      CAST(len(t[(i-1)*{_CHUNK_TOKENS} + 1 : i*{_CHUNK_TOKENS}]) AS INT) AS n_tokens
+    FROM tok, unnest(generate_series(1,
+      CAST(ceil(len(t) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS g(i)
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (the LLM training-data prep step —
+    split each document into ≤50-token chunks, keeping order): pure
+    JVM higher-order form — transform(sequence) slices the token array
+    per chunk, posexplode emits (chunk_idx, chunk). No Python in the
+    hot path; one narrow stage, scales with input splits. The same
+    semantics via the Python UDTF surface (SURVEY.md §2.10) is
+    operators/multimodal.py:ChunkDocUDTF, equality-tested against this
+    plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(tokens) / float(_CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(tokens, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS),
+    )
+    return _spread(docs).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_arr")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", "chunk_arr").alias("chunk_text"),
+        F.size("chunk_arr").cast("int").alias("n_tokens"),
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wiki_data_pipeline_spark.io import read_table
 from wiki_data_pipeline_spark.plans.registry import query
@@ -462,4 +463,49 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.agg(F.count("*").alias("n_viewed"))
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: explicit session ids from inactivity gaps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT event_id, user_id,
+      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_seq
+    FROM g
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit per-event session ids from 30-minute inactivity gaps
+    (engine extension per SURVEY.md §2.9 — the event-level complement
+    to window_session_30m's session_window AGGREGATE): lag() marks
+    session starts, a running sum numbers them. Both windows share one
+    (user_id)-partitioned sort — a single shuffle; session ids are
+    per-user sequence numbers so the global id is (user_id,
+    session_seq), with no cross-partition coordination at 100 TB."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_seq"),
     )
