@@ -185,3 +185,24 @@ def test_watermark_drops_late_rows_across_restarts(spark, sf_dir, tmp_path):
     assert n_after_second == n_after_first, (
         "rows older than the persisted watermark must be dropped"
     )
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicated source files (a replay) must still emit each event_id
+    once — streaming dedup with bounded (watermarked) state."""
+    import os
+
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.streaming.jobs import run_streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src, exist_ok=True)
+    events = read_table(spark, sf_dir, "events").limit(500)
+    # same rows staged twice = an at-least-once replay
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    run_streaming_dedup(spark, src, str(tmp_path / "dedup_ckpt"), query_name="t_dedup")
+    got = spark.sql("SELECT event_id, count(*) c FROM t_dedup GROUP BY event_id")
+    assert got.filter("c > 1").count() == 0
+    assert got.count() == events.count()

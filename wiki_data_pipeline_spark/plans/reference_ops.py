@@ -810,3 +810,56 @@ def l3_global_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rank") - 1).cast("bigint").alias("global_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint checks (F7 generalized to a quality gate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_constraint_checks",
+    oracle="""
+    SELECT
+      count(*)                                          AS n_rows,
+      CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
+      CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)       AS empty_text,
+      count(DISTINCT doc_id)                            AS distinct_doc_id,
+      CAST(count(DISTINCT doc_id) = count(*) AS BOOLEAN) AS doc_id_unique,
+      CAST(min(n_chars) AS BIGINT)                      AS min_chars,
+      CAST(max(n_chars) AS BIGINT)                      AS max_chars,
+      CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_chars_mismatch,
+      CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zz') THEN 0 ELSE 1 END) AS BIGINT)
+                                                        AS lang_out_of_domain
+    FROM documents
+    """,
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (reference F7 validation generalized to a
+    declarative constraint suite — the deequ-style pre-training check):
+    completeness (null/empty counts), uniqueness (key cardinality vs
+    rows), consistency (n_chars must equal length(text)), and domain
+    membership, all in ONE aggregation pass over the table. At 100 TB
+    this is a single scan + partial aggs; the output row is the gate a
+    pipeline asserts on before shipping a corpus snapshot."""
+    docs = read_table(spark, sf_dir, "documents")
+    empty = F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("doc_id").isNull().cast("long")).cast("bigint").alias("null_doc_id"),
+        F.sum(empty.cast("long")).cast("bigint").alias("empty_text"),
+        F.countDistinct("doc_id").alias("distinct_doc_id"),
+        (F.countDistinct("doc_id") == F.count("*")).alias("doc_id_unique"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("long"))
+        .cast("bigint")
+        .alias("n_chars_mismatch"),
+        F.sum(
+            (~F.col("lang").isin("en", "de", "fr", "es", "zz")).cast("long")
+        )
+        .cast("bigint")
+        .alias("lang_out_of_domain"),
+    )

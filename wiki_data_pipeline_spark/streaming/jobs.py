@@ -204,3 +204,31 @@ def run_stream_static_enrichment(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_dedup",
+    watermark: str = "2 hours",
+) -> None:
+    """Streaming exact-dedup (the F9/dedup_exact family applied to a
+    live stream): dropDuplicatesWithinWatermark keys on event_id and
+    keeps dedup state only within the watermark horizon — bounded
+    state at 100 TB, unlike an ever-growing seen-set. Duplicates
+    arriving across micro-batches (or replayed files) are emitted
+    exactly once."""
+    events = read_event_stream(spark, source_dir, max_files_per_trigger=16)
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
