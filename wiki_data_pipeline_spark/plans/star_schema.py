@@ -727,6 +727,155 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Q19-style: disjunctive multi-attribute predicate over a fact⋈dim join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    oracle=f"""
+    SELECT
+      {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+      count(*) AS n_matches
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive (OR-of-ANDs) predicate spanning a
+    fact⋈dim join (engine extension — SURVEY.md §2.3's filter family at
+    its hardest planner shape). Catalyst extracts the common
+    single-table conjuncts from the OR: the part side is pre-filtered
+    to the 3 brands and the lineitem side to the quantity hull
+    (1..30) BEFORE the join, so the disjunction is evaluated on a
+    reduced candidate set; part is broadcast, no shuffle on the fact
+    side. At 100 TB this pre-join pruning is the difference between
+    scanning 3 brands' rows and the whole fact table against the full
+    dim."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(band).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_matches"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k: top-3 customers by balance per nation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_per_nation",
+    oracle="""
+    SELECT nation, c_custkey, c_name, c_acctbal, balance_rank
+    FROM (
+      SELECT n.n_name AS nation, c.c_custkey, c.c_name, c.c_acctbal,
+        row_number() OVER (
+          PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+        ) AS balance_rank
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE balance_rank <= 3
+    """,
+)
+def topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (engine extension — SURVEY.md §2.6's L1 top-k
+    generalized per group): top-3 customers by account balance within
+    each nation. row_number over a PARTITIONED window + rank filter —
+    one shuffle on the group key, each partition sorts locally, and
+    Spark's WindowGroupLimit pushes the k=3 limit into the sort so
+    per-group state is O(k), not O(rows). Ties broken by custkey for
+    determinism. The scalable alternative to any orderBy().limit()
+    per-group loop."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), "c_custkey", "c_name", "c_acctbal"
+        )
+        .withColumn("balance_rank", F.row_number().over(w))
+        .filter(F.col("balance_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: scalar-subquery threshold + anti-join (dormant rich
+# customers).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped (engine extension — J2's anti-join family plus
+    a scalar aggregate subquery): above-average-balance customers with
+    no orders since 2000 — the 'rich but dormant' cohort. The scalar
+    threshold is a 1-row aggregate cross-joined (broadcast) onto
+    customer — computed once, not per row; the NOT EXISTS is a LEFT
+    ANTI join against orders pre-filtered by the date predicate (the
+    filter pushes to the orders scan, shrinking the anti-join build
+    side). Threshold uses the exact decimal-sum average so the
+    borderline comparison is bit-identical across engines."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    threshold = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal"), "avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
 @query(
     "q4_priority_semijoin",
     oracle="""
