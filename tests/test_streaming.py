@@ -187,6 +187,32 @@ def test_watermark_drops_late_rows_across_restarts(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream attribution join (RocksDB state store)
+    must emit exactly the batch join_range_bucketed result once both
+    streams drain."""
+    from wiki_data_pipeline_spark.plans.registry import get
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        run_stream_stream_attribution_join,
+        stage_events_as_stream_source,
+    )
+
+    src = str(tmp_path / "ss_src")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+
+    run_stream_stream_attribution_join(
+        spark, src, str(tmp_path / "ss_ckpt"), query_name="t_ss_join"
+    )
+    got = spark.sql("SELECT view_id, purchase_id FROM t_ss_join")
+    expected = get("join_range_bucketed").fn(spark, sf_dir)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    # the RocksDB provider conf must not leak into the shared session
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+    )
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     """Duplicated source files (a replay) must still emit each event_id
     once — streaming dedup with bounded (watermarked) state."""

@@ -206,6 +206,82 @@ def run_stream_static_enrichment(
     q.awaitTermination()
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_stream_stream_attribution_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_attribution",
+    watermark: str = "2 hours",
+    use_rocksdb: bool = True,
+) -> None:
+    """Stream-stream inner join with watermarks on BOTH sides: views
+    attributed to purchases by the same user within the preceding hour
+    — the streaming twin of the batch ``join_range_bucketed`` query
+    (identical output columns/semantics, asserted by test).
+
+    Both sides are watermarked so Spark derives a state-eviction bound
+    from the time-range join condition: a buffered view can be dropped
+    once the purchase-side watermark passes ``v_ts + 1 hour`` — state
+    is bounded by the interval width + watermark delay, NOT by stream
+    length. That bound is what makes this run forever at 100 TB; an
+    un-watermarked stream-stream join buffers both streams in full.
+
+    State store: RocksDB provider (``use_rocksdb=True``) keeps join
+    state off-heap and spillable — at large state (wide watermark ×
+    hot users) the default in-memory HDFS-backed store OOMs executors,
+    RocksDB does not. The conf must be set before the query starts and
+    is restored after, so co-resident queries in the same session keep
+    their provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if use_rocksdb:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        events = read_event_stream(spark, source_dir, max_files_per_trigger=16)
+        views = (
+            events.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", watermark)
+        )
+        purchases = (
+            events.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", watermark)
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        ).select("view_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     source_dir: str,
