@@ -143,3 +143,45 @@ def test_l5_chunked_parallelism(spark, sf_dir):
     assert len(sizes) == n_chunks
     assert sum(r["count"] for r in sizes) == total
     assert max(r["count"] for r in sizes) <= 3 * (total // n_chunks)
+
+
+def test_date_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    """K1/L4 at scale: predicate-aligned partitionBy(date) layout —
+    Hive-style directories, no small-file explosion, and a date filter
+    must prune to PartitionFilters (zero I/O for other dates)."""
+    import os
+
+    from wiki_data_pipeline_spark.sinks.partitioned_layout import (
+        read_pruned,
+        write_date_partitioned,
+    )
+
+    out = str(tmp_path / "dated")
+    events = read_table(spark, sf_dir, "events")
+    write_date_partitioned(events, out, ts_col="ts", date_col="event_date")
+
+    # Hive-style layout: one directory per distinct day
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("event_date="))
+    n_days = events.select(F.date_trunc("day", "ts")).distinct().count()
+    assert len(dirs) == n_days
+    # pre-shuffle by partition col → each day holds ONE file, not
+    # one per upstream task (the small-file explosion this layout avoids)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {len(files)} files"
+
+    # row fidelity through the round-trip
+    assert spark.read.parquet(out).count() == events.count()
+
+    # partition pruning: the date predicate must land in PartitionFilters,
+    # and the pruned read returns exactly that day's rows
+    a_day = dirs[0].split("=", 1)[1]
+    pruned = read_pruned(spark, out, "event_date", a_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters:", 1
+    )[1].split("]", 1)[0]
+    expected = events.filter(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == a_day
+    ).count()
+    assert pruned.count() == expected > 0
