@@ -268,8 +268,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = strong near-dup signal (pairing = groupBy(simhash),
     banding over bit-slices generalizes it).
 
-    One explode + one groupBy(doc_id) — the 32 bit-vote sums are 32
-    columns of one hash aggregate, not 32 passes."""
+    One explode + one groupBy(doc_id). The 32 per-bit vote counters
+    are PACKED four-per-long into 8 aggregate columns (16-bit lanes):
+    per token, lane k of packed column g accumulates bit ``4g+k`` of
+    the hash; summing the packed longs sums all four lanes at once with
+    no cross-lane carries while every per-doc count stays < 2^16
+    (fixture max is 31 distinct tokens/doc; a 100 TB corpus with docs
+    near 65k distinct tokens would move to 20-bit lanes / 3 per long).
+    Votes decompose after the aggregate: bit j set ⟺ 2·cnt_j > n.
+    Packing shrinks the partial-aggregate row from 32 sum columns to
+    8+count — ~3.5× fewer shuffle bytes per doc for the map-side
+    partials, which is the term that grows with corpus size (local
+    fixture wall-clock is flat; the fixture is one row group). Same
+    result, same oracle."""
     corpus = _dedup_corpus(spark, sf_dir)
     tok = _spread(corpus).select(
         "doc_id",
@@ -279,22 +290,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
     hashed = tok.select("doc_id", h.alias("h"))
-    bits = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                f"b{j}"
-            )
-            for j in range(_SIMHASH_BITS)
-        ]
+    lanes_per_long = 4  # 16-bit lanes
+    n_groups = _SIMHASH_BITS // lanes_per_long
+    packed = [
+        reduce(
+            Column.__add__,
+            [
+                F.shiftleft(
+                    F.shiftright(F.col("h"), g * lanes_per_long + k).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    16 * k,
+                )
+                for k in range(lanes_per_long)
+            ],
+        ).alias(f"p{g}")
+        for g in range(n_groups)
+    ]
+    votes = hashed.select("doc_id", *packed).groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"p{g}").alias(f"s{g}") for g in range(n_groups)],
     )
+
+    def cnt(j: int) -> Column:
+        g, k = divmod(j, lanes_per_long)
+        return F.shiftright(F.col(f"s{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+
     simhash = reduce(
         Column.__add__,
         [
-            F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(cnt(j) * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
             for j in range(_SIMHASH_BITS)
         ],
     )
-    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
