@@ -1009,3 +1009,88 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "chunk_arr").alias("chunk_text"),
         F.size("chunk_arr").cast("int").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end training-data prep pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    scored AS (
+      SELECT doc_id, text,
+        md5(text) AS content_hash,
+        CAST(length(text) AS DOUBLE) AS cc,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS wc,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> x = 'the' OR x = 'a')) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\\s+')) AS en_ratio
+      FROM corpus
+    ),
+    gated AS (
+      SELECT *,
+        0.6 * least(1.0, cc / 500.0)
+          + 0.4 * least(1.0, ((cc - (wc - 1)) / wc) / 8.0) AS quality_score
+      FROM scored
+      WHERE en_ratio >= 0.05
+    ),
+    kept AS (
+      SELECT * FROM gated WHERE quality_score >= 0.35
+    ),
+    canonical AS (
+      SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY content_hash
+    )
+    SELECT k.doc_id,
+      CAST(k.wc AS BIGINT) AS n_tokens,
+      k.quality_score
+    FROM kept k JOIN canonical c
+      ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over the dedup corpus — the
+    composition a 100 TB pretraining pipeline actually runs, as ONE
+    declarative plan: language gate (en-marker ratio ≥ 0.05) →
+    quality gate (length/word-length score ≥ 0.35) → exact dedup
+    keeping the lowest doc_id per content hash. Output: surviving
+    doc_id, token count, quality score.
+
+    Shape at scale: the two gates are narrow (no shuffle) and prune
+    BEFORE the only shuffle (groupBy(content_hash) for canonical
+    selection — here as min-per-hash + self-join back, which Catalyst
+    plans as one aggregate + one hash join on the uniform md5 key; no
+    window over the full corpus, no skew). Near-dup removal
+    (dedup_minhash_lsh) plugs in after the exact pass on the survivors
+    — ordering the cheap exact pass first shrinks the expensive
+    shingle explode's input."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    cc = F.length("text").cast("double")
+    wc = F.size(tokens).cast("double")
+    en_ratio = (
+        F.size(F.filter(tokens, lambda x: (x == "the") | (x == "a"))).cast("double")
+        / F.size(tokens)
+    )
+    quality = 0.6 * F.least(F.lit(1.0), cc / 500.0) + 0.4 * F.least(
+        F.lit(1.0), ((cc - (wc - 1)) / wc) / 8.0
+    )
+    kept = (
+        corpus.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            wc.alias("wc"),
+            en_ratio.alias("en_ratio"),
+            quality.alias("quality_score"),
+        )
+        .filter(F.col("en_ratio") >= 0.05)
+        .filter(F.col("quality_score") >= 0.35)
+    )
+    canonical = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(canonical, on=["content_hash", "doc_id"]).select(
+        "doc_id",
+        F.col("wc").cast("bigint").alias("n_tokens"),
+        "quality_score",
+    )

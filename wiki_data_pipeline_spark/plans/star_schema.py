@@ -728,6 +728,100 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q17-style: correlated aggregate subquery, decorrelated to agg+join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+        {_davg_sql('l_quantity', 'avg_qty')}
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT
+      {_dsum_sql('l.l_extendedprice', 'total_price')},
+      count(*) AS n_small
+    FROM lineitem l
+    JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate subquery — lineitems
+    below 20% of their part's average quantity (engine extension:
+    SURVEY.md §2.5 has no correlated aggregates). Written DECORRELATED
+    — per-part averages via one groupBy, joined back on partkey —
+    which is exactly what a per-row correlated subquery must become to
+    scale: one aggregate pass + one equi-join instead of a rescan per
+    outer row. Threshold average uses the exact decimal-sum form so
+    the borderline `<` comparison is bit-identical across engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(davg(F.col("l_quantity"), "avg_qty"))
+    return (
+        li.join(part_avg, on="l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice"), "total_price"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frame aggregates: running + moving sums per user.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_moving_value",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(sum(CAST(value AS DECIMAL(28,6)))
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_value,
+      CAST(sum(CAST(value AS DECIMAL(28,6)))
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS moving_value_4,
+      count(*)
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        AS n_in_frame
+    FROM events
+    """,
+)
+def window_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME aggregates (engine extension — completes the
+    window family next to window_rank_per_user's ranking/offset
+    functions): per-user running total and a 4-row moving sum/count.
+    ROWS frames over a unique ordering key (event_id) are
+    deterministic; frame sums go through the exact decimal pattern
+    because engines differ in sliding-sum evaluation order (Spark
+    re-adds the frame, DuckDB may evict incrementally — exact decimal
+    addition makes both orders identical). Same scale shape as any
+    partitioned window: one shuffle on user_id, local sort, O(frame)
+    state per row."""
+    events = read_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-3, 0)
+    dec = F.col("value").cast("decimal(28,6)")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(dec).over(w_run).cast("double").alias("running_value"),
+        F.sum(dec).over(w_mov).cast("double").alias("moving_value_4"),
+        F.count("*").over(w_mov).alias("n_in_frame"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q19-style: disjunctive multi-attribute predicate over a fact⋈dim join.
 # ---------------------------------------------------------------------------
 
