@@ -43,6 +43,11 @@ HEADLINE = [
     "window_tumbling_hourly",
     "window_session_30m",
     "st2_highwatermark_resume",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_pushdown",
+    "topk_per_nation",
+    "window_moving_value",
+    "pipeline_training_prep",
 ]
 
 
