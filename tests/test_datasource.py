@@ -1,0 +1,76 @@
+"""Custom Python Data Source: the K1 per-record-JSON layout read back
+as a partition-planned, filter-pushing connector (S1/S8/S9/F1
+re-expressed — see sources/paged_json.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.sinks.per_record_json import write_per_record_json
+from wiki_data_pipeline_spark.sources.paged_json import read_paged_json, register
+
+_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint, batch int"
+
+
+def _stage(spark, sf_dir, tmp_path) -> tuple[str, int, int]:
+    out = str(tmp_path / "paged")
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    n = write_per_record_json(docs, out, order_col="doc_id", batch_size=100)
+    n_batches = len([d for d in os.listdir(out) if d.startswith("batch_")])
+    return out, n, n_batches
+
+
+def test_paged_json_roundtrip_and_partition_planning(spark, sf_dir, tmp_path):
+    out, n, n_batches = _stage(spark, sf_dir, tmp_path)
+    assert n == 300 and n_batches == 3
+
+    register(spark)
+    df = read_paged_json(spark, out, _SCHEMA)
+
+    # one Spark partition per batch directory (S1: page ≡ task)
+    assert df.rdd.getNumPartitions() == n_batches
+    assert df.count() == n
+
+    # full-fidelity roundtrip against the original rows
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    back = df.select("doc_id", "text", "lang", "source", "n_chars")
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+    # the virtual batch column follows the sink's layout
+    got = {r["batch"] for r in df.select("batch").distinct().collect()}
+    assert got == {0, 1, 2}
+
+
+def test_paged_json_filter_pushdown_prunes_partitions(spark, sf_dir, tmp_path):
+    out, _, n_batches = _stage(spark, sf_dir, tmp_path)
+    register(spark)
+
+    # equality on the virtual batch column prunes to ONE planned
+    # partition — the pruned pages are never listed or parsed (F1:
+    # predicate inside the request)
+    one = read_paged_json(spark, out, _SCHEMA).filter(F.col("batch") == 1)
+    assert one.rdd.getNumPartitions() == 1
+    assert one.count() == 100
+    assert one.agg(F.min("doc_id"), F.max("doc_id")).first() == (100, 199)
+
+    # range predicates prune too
+    rng = read_paged_json(spark, out, _SCHEMA).filter(F.col("batch") >= 1)
+    assert rng.rdd.getNumPartitions() == n_batches - 1
+    assert rng.count() == 200
+
+    # non-batch predicates are NOT consumed — Spark evaluates them
+    # post-scan and results stay correct
+    mixed = read_paged_json(spark, out, _SCHEMA).filter(
+        (F.col("batch") == 1) & (F.col("doc_id") % 2 == 0)
+    )
+    assert mixed.count() == 50
+
+    # prefix option restricts the listing (S9 blob-prefix scan)
+    none = spark.read.format("paged_json").schema(_SCHEMA).option(
+        "prefix", "nope_"
+    ).load(out)
+    assert none.count() == 0
