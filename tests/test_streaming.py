@@ -187,6 +187,41 @@ def test_watermark_drops_late_rows_across_restarts(spark, sf_dir, tmp_path):
     )
 
 
+def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """Streaming session windows (30 min gap) must agree with the
+    batch session_window computation on every emitted session; only
+    the watermark tail may be withheld."""
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        run_streaming_session_agg,
+        stage_events_as_stream_source,
+    )
+
+    src = str(tmp_path / "sess_src")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    run_streaming_session_agg(
+        spark, src, str(tmp_path / "sess_ckpt"), query_name="t_sessions"
+    )
+    emitted = spark.table("t_sessions")
+    assert emitted.count() > 0
+
+    events = read_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("b_n"))
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "b_n"
+        )
+    )
+    joined = emitted.join(batch, on=["session_start", "user_id"], how="left")
+    assert (
+        joined.filter(F.col("b_n").isNull() | (F.col("b_n") != F.col("n_events"))).count()
+        == 0
+    )
+    # the un-emitted remainder is only the watermark tail
+    got = emitted.agg(F.sum("n_events")).collect()[0][0]
+    assert got >= events.count() * 0.9
+
+
 def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, tmp_path):
     """Watermarked stream-stream attribution join (RocksDB state store)
     must emit exactly the batch join_range_bucketed result once both

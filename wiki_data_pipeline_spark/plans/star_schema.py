@@ -728,6 +728,97 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q13-style: outer-join count distribution (count of counts).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped count-of-counts: per-customer non-urgent order
+    counts (LEFT join so order-less customers count 0 — count(col)
+    skips the nulls an outer join manufactures), then the histogram of
+    those counts. Two aggregations, but the second groups on the tiny
+    distinct-count domain — its shuffle is negligible; the join itself
+    broadcasts customer. The join-side filter lives in the JOIN
+    condition, not WHERE — on an outer join those are different
+    results, a classic correctness trap the oracle locks in."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        F.broadcast(customer)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: top-revenue supplier via max-over-aggregate self-reference.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        {_dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped max-over-aggregate: quarterly revenue per
+    supplier, keep the supplier(s) hitting the global max (WHERE =
+    scalar MAX subquery, ties all kept — not LIMIT 1). The revenue
+    aggregate is computed ONCE and reused for both the max and the
+    filter (Spark caches nothing here but the plan references one
+    subtree; at scale, persist() it explicitly if the optimizer
+    rescans). Revenue uses exact decimal summation so the max
+    comparison — equality on a double! — is cross-engine safe."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        supplier.join(revenue, supplier.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q17-style: correlated aggregate subquery, decorrelated to agg+join.
 # ---------------------------------------------------------------------------
 

@@ -206,6 +206,47 @@ def run_stream_static_enrichment(
     q.awaitTermination()
 
 
+def run_streaming_session_agg(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_sessions",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Session-window aggregation on a stream (the streaming twin of
+    the batch ``window_session_30m`` query): per-user sessions close
+    after a ``gap`` of inactivity; a session is emitted once the
+    watermark passes its end, so output is append-mode and final — no
+    retractions. Session state is MERGING state (windows coalesce as
+    late-but-in-watermark rows arrive) and is evicted at the
+    watermark, so state size tracks active sessions only — the
+    unbounded-session-table problem the reference's driver-side
+    sessionization would hit at 100 TB never materializes."""
+    events = read_event_stream(spark, source_dir, max_files_per_trigger=16)
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
