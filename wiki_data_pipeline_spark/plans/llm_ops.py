@@ -1051,7 +1051,9 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data prep over the dedup corpus — the
+    """End-to-end training-data prep over the dedup corpus (the
+    reference pipeline loop, src/main.py:99-135 — fetch → validate →
+    dedup — recast for LLM corpus prep) — the
     composition a 100 TB pretraining pipeline actually runs, as ONE
     declarative plan: language gate (en-marker ratio ≥ 0.05) →
     quality gate (length/word-length score ≥ 0.35) → exact dedup

@@ -728,6 +728,182 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q7-style: bilateral trade volume between a nation pair, by year.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+      {_dsum_sql('volume', 'revenue')},
+      count(*) AS n_lineitems
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS INT) AS l_year,
+        l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade: shipping volume between two
+    nations, both directions, by ship year. The nation-pair
+    disjunction constrains BOTH nation dims to the 2-name set before
+    the join (Catalyst extracts n1 ∈ {1,2} ∧ n2 ∈ {1,2} from the OR),
+    so the supplier/customer broadcasts carry only the two nations'
+    keys; the only big shuffle is lineitem⋈orders on orderkey."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style: conditional-aggregate ratio (promo revenue share).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT
+      100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        AS DECIMAL(28,6))) AS DOUBLE) AS promo_share_pct,
+      count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio (engine extension
+    per SURVEY.md §2.5): promo parts' share
+    of one month's revenue. Numerator and denominator are two
+    aggregates over ONE scan (a CASE inside the sum, not a self-join
+    or two passes); part is broadcast; the month filter prunes at the
+    lineitem scan. Both sums decimal-exact before the final double
+    division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(promo_vol).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: large orders via HAVING + semi-join back to detail.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      o.o_totalprice,
+      {_dsum_sql('l.l_quantity', 'total_qty')}
+    FROM orders o
+    JOIN big b      ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+      strftime(o.o_orderdate, '%Y-%m-%d'), o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders (engine extension per
+    SURVEY.md §2.4/§2.5): orders whose total
+    quantity exceeds 250, re-joined to customer + detail. The HAVING
+    aggregate and the detail re-aggregation share the lineitem shuffle
+    key (orderkey), so Spark plans both aggregations on the SAME
+    exchange — the qualifying-keys semi-join adds no extra lineitem
+    shuffle. Quantity sums decimal-exact so the >250 borderline is
+    cross-engine identical."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, on="l_orderkey", how="left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q13-style: outer-join count distribution (count of counts).
 # ---------------------------------------------------------------------------
 
@@ -747,7 +923,8 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13-shaped count-of-counts: per-customer non-urgent order
+    """TPC-H Q13-shaped count-of-counts (engine extension per SURVEY.md
+    §2.4/§2.5 — outer-join + aggregation family): per-customer non-urgent order
     counts (LEFT join so order-less customers count 0 — count(col)
     skips the nulls an outer join manufactures), then the histogram of
     those counts. Two aggregations, but the second groups on the tiny
@@ -791,7 +968,8 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15-shaped max-over-aggregate: quarterly revenue per
+    """TPC-H Q15-shaped max-over-aggregate (engine extension per
+    SURVEY.md §2.5): quarterly revenue per
     supplier, keep the supplier(s) hitting the global max (WHERE =
     scalar MAX subquery, ties all kept — not LIMIT 1). The revenue
     aggregate is computed ONCE and reused for both the max and the
@@ -885,7 +1063,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window FRAME aggregates (engine extension — completes the
+    """Window FRAME aggregates (engine extension per SURVEY.md §2.5 —
+    completes the
     window family next to window_rank_per_user's ranking/offset
     functions): per-user running total and a 4-row moving sum/count.
     ROWS frames over a unique ordering key (event_id) are
