@@ -874,11 +874,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped large-volume orders (engine extension per
     SURVEY.md §2.4/§2.5): orders whose total
     quantity exceeds 250, re-joined to customer + detail. The HAVING
-    aggregate and the detail re-aggregation share the lineitem shuffle
-    key (orderkey), so Spark plans both aggregations on the SAME
-    exchange — the qualifying-keys semi-join adds no extra lineitem
-    shuffle. Quantity sums decimal-exact so the >250 borderline is
-    cross-engine identical."""
+    threshold is selective, so the qualifying-key set is SMALL and AQE
+    broadcasts it for the LEFT SEMI probe (verified in the plan:
+    BroadcastHashJoin LeftSemi over the aggregated keys) — lineitem is
+    never shuffled for the semi-join, only aggregated once for HAVING
+    and once for the final detail grouping. Quantity sums
+    decimal-exact so the >250 borderline is cross-engine identical."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
