@@ -48,6 +48,11 @@ HEADLINE = [
     "topk_per_nation",
     "window_moving_value",
     "pipeline_training_prep",
+    "q7_nation_trade_volume",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q18_large_orders",
 ]
 
 

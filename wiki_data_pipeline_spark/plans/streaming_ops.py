@@ -509,3 +509,42 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VariantType: schema-FLEXIBLE semi-structured extraction (the Spark 4
+# complement to st_props_json_extract's fixed-StructType parse).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_props_variant_extract",
+    oracle="""
+    SELECT event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT)   AS k,
+      CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType extraction (engine extension per SURVEY.md §1.3's
+    schema-on-read boundary — S8's json.loads where the key set is NOT
+    known up front): parse_json keeps the full payload as a binary
+    variant; variant_get extracts typed paths lazily and
+    try_variant_get yields null for absent paths instead of failing —
+    the open-schema analog of from_json's fixed StructType.
+
+    Scale: variant is columnar-binary (no per-row Python, no string
+    re-parse per path access); predicates on extracted paths evaluate
+    post-scan but stay in whole-stage codegen. When one path is hot,
+    materialize it as a real column at write time — variant is for the
+    long tail, not the filter key."""
+    events = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    out = events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
+    )
+    return out.filter(F.col("k") >= 50)
