@@ -142,10 +142,9 @@ _BAND_SIZE = 2  # → 4 bands
 _MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+# CTE chain shared by the minhash-pairs oracle and the connected-
+# components oracle built on top of it.
+_MINHASH_CTES = f"""corpus AS ({_CORPUS_SQL}),
     {_SHINGLE_SQL},
     hashed AS (
       SELECT doc_id,
@@ -162,7 +161,13 @@ _MH_PRIME = 4294967311  # smallest prime > 2^32
       {' UNION ALL '.join(
         f"SELECT doc_id, {b} AS band_idx, mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR AS sig FROM sig"
         for b in range(_N_HASHES // _BAND_SIZE))}
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1095,4 +1100,88 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("wc").cast("bigint").alias("n_tokens"),
         "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster formation: connected components over the near-dup
+# pair graph (iterative algorithm surface).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER formation — connected components over the MinHash
+    near-dup pair graph, the step that turns pairwise candidates into
+    keep/drop groups (engine extension per SURVEY.md §2.10's iterative-
+    algorithm surface; generalizes F9's seen-set dedup to transitive
+    identity). Iterative min-label propagation: every node starts as
+    its own label; each round takes the min of its own and its
+    neighbors' labels; at fixpoint each component carries its smallest
+    doc_id as component_id (the canonical survivor).
+
+    Scale notes: each round is one join + one aggregate — all shuffles
+    on the node key; rounds = graph diameter (near-dup clusters are
+    shallow — a handful). ``localCheckpoint`` between rounds truncates
+    the lineage (else the plan doubles per iteration and the optimizer
+    chokes — THE classic iterative-Spark trap). Convergence is
+    detected by the label-sum aggregate: labels only ever decrease, so
+    an unchanged sum ⟺ fixpoint; the driver-side check is one scalar
+    per round, not a collect of the frontier. The DuckDB oracle is the
+    same fixpoint via WITH RECURSIVE transitive closure."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        )
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("component_id")
     )
