@@ -187,6 +187,44 @@ def test_watermark_drops_late_rows_across_restarts(spark, sf_dir, tmp_path):
     )
 
 
+def test_stateful_user_counts_transform_with_state(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    job: final per-user counts must equal the batch groupBy. Skipped
+    where pyspark's TWS protobuf protocol dependency is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        run_stateful_user_counts_tws,
+        stage_events_as_stream_source,
+    )
+
+    src = str(tmp_path / "tws_src")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    run_stateful_user_counts_tws(
+        spark, src, str(tmp_path / "tws_ckpt"), query_name="t_user_tws"
+    )
+    final = spark.sql(
+        """
+        SELECT user_id, n_events FROM (
+          SELECT user_id, n_events,
+                 row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM t_user_tws) WHERE rn = 1
+        """
+    )
+    expected = read_table(spark, sf_dir, "events").groupBy("user_id").count()
+    diff = (
+        final.join(expected, on="user_id")
+        .filter(F.col("n_events") != F.col("count"))
+        .count()
+    )
+    assert diff == 0
+    assert final.count() == expected.count()
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+    )
+
+
 def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
     """Streaming session windows (30 min gap) must agree with the
     batch session_window computation on every emitted session; only

@@ -206,6 +206,85 @@ def run_stream_static_enrichment(
     q.awaitTermination()
 
 
+def run_stateful_user_counts_tws(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_user_state_tws",
+) -> None:
+    """Running per-user counters via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API twin of
+    ``run_stateful_user_counts`` (same semantics, richer state
+    surface: typed ValueState/ListState/MapState + timers vs
+    applyInPandasWithState's single tuple). Requires the RocksDB state
+    store; the conf is set for the query and restored after.
+
+    The processor class is defined inside this function so cloudpickle
+    ships it by value (workers never import this package).
+
+    Dependency gate: the transformWithState protocol talks to the JVM
+    via protobuf; environments without ``protobuf`` get a clear error
+    here instead of a crashed driver-side worker mid-query
+    (applyInPandasWithState — run_stateful_user_counts — has no such
+    dependency and is the fallback)."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's TWS state protocol); use run_stateful_user_counts "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from e
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class UserCountProcessor(StatefulProcessor):
+            def init(self, handle):
+                self._state = handle.getValueState(
+                    "agg", "n bigint, total double"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+                prior = self._state.get()
+                n, total = prior if prior is not None else (0, 0.0)
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                self._state.update((n, total))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                )
+
+            def close(self):
+                pass
+
+        events = read_event_stream(spark, source_dir, max_files_per_trigger=16)
+        result = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserCountProcessor(),
+            outputStructType=USER_STATE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            result.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def run_streaming_session_agg(
     spark: SparkSession,
     source_dir: str,
