@@ -185,3 +185,35 @@ def test_date_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == a_day
     ).count()
     assert pruned.count() == expected > 0
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema-on-read for drifting record shapes (SURVEY.md §1: the
+    reference's records are schemaless-by-convention dicts whose key
+    set grew across pipeline versions — T1 vs T2). Parquet layouts
+    written by different pipeline versions are read as ONE table via
+    mergeSchema: old rows surface the new columns as nulls, exactly
+    the dict-get-with-default the reference did per row (§2.8)."""
+    out = str(tmp_path / "evolving")
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") >= 100)
+        .select("doc_id", "text", "lang", F.col("n_chars").alias("content_length"))
+    )
+    v1.write.mode("overwrite").parquet(out + "/v=1")
+    v2.write.mode("overwrite").parquet(out + "/v=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert {"doc_id", "text", "lang", "content_length"} <= set(merged.columns)
+    assert merged.count() == docs.count()
+    # old-version rows: evolved columns are null; new rows carry values
+    old = merged.filter(F.col("doc_id") < 100)
+    assert old.filter(F.col("lang").isNotNull()).count() == 0
+    new = merged.filter(F.col("doc_id") >= 100)
+    assert new.filter(F.col("content_length").isNull()).count() == 0
+    # coalesce-with-default = the reference's dict.get(k, default)
+    filled = merged.select(
+        F.coalesce("lang", F.lit("unknown")).alias("lang")
+    )
+    assert filled.filter(F.col("lang") == "unknown").count() == old.count()
