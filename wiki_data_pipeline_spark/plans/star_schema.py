@@ -1268,3 +1268,37 @@ def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL interface: the same engine driven through spark.sql.
+# ---------------------------------------------------------------------------
+
+_SEGMENT_REVENUE_SQL = """
+    SELECT
+      c.c_mktsegment AS segment,
+      CAST(year(o.o_orderdate) AS INT) AS order_year,
+      CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, year(o.o_orderdate)
+"""
+
+
+@query("sql_segment_revenue", oracle=_SEGMENT_REVENUE_SQL)
+def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string surface (SURVEY.md §3: the reference has no query
+    language at all; this engine exposes BOTH the DataFrame API and
+    ANSI SQL over the same tables — the aggregation itself is the §2.5
+    A-family at star shape): temp views + ``spark.sql`` running
+    revenue by market segment and order year. The SQL text IS the
+    DuckDB oracle, modulo nothing — one dialect-shared string drives
+    both engines, which is the strongest possible parity statement.
+    Catalyst plans it identically to the DataFrame form (same
+    broadcast + single orderkey shuffle)."""
+    for t in ("lineitem", "orders", "customer"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SEGMENT_REVENUE_SQL)
