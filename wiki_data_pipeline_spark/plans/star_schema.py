@@ -1302,3 +1302,125 @@ def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SEGMENT_REVENUE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q16-style: distinct-supplier counts per part bucket, NOT IN exclusion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+      count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 14, 23, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity per part bucket with a NOT
+    IN exclusion (engine extension per SURVEY.md §2.4 — the semi/anti
+    J2 family at its null-aware variant: NOT IN must yield ZERO rows
+    if the subquery produces any NULL, so Catalyst plans a
+    null-aware anti join, not a plain left_anti). The exclusion list
+    (negative-balance suppliers) is tiny → broadcast; the IN-list size
+    filter pushes into the part scan; count(DISTINCT suppkey) is a
+    two-phase exact distinct on uniform keys."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    for t, df in (("l", li), ("p", part), ("s", supplier)):
+        df.createOrReplaceTempView(f"q16_{t}")
+    # NOT IN via SQL so Catalyst's null-aware anti-join planning is
+    # exercised (DataFrame left_anti would silently change NULL
+    # semantics).
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+          count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM q16_l l
+        JOIN q16_p p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 14, 23, 45)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM q16_s WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: market share of one nation within a region, by year.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT order_year,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+      count(*) AS n_lineitems
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+        n2.n_name AS supp_nation,
+        CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)) AS vol
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share (engine extension per SURVEY.md
+    §2.4/§2.5): NATION_3 suppliers' share of revenue sold into
+    EUROPE-region customers, by order year. The share is a conditional sum
+    over total sum from ONE pass (CASE-in-sum, like q14); the region
+    filter prunes the customer side through two broadcast hops before
+    the fact shuffle. Both sums decimal-exact before the double
+    division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation1 = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation1), customer.c_nationkey == nation1.n_nationkey)
+        .join(F.broadcast(region), nation1.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("supp_nation"),
+            vol.alias("vol"),
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return base.groupBy("order_year").agg(
+        (F.sum(nation_vol).cast("double") / F.sum("vol").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
