@@ -53,6 +53,11 @@ HEADLINE = [
     "q14_promo_revenue_share",
     "q15_top_supplier",
     "q18_large_orders",
+    "q8_market_share",
+    "q16_supplier_part_counts",
+    "sql_segment_revenue",
+    "st_props_variant_extract",
+    "dedup_cluster_components",
 ]
 
 
