@@ -58,6 +58,11 @@ HEADLINE = [
     "sql_segment_revenue",
     "st_props_variant_extract",
     "dedup_cluster_components",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_dominant_suppliers",
+    "q21_sole_blame_suppliers",
 ]
 
 

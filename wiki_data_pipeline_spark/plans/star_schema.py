@@ -1424,3 +1424,299 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lineitems"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style: min-cost supplier per part within a region (correlated MIN).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+        min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT ps.l_partkey, ps.unit_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    pmin AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost FROM eu GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_type, eu.s_name, eu.n_name, eu.s_acctbal,
+      eu.unit_cost AS min_unit_cost
+    FROM eu
+    JOIN pmin ON eu.l_partkey = pmin.l_partkey AND eu.unit_cost = pmin.min_cost
+    JOIN part p ON eu.l_partkey = p.p_partkey
+    WHERE p.p_size IN (5, 15, 25)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-MIN subquery (engine extension per
+    SURVEY.md §2.4; fixtures have no partsupp, so the part×supplier
+    catalog is derived from lineitem: min observed unit price per
+    (part, supplier)). The correlated ``= (SELECT min(...) WHERE same
+    part)`` is written DECORRELATED as a per-part MIN window + equality
+    filter — the only form that scales: one pass over the
+    region-filtered catalog instead of a rescan per outer row. The
+    window form also beats the aggregate+self-join decorrelation: no
+    recompute of the catalog subtree and no sort-merge self-join
+    (verified via .explain — the oracle keeps the join spelling, which
+    is value-equivalent). MIN over doubles is order-insensitive (no
+    summation), so the double-equality rendezvous is bit-exact on both
+    engines. Supplier/nation/region/part dims all broadcast; the
+    shuffles are the (partkey, suppkey) aggregate then the partkey
+    window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        ps.join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "n_name", "s_acctbal")
+    )
+    min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    return (
+        eu.withColumn("min_cost", min_cost)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("unit_cost").alias("min_unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-style: product-line profit by supplier nation and order year.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS supp_nation,
+      CAST(year(o.o_orderdate) AS INT) AS order_year,
+      {_dsum_sql(
+        'l.l_extendedprice * (1 - l.l_discount)'
+        ' - 0.6 * p.p_retailprice * l.l_quantity',
+        'profit',
+      )}
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup (engine extension per SURVEY.md
+    §2.5; no partsupp in the fixtures, so supply cost is modeled as
+    60% of p_retailprice). Five-way join where three dims broadcast
+    (part with the LIKE filter applied BEFORE the join so the
+    substring match prunes the build side, supplier, nation) and the
+    one big⋈big join (lineitem⋈orders) shuffles on orderkey; profit
+    summed decimal-exact, grouped by supplier nation × order year."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: important parts — grouped HAVING vs a global scalar subquery.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH nval AS (
+      SELECT l.l_partkey,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+          AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM nval
+    WHERE part_value > (
+      SELECT CAST(sum(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) * 0.001
+      FROM nval
+    )
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped 'important stock' (engine extension per
+    SURVEY.md §2.5; partsupp value ≡ lineitem extendedprice of one
+    nation's suppliers). The distinctive shape: a grouped aggregate
+    filtered against a GLOBAL scalar aggregate of itself — the scalar
+    side is a 1-row DataFrame broadcast-cross-joined into the grouped
+    side (Catalyst turns the cross join into a literal-like stream
+    side; no shuffle added). Both the per-part sums and the global
+    threshold sum are decimal-exact, so the > comparison is bit-stable.
+    At 100 TB the nval aggregate is the only shuffle; the global sum
+    reuses nval rather than rescanning lineitem."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    nval = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice"), "part_value"))
+    )
+    threshold = nval.agg(
+        (F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double") * 0.001).alias(
+            "threshold"
+        )
+    )
+    return (
+        nval.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-style: dominant suppliers of a part family (correlated-agg semi-join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    total AS (
+      SELECT l_partkey,
+        CAST(sum(CAST(supp_qty AS DECIMAL(28,6))) AS DOUBLE) AS part_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey
+      FROM shipped sh
+      JOIN total t ON sh.l_partkey = t.l_partkey
+      JOIN part p  ON sh.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%blue%' AND sh.supp_qty > 0.1 * t.part_qty
+    )
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested-subquery semi-join (engine extension per
+    SURVEY.md §2.4; availqty > half-of-shipped becomes: supplier ships
+    over 10% of a 'blue' part's total volume — same correlated
+    aggregate-vs-aggregate threshold, same IN-chain). Planned as
+    aggregates + semi-join: per-(part,supplier) quantities, per-part
+    totals joined back on partkey, filter, then supplier LEFT SEMI the
+    qualifying suppkey set — duplicates collapse in the semi-join, no
+    DISTINCT needed. part is filtered before its broadcast join; the
+    two aggregates share the same shuffle key ancestry (partkey,
+    suppkey → partkey) so AQE coalesces cheaply."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity"), "supp_qty")
+    )
+    total = shipped.groupBy("l_partkey").agg(dsum(F.col("supp_qty"), "part_qty"))
+    qualifying = (
+        shipped.join(total, on="l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .filter(F.col("supp_qty") > 0.1 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: sole-blame suppliers — EXISTS + NOT EXISTS, dialect-shared SQL.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+  AND n.n_name = 'NATION_2'
+GROUP BY s.s_name
+"""
+
+
+@query("q21_sole_blame_suppliers", oracle=_Q21_SQL)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated existence test (engine
+    extension per SURVEY.md §2.4; the fixtures lack commit/receipt
+    dates, so 'late' is modeled by l_returnflag='R' on 'F'-status
+    orders): suppliers who returned a line on a multi-supplier order
+    where NO other supplier returned one. EXISTS plans as a left-semi
+    and NOT EXISTS as a left-anti join on (orderkey, suppkey<>) —
+    both shuffle on orderkey, the same key as the orders join, so
+    Catalyst/AQE reuses one exchange ancestry across all three. The
+    SQL text is dialect-shared: the identical string runs on Spark
+    (temp views) and DuckDB (oracle)."""
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
