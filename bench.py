@@ -63,6 +63,7 @@ HEADLINE = [
     "q11_important_parts",
     "q20_dominant_suppliers",
     "q21_sole_blame_suppliers",
+    "cluster_kmeans_embeddings",
 ]
 
 

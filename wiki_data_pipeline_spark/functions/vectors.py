@@ -30,3 +30,14 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance via zip_with + aggregate; (x-y)*(x-y)
+    (not pow) so the per-element op is a single IEEE multiply on both
+    engines, and the fold is left-to-right like DuckDB list_aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

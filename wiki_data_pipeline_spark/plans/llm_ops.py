@@ -1185,3 +1185,136 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering over embeddings (iterative centroid refinement).
+# ---------------------------------------------------------------------------
+
+_KM_CENTROID_MOD = 100  # vec_id % 100 == 0 → deterministic seeds (k = N/100)
+_KM_ITERS = 2
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """DuckDB mirror of vectors.sq_dist — same element op, same
+    left-to-right summation."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+
+
+def _km_assign_sql(cent: str, keep_dist: bool = False) -> str:
+    d = _l2_sql("e.ve", "c.ce")
+    cols = "vec_id, cid" + (", d" if keep_dist else "")
+    return f"""(
+      SELECT {cols} FROM (
+        SELECT e.vec_id, c.cid, round({d}, 6) AS d,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round({d}, 6), c.cid) AS rn
+        FROM emb e CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assign: str) -> str:
+    return f"""(
+      SELECT cid, array_agg(mval ORDER BY pos) AS ce FROM (
+        SELECT cid, pos,
+          CAST(sum(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mval
+        FROM (
+          SELECT a.cid, unnest(e.ve) AS val,
+            generate_subscripts(e.ve, 1) AS pos
+          FROM {assign} a JOIN emb e USING (vec_id)
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+
+
+@query(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id % {_KM_CENTROID_MOD} = 0
+    ),
+    assign0 AS {_km_assign_sql('cent0')},
+    cent1 AS {_km_update_sql('assign0')},
+    assign1 AS {_km_assign_sql('cent1')},
+    cent2 AS {_km_update_sql('assign1')},
+    final AS {_km_assign_sql('cent2', keep_dist=True)}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, d AS sq_dist
+    FROM final
+    """,
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering over the embedding corpus (engine extension:
+    the iterative-refinement ML surface a training-data pipeline uses
+    for corpus bucketing / IVF index training — the offline step
+    sim_ann_ivf's docstring defers to). Deterministic end to end:
+    seeds are every {_KM_CENTROID_MOD}th vector, {_KM_ITERS} Lloyd
+    iterations (fixed — no data-dependent stop), squared-L2 rounded to
+    6 decimals with lowest-cid tie-break, and centroid means computed
+    as decimal-exact component sums divided in double, so Spark's
+    partial-agg order and DuckDB's single-threaded order agree bitwise.
+
+    Plan shape per iteration (all JVM-side higher-order exprs, no
+    Python): assignment = vectors × broadcast(centroids) cross join →
+    min_by hash aggregate on vec_id (no window sort); update =
+    posexplode members → two-level hash aggregate ((cid,pos) then cid,
+    re-packing with array_sort). At 100 TB: k centroids always fit in
+    a broadcast; per-iteration cost is one map pass + shuffles keyed
+    on (vec_id) and (cid,pos) — both uniform, skew-free; lineage stays
+    shallow (k fixed iterations over aggregates, no recursion blowup).
+
+    Reference analog: none (SURVEY.md §2.10 — the engine's iterative
+    surface; generalizes the same loop as dedup_cluster_components)."""
+    from wiki_data_pipeline_spark.functions.vectors import sq_dist
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve")
+    )
+    cent = emb.filter(F.col("vec_id") % _KM_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("ce")
+    )
+
+    def assign(cent_df: DataFrame, keep_dist: bool = False) -> DataFrame:
+        d = F.round(sq_dist(F.col("ve"), F.col("ce")), 6)
+        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "cid", d.alias("d")
+        )
+        # Nearest centroid via min_by over (d, cid) — one hash
+        # aggregate, no window sort (tie → lowest cid).
+        agg = [F.min_by(F.struct("cid", "d"), F.struct("d", "cid")).alias("best")]
+        out = scored.groupBy("vec_id").agg(*agg)
+        cols = ["vec_id", F.col("best.cid").alias("cid")]
+        if keep_dist:
+            cols.append(F.col("best.d").alias("d"))
+        return out.select(*cols)
+
+    def update(assign_df: DataFrame) -> DataFrame:
+        members = assign_df.join(emb, on="vec_id")
+        exploded = members.select("cid", F.posexplode("ve").alias("pos", "val"))
+        sums = exploded.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("mval")
+        )
+        return sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s.mval,
+            ).alias("ce")
+        )
+
+    for _ in range(_KM_ITERS):
+        cent = update(assign(cent))
+    return assign(cent, keep_dist=True).select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        F.col("d").alias("sq_dist"),
+    )
