@@ -1274,8 +1274,14 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface; generalizes the same loop as dedup_cluster_components)."""
     from wiki_data_pipeline_spark.functions.vectors import sq_dist
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("ve")
+    # The iterative workhorse: emb feeds every assignment and update
+    # round (2·iters+1 passes) — cache it once, the canonical Spark
+    # iterative-ML pattern (freed by the ContextCleaner when the
+    # result DataFrame is dropped).
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("ve"))
+        .cache()
     )
     cent = emb.filter(F.col("vec_id") % _KM_CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("ve").alias("ce")

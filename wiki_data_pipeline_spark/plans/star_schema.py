@@ -1651,13 +1651,15 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-shaped nested-subquery semi-join (engine extension per
     SURVEY.md §2.4; availqty > half-of-shipped becomes: supplier ships
     over 10% of a 'blue' part's total volume — same correlated
-    aggregate-vs-aggregate threshold, same IN-chain). Planned as
-    aggregates + semi-join: per-(part,supplier) quantities, per-part
-    totals joined back on partkey, filter, then supplier LEFT SEMI the
-    qualifying suppkey set — duplicates collapse in the semi-join, no
-    DISTINCT needed. part is filtered before its broadcast join; the
-    two aggregates share the same shuffle key ancestry (partkey,
-    suppkey → partkey) so AQE coalesces cheaply."""
+    aggregate-vs-aggregate threshold, same IN-chain). Planned as ONE
+    aggregate + a per-part window: per-(part,supplier) quantities,
+    part totals as a decimal-exact window sum over the SAME pass (the
+    aggregate+join-back spelling the oracle keeps would recompute the
+    shipped subtree — verified via .explain), filter, then supplier
+    LEFT SEMI the qualifying suppkey set — duplicates collapse in the
+    semi-join, no DISTINCT needed. part is filtered before its
+    broadcast join; the window shuffles on partkey, a prefix of the
+    aggregate's (partkey, suppkey) key."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     supplier = read_table(spark, sf_dir, "supplier")
@@ -1665,9 +1667,13 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         dsum(F.col("l_quantity"), "supp_qty")
     )
-    total = shipped.groupBy("l_partkey").agg(dsum(F.col("supp_qty"), "part_qty"))
+    part_qty = (
+        F.sum(F.col("supp_qty").cast("decimal(28,6)"))
+        .over(Window.partitionBy("l_partkey"))
+        .cast("double")
+    )
     qualifying = (
-        shipped.join(total, on="l_partkey")
+        shipped.withColumn("part_qty", part_qty)
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .filter(F.col("supp_qty") > 0.1 * F.col("part_qty"))
         .select("l_suppkey")
