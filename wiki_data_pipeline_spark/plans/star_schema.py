@@ -1726,3 +1726,77 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "supplier", "nation"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located fact⋈fact join — the zero-shuffle storage layout.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_bucketed_orderkey",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+      {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+      count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over PRE-BUCKETED tables (engine extension per
+    SURVEY.md §2.4 + SCALE.md's layout story): lineitem and orders are
+    written bucketed+sorted by orderkey (external tables, 8 buckets),
+    then joined through the catalog — both exchanges vanish because
+    the storage layout IS the join partitioning, the strategy that
+    turns the recurring 100 TB fact⋈fact shuffle into a map-side
+    merge. Broadcast is disabled during execution (else the small
+    fixture side would short-circuit the demonstration) and the result
+    is frozen with an eager localCheckpoint so the returned frame
+    doesn't depend on the restored session conf; the no-Exchange plan
+    property is asserted in tests/test_bucketing.py. The revenue
+    rollup on top keeps the checked output compact (decimal-exact
+    sums). The oracle is the logical-plan mirror over the raw parquet
+    — bucketing is pure physical layout, so values must be identical."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "wdps_bucketed",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    for name, df, key in (
+        ("wdps_li_bucketed", li, "l_orderkey"),
+        ("wdps_ord_bucketed", orders, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb = spark.table("wdps_li_bucketed")
+        ob = spark.table("wdps_ord_bucketed")
+        joined = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+                ),
+                F.count("*").alias("n_lines"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    return joined
