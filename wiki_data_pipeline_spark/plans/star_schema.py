@@ -1592,8 +1592,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (Catalyst turns the cross join into a literal-like stream
     side; no shuffle added). Both the per-part sums and the global
     threshold sum are decimal-exact, so the > comparison is bit-stable.
-    At 100 TB the nval aggregate is the only shuffle; the global sum
-    reuses nval rather than rescanning lineitem."""
+    At 100 TB the nval aggregate is the only shuffle; nval is cached so
+    the threshold branch and the probe branch share ONE computation of
+    it instead of re-running the lineitem scan + aggregate (the
+    recompute shows up as a second Exchange in the uncached plan —
+    verified via .explain)."""
     li = read_table(spark, sf_dir, "lineitem")
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation").filter(
@@ -1604,6 +1607,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice"), "part_value"))
+        .cache()
     )
     threshold = nval.agg(
         (F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double") * 0.001).alias(
