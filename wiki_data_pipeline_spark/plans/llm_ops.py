@@ -1324,3 +1324,112 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cluster_id"),
         F.col("d").alias("sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & dataset splitting (training-corpus surface).
+# ---------------------------------------------------------------------------
+
+
+def _hash_bucket(key: Column) -> Column:
+    """Stable 0-99 bucket from md5(key) — the hash-based sampling
+    primitive production pipelines use instead of RNG sampling
+    (`df.sample` draws from an engine-specific RNG stream: not
+    reproducible across engines, partitionings, or reruns)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+
+
+_HASH_BUCKET_SQL = "(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@query(
+    "sample_stable_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(key='doc_id')} < 10
+    """,
+)
+def sample_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by hash bucket (engine
+    extension: the subsample operator every training-data pipeline
+    needs; reference analog: none — SURVEY.md §2 has no sampling).
+    md5(doc_id) mod 100 < 10 keeps membership stable under reruns,
+    repartitioning, engine changes, and corpus growth (a doc's
+    bucket never changes), unlike `TABLESAMPLE`/`df.sample` RNG.
+    Fully pushed into the scan pipeline: narrow, no shuffle, trivially
+    100 TB-safe."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(_hash_bucket(F.col("doc_id")) < 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+      CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, {_HASH_BUCKET_SQL.format(key='doc_id')} AS h
+      FROM documents
+    )
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash bucket
+    (engine extension, same rationale as sample_stable_hash: a doc's
+    split never changes as the corpus grows — the property that keeps
+    eval sets uncontaminated across pipeline runs). Narrow projection,
+    no shuffle; the split column becomes a partition column at the
+    sink (`partitionBy('split')`, sinks/partitioned_layout.py
+    pattern) so downstream readers prune to their split."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    WHERE rn <= ceil(0.1 * n_lang)
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ~10% sample with an EXACT per-language quota (engine
+    extension: proportional corpus subsampling that preserves the
+    language mix — plain hash sampling only hits quotas in
+    expectation). One window pass per language partition: rank docs by
+    their md5 (a deterministic shuffle-order proxy), keep the first
+    ceil(10%) of each stratum. One shuffle on lang; per-stratum state
+    is O(1) per row. Skew note: stratum sizes are corpus-driven (a
+    dominant language = a big partition) — at 100 TB swap the exact
+    window for per-stratum hash thresholds tuned from a count pass
+    (approximate quotas, zero sort) if the sort cost bites."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")))
+        .select("doc_id", "lang")
+    )
