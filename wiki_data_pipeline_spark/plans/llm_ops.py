@@ -1381,7 +1381,8 @@ def sample_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by hash bucket
-    (engine extension, same rationale as sample_stable_hash: a doc's
+    (engine extension per SURVEY.md §2 — no sampling in the reference;
+    same rationale as sample_stable_hash: a doc's
     split never changes as the corpus grows — the property that keeps
     eval sets uncontaminated across pipeline runs). Narrow projection,
     no shuffle; the split column becomes a partition column at the
@@ -1410,7 +1411,8 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified ~10% sample with an EXACT per-language quota (engine
-    extension: proportional corpus subsampling that preserves the
+    extension per SURVEY.md §2 — no sampling in the reference:
+    proportional corpus subsampling that preserves the
     language mix — plain hash sampling only hits quotas in
     expectation). One window pass per language partition: rank docs by
     their md5 (a deterministic shuffle-order proxy), keep the first

@@ -548,3 +548,52 @@ def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
     )
     return out.filter(F.col("k") >= 50)
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state compaction: per-key latest row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+    SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+      strftime(ts, '{TS_US_DUCK}') AS last_ts,
+      event_type AS last_event_type,
+      value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction — collapse an event/changelog stream
+    to one current row per key (the batch form of the reference's
+    mutate-state-per-row queue/checkpoint files, K3/K4 + ST2: instead
+    of rewriting state on every row — SURVEY.md §2.11's O(n²) I/O —
+    the log is append-only and the state table is derived by
+    compaction, which is how a changelog becomes a serving table at
+    100 TB). Latest = max (ts, event_id), picked by max_by over a
+    struct: ONE hash aggregate with map-side partials — not the
+    row_number window the oracle spells (value-equivalent), which
+    would sort every partition; event_id uniqueness makes the
+    tie-break total, so both engines pick the identical row."""
+    events = read_table(spark, sf_dir, "events")
+    last = F.max_by(
+        F.struct("event_id", "ts", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("last")
+    return (
+        events.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("last.event_id").cast("bigint").alias("last_event_id"),
+            F.date_format("last.ts", TS_US_SPARK).alias("last_ts"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
