@@ -1150,9 +1150,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage (else the plan doubles per iteration and the optimizer
     chokes — THE classic iterative-Spark trap). Convergence is
     detected by the label-sum aggregate: labels only ever decrease, so
-    an unchanged sum ⟺ fixpoint; the driver-side check is one scalar
-    per round, not a collect of the frontier. The DuckDB oracle is the
-    same fixpoint via WITH RECURSIVE transitive closure."""
+    an unchanged sum ⟺ fixpoint; the sum rides the checkpoint
+    materialization as an ``Observation`` metric — ONE job per round,
+    no separate aggregate pass, and never a collect of the frontier.
+    The DuckDB oracle is the same fixpoint via WITH RECURSIVE
+    transitive closure."""
+    from pyspark.sql import Observation
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -1170,15 +1174,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("lbl").alias("nmin"))
         )
+        obs = Observation()
         labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
             )
+            .observe(obs, F.sum("lbl").alias("lbl_sum"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = obs.get["lbl_sum"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
