@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from wiki_data_pipeline_spark.io import read_table
 from wiki_data_pipeline_spark.plans.registry import query
-from wiki_data_pipeline_spark.plans.star_schema import _dsum_sql, dsum
+from wiki_data_pipeline_spark.plans.star_schema import _davg_sql, _dsum_sql, dsum
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -64,6 +64,60 @@ def st2_highwatermark_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "total_value"),
             F.min("event_id").cast("bigint").alias("first_event_id"),
             F.max("event_id").cast("bigint").alias("last_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 companion — incremental aggregate maintenance (merge partials).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incr_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+      count(*) AS n_events,
+      {_dsum_sql('value', 'total_value')},
+      {_davg_sql('value', 'avg_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate (materialized-view) maintenance — the
+    scale companion to ST2's high-watermark resume: instead of
+    re-aggregating the whole corpus each run, merge the PERSISTED
+    per-group partials (count, sum) of already-processed data
+    (event_id ≤ 500, standing in for the stored MV) with the partials
+    of the new slice (event_id > 500), then finalize. Works because
+    count and DECIMAL sum are algebraic/commutative-monoid aggregates
+    — and the decimal representation is what makes the merge EXACT:
+    partial DOUBLE sums would not re-associate bitwise, so the
+    refreshed MV would drift from a full recompute. The oracle IS the
+    full recompute — the hash match proves merge ≡ recompute. At
+    100 TB this turns a daily full-corpus aggregation into
+    O(new data) + O(|groups|)."""
+    events = read_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        # Keep the sum IN decimal — the mergeable representation.
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        )
+
+    state = partials(events.filter(F.col("event_id") <= 500))
+    delta = partials(events.filter(F.col("event_id") > 500))
+    return (
+        state.unionAll(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("s"))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("s").cast("double").alias("total_value"),
+            (F.col("s").cast("double") / F.col("n_events")).alias("avg_value"),
         )
     )
 
