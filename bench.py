@@ -64,6 +64,9 @@ HEADLINE = [
     "q20_dominant_suppliers",
     "q21_sole_blame_suppliers",
     "cluster_kmeans_embeddings",
+    "cdc_latest_state",
+    "incr_agg_merge",
+    "sample_stratified_by_lang",
 ]
 
 
