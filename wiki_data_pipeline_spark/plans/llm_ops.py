@@ -182,28 +182,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of string) → 4 bands of 2 → docs sharing any band bucket
     pair up.
 
-    Scale path: ONE shuffle on (band, signature) — bands are generated
-    by posexplode (computed once, not one pass per band), and candidate
-    pairs come from within-bucket pair expansion over collect_list
-    (buckets are duplicate-group-sized by construction, so the in-
-    bucket expansion is tiny; a self-join formulation would rescan the
-    whole signature table per side). Band-bucket skew (a bucket with B
-    docs → B² pairs) is the classic hazard; distinct-per-doc shingles +
-    uniform md5 keep buckets small, and a bucket-size cap would guard
-    pathological corpora."""
+    Scale path: the signature stage is fully NARROW — shingling,
+    hashing, and the 8 mins are higher-order array expressions per doc
+    (md5 inside transform, array_min per hash function), so the
+    exploded shingle set is never shuffled (the groupBy(doc_id)
+    min-aggregate formulation shuffles 2 longs × every shingle; this
+    shuffles nothing until banding). The hash-pair array materializes
+    in its own projection and is referenced by all 8 mins —
+    CollapseProject keeps non-cheap multi-referenced expressions
+    un-inlined, so each shingle is md5'd exactly once (verified: one
+    `md5` in the plan). The only shuffle is (band, signature);
+    candidate pairs come from within-bucket pair expansion over
+    collect_list (buckets are duplicate-group-sized by construction,
+    so the in-bucket expansion is tiny; a self-join formulation would
+    rescan the whole signature table per side). Band-bucket skew (a
+    bucket with B docs → B² pairs) is the classic hazard;
+    distinct-per-doc shingles + uniform md5 keep buckets small, and a
+    bucket-size cap would guard pathological corpora."""
     corpus = _dedup_corpus(spark, sf_dir)
-    sh = _shingles(corpus)
-    md5 = F.md5("shingle")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+            ),
+        )
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + s * F.col("h2")) % _MH_PRIME).alias(f"mh{s}")
-            for s in range(_N_HASHES)
-        ]
+
+    def _half(m: Column, start: int) -> Column:
+        return F.conv(F.substring(m, start, 8), 16, 10).cast("long")
+
+    md5_arr = F.transform(shingles, lambda s: F.md5(s))
+    harr = F.transform(
+        F.col("md5_arr"),
+        lambda m: F.struct(_half(m, 1).alias("h1"), _half(m, 9).alias("h2")),
+    )
+    sig = (
+        _spread(corpus)
+        .filter(F.size(tokens) >= 3)
+        .select("doc_id", md5_arr.alias("md5_arr"))
+        .select("doc_id", harr.alias("harr"))
+        .select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("harr"),
+                        lambda h: (h.h1 + s * h.h2) % _MH_PRIME,
+                    )
+                ).alias(f"mh{s}")
+                for s in range(_N_HASHES)
+            ],
+        )
     )
     band_arr = F.array(
         *[
