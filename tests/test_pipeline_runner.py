@@ -1,0 +1,103 @@
+"""End-to-end pipeline runner: the reference's ``run()`` semantics —
+limit, validate-split with persisted error reasons, per-record JSON
+sink, checkpoint resume (rerun processes only NEW rows), reset."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.pipeline import run_pipeline
+
+
+def _json_files(out_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(out_dir, "batch_*", "article_*.json")))
+
+
+def test_pipeline_run_resume_and_reset(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+
+    s1 = run_pipeline(spark, sf_dir, out, limit=50, batch_size=20)
+    assert s1["processed"] == 50
+    assert s1["failed"] == 0
+    assert s1["batches"] == 3  # 20+20+10
+    assert s1["watermark"] == 49  # doc_id 0..49
+    files = _json_files(out)
+    assert len(files) == 50
+    rec = json.loads(open(files[0], encoding="utf-8").read())
+    assert rec["title"] == f"Doc {rec['doc_id']}"
+    assert rec["url"].endswith(f"Doc_{rec['doc_id']}")
+    assert rec["content_length"] > 0
+
+    # Resume: widen the limit — only the 50 NEW docs are processed.
+    s2 = run_pipeline(spark, sf_dir, out, limit=100, batch_size=20)
+    assert s2["processed"] == 50
+    assert s2["watermark"] == 99
+    assert s2["total_processed"] == 100
+    assert s2["runs"] == 2
+    assert len(_json_files(out)) == 100
+
+    # No new data → no-op run.
+    s3 = run_pipeline(spark, sf_dir, out, limit=100)
+    assert s3["processed"] == 0
+    assert s3["total_processed"] == 100
+
+    # Reset: the checkpoint drops, everything reprocesses.
+    s4 = run_pipeline(spark, sf_dir, out, limit=100, reset=True)
+    assert s4["processed"] == 100
+    assert s4["runs"] == 1
+
+
+def test_pipeline_dead_letter_rows(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "dlq_out")
+    docs = spark.createDataFrame(
+        [
+            (1, "a fine document", "en", "api"),
+            (2, None, "en", "api"),
+            (3, "   ", "en", "mwclient"),
+            (4, "another good one", "de", "api"),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    s = run_pipeline(spark, sf_dir, out, docs=docs)
+    assert s["processed"] == 2
+    assert s["failed"] == 2
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    rows = {r.doc_id: r for r in dlq.collect()}
+    assert set(rows) == {2, 3}
+    # The reference drops the error reason (SURVEY.md §2.11); we keep it.
+    assert "validation_failed" in rows[2].error
+
+
+def test_pipeline_cli(sf_dir, tmp_path):
+    """The __main__ CLI mirrors src/main.py's argparse surface."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "wiki_data_pipeline_spark",
+            "--sf-dir",
+            sf_dir,
+            "--out",
+            out,
+            "--limit",
+            "10",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["processed"] == 10
+    assert len(_json_files(out)) == 10

@@ -26,18 +26,24 @@ def write_per_record_json(
     order_col: str,
     batch_size: int = 1000,
     indent: int = 2,
+    start_index: int = 0,
 ) -> int:
-    """Write each row as a pretty JSON file; returns rows written."""
+    """Write each row as a pretty JSON file; returns rows written.
+
+    ``start_index`` continues the global numbering across resumed runs
+    (reference ``start_index + i``, src/azure_manager.py:66-67 +
+    resume_info's last index) — without it a resume restarts at
+    article_000000 and silently overwrites the previous run's files."""
     ordered = df.repartitionByRange(df.rdd.getNumPartitions(), order_col).sortWithinPartitions(
         order_col
     )
     n_written = ordered.rdd.zipWithIndex().mapPartitions(
-        _make_writer(out_dir, batch_size, indent)
+        _make_writer(out_dir, batch_size, indent, start_index)
     ).sum()
     return int(n_written)
 
 
-def _make_writer(out_dir: str, batch_size: int, indent: int):
+def _make_writer(out_dir: str, batch_size: int, indent: int, start_index: int = 0):
     """Build the partition writer as a self-contained closure
     (cloudpickle by value — workers can't import this package)."""
 
@@ -46,7 +52,8 @@ def _make_writer(out_dir: str, batch_size: int, indent: int):
         import os
 
         count = 0
-        for row, idx in rows:
+        for row, rel_idx in rows:
+            idx = rel_idx + start_index
             batch = idx // batch_size
             d = os.path.join(out_dir, f"batch_{batch:03d}")
             os.makedirs(d, exist_ok=True)
