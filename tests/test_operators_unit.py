@@ -275,6 +275,95 @@ def test_clean_whitespace_property_vs_python_reference(spark):
     check()
 
 
+def test_minhash_narrow_equals_explode_groupby(spark):
+    """Property test (hypothesis): the shuffle-free higher-order-array
+    minhash signatures (dedup_minhash_lsh's narrow formulation) must
+    equal the classic explode + groupBy(doc_id) min-aggregate on
+    arbitrary corpora — guards the narrow rewrite."""
+    from hypothesis import given, settings, strategies as st
+
+    from wiki_data_pipeline_spark.plans.llm_ops import _MH_PRIME, _N_HASHES
+
+    words = st.sampled_from("the a cat dog runs jumps blue red zz yy".split())
+    texts = st.lists(
+        st.lists(words, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    def _narrow_sigs(df):
+        tokens = F.split(F.trim(F.col("text")), r"\s+")
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+                ),
+            )
+        )
+        md5_arr = F.transform(shingles, lambda s: F.md5(s))
+        harr = F.transform(
+            F.col("md5_arr"),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        )
+        return (
+            df.filter(F.size(tokens) >= 3)
+            .select("doc_id", md5_arr.alias("md5_arr"))
+            .select("doc_id", harr.alias("harr"))
+            .select(
+                "doc_id",
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.col("harr"), lambda h: (h.h1 + s * h.h2) % _MH_PRIME
+                        )
+                    ).alias(f"mh{s}")
+                    for s in range(_N_HASHES)
+                ],
+            )
+        )
+
+    def _explode_sigs(df):
+        tokens = F.split(F.trim(F.col("text")), r"\s+")
+        shingles = F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+            ),
+        )
+        md5 = F.md5("shingle")
+        hashed = (
+            df.filter(F.size(tokens) >= 3)
+            .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+            .select(
+                "doc_id",
+                F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+            )
+        )
+        return hashed.groupBy("doc_id").agg(
+            *[
+                F.min((F.col("h1") + s * F.col("h2")) % _MH_PRIME).alias(f"mh{s}")
+                for s in range(_N_HASHES)
+            ]
+        )
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts)
+    def check(samples):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "doc_id BIGINT, text STRING"
+        )
+        narrow = {r.doc_id: tuple(r)[1:] for r in _narrow_sigs(df).collect()}
+        classic = {r.doc_id: tuple(r)[1:] for r in _explode_sigs(df).collect()}
+        assert narrow == classic
+
+    check()
+
+
 def test_udtf_chunking_matches_jvm_plan(spark, sf_dir):
     """§2.10 UDTF surface: the Python UDTF chunker must emit exactly
     the JVM higher-order plan's rows (text_chunking)."""
