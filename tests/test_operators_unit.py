@@ -89,6 +89,40 @@ def test_extract_features_plumbing(spark):
     assert rows[2].n_bytes == 0 and rows[2].first_byte == -1
 
 
+def test_resize_media_plumbing(spark):
+    from wiki_data_pipeline_spark.operators.multimodal import resize_media
+
+    big = bytes(range(200))
+    media = spark.createDataFrame(
+        [(1, big, "text/plain"), (2, b"tiny", "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r.doc_id: r for r in resize_media(media, target_bytes=50).collect()}
+    assert rows[1].orig_bytes == 200 and rows[1].resized_bytes == 50
+    # deterministic stride subsample: element i comes from floor(i*4)
+    assert bytes(rows[1].payload)[:3] == bytes([0, 4, 8])
+    assert rows[2].resized_bytes == 4 and bytes(rows[2].payload) == b"tiny"
+
+
+def test_sample_frames_fanout(spark):
+    from wiki_data_pipeline_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(160))  # 10 frames of 16 bytes
+    media = spark.createDataFrame(
+        [(1, payload, "text/plain"), (2, b"short", "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = sample_frames(media, frame_size=16, every_n=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: frames 0, 4, 8 sampled; doc 2: too short for one frame
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 4, 8]
+    assert all(r.n_frame_bytes == 16 for r in by_doc[1])
+    assert bytes(sorted(by_doc[1], key=lambda r: r.frame_idx)[1].frame)[0] == 64
+    assert 2 not in by_doc
+
+
 def test_queries_have_reference_citations():
     """Every registered query docstring must anchor to the reference —
     a file:line citation or a SURVEY.md §2 operator ID — or be one of

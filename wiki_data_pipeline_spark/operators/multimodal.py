@@ -81,6 +81,118 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, orig_bytes bigint, "
+    "resized_bytes bigint, payload binary"
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize over (doc_id, payload, media_type) — the image-resize
+    plumbing with the codec stubbed (BASELINE.json multimodal surface;
+    PIL absent in this environment): for stub types the 'resize' is a
+    deterministic stride subsample of the byte payload down to
+    ``target_bytes`` (byte-identity family, reproducible everywhere);
+    real image types raise the clearly-marked NotImplementedError.
+    Arrow-batched mapInPandas, no shuffle — a pure map stage whose
+    output is strictly smaller than its input, the property that makes
+    resize-early the right plan at 100 TB (shrink before any
+    exchange). Self-contained closure — workers never import this
+    package."""
+    stub_types = frozenset(_STUB_TYPES)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(payload: bytes, media_type: str) -> bytes:
+            if media_type in stub_types:
+                return payload
+            raise NotImplementedError(
+                f"resize for {media_type!r} requires a codec library not "
+                "present in this environment; plumbing real, codec stubbed"
+            )
+
+        for pdf in batches:
+            decoded = [
+                _decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            resized = []
+            for p in decoded:
+                if len(p) <= target_bytes:
+                    resized.append(p)
+                else:
+                    stride = len(p) / target_bytes
+                    resized.append(
+                        bytes(p[int(i * stride)] for i in range(target_bytes))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": pd.Series(
+                        [len(p) for p in decoded], dtype="int64"
+                    ),
+                    "resized_bytes": pd.Series(
+                        [len(p) for p in resized], dtype="int64"
+                    ),
+                    "payload": resized,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frame_bytes bigint, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 16, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling over (doc_id, payload, media_type) — the video
+    frame-sample plumbing with the codec stubbed (BASELINE.json
+    multimodal surface; av/ffmpeg absent): stub payloads are treated
+    as consecutive ``frame_size``-byte frames and every ``every_n``-th
+    frame is emitted as its own row — the FAN-OUT mapInPandas shape
+    (rows out > rows in), which is what a real video decoder produces.
+    Real video types raise the clearly-marked NotImplementedError.
+    Still a pure map stage: the fan-out happens inside the partition,
+    no shuffle; downstream per-frame feature extraction composes as
+    another map. Self-contained closure."""
+    stub_types = frozenset(_STUB_TYPES)
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(payload: bytes, media_type: str) -> bytes:
+            if media_type in stub_types:
+                return payload
+            raise NotImplementedError(
+                f"frame extraction for {media_type!r} requires a codec "
+                "library not present in this environment; plumbing real, "
+                "codec stubbed"
+            )
+
+        for pdf in batches:
+            ids, idxs, sizes, frames = [], [], [], []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = _decode(payload, mtype)
+                n_frames = len(raw) // frame_size
+                for fi in range(0, n_frames, every_n):
+                    frame = raw[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    sizes.append(len(frame))
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
 def label_centroid_residuals(emb_df):
     """Grouped-map applyInPandas (SURVEY.md §2.10 — the UDAF/UDTF
     surface the engine adds): per-label embedding centroid and each
