@@ -73,6 +73,40 @@ def test_pipeline_dead_letter_rows(spark, sf_dir, tmp_path):
     assert "validation_failed" in rows[2].error
 
 
+def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
+    """Streaming twin: drains pending files, reruns process ONLY new
+    files, doc_id-derived paths make replays overwrite identically."""
+    from pyspark.sql import functions as F
+
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.pipeline import run_pipeline_streaming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "stream_out")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs.filter(F.col("doc_id") < 40).coalesce(1).write.mode("append").parquet(src)
+
+    run_pipeline_streaming(spark, src, out)
+    first = _json_files(out)
+    assert len(first) == 40
+    rec = json.loads(open(first[0], encoding="utf-8").read())
+    assert rec["title"] == f"Doc {rec['doc_id']}"
+    # path derives from doc_id, not arrival order
+    assert first[0].endswith(f"article_{rec['doc_id']:06d}.json")
+
+    # New file arrives → only the delta is processed (offsets committed).
+    docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    mtime_before = os.path.getmtime(first[0])
+    run_pipeline_streaming(spark, src, out)
+    assert len(_json_files(out)) == 60
+    # already-committed files were not rewritten
+    assert os.path.getmtime(first[0]) == mtime_before
+
+
 def test_pipeline_cli(sf_dir, tmp_path):
     """The __main__ CLI mirrors src/main.py's argparse surface."""
     import subprocess

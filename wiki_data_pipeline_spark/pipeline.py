@@ -123,3 +123,90 @@ def reset_output(out_dir: str) -> None:
     """Full reset (reference reset_checkpoint + reset_all)."""
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
+
+
+def run_pipeline_streaming(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 4,
+    batch_size: int = 1000,
+) -> None:
+    """Streaming twin of ``run_pipeline`` — ST1–ST4 composed as ONE
+    Structured Streaming job: file-source micro-batches (ST1 ≡ the
+    reference's gapcontinue pages), validate split with persisted
+    error reasons (ST4), T1 normalize, per-record JSON + dead-letter
+    sinks inside ``foreachBatch``, offsets in ``checkpointLocation``
+    (ST2 — rerunning after new files arrive processes ONLY the delta).
+
+    Sink naming differs from the batch runner BY DESIGN: streaming
+    uses doc_id-DERIVED paths (``batch_{doc_id//batch_size}/
+    article_{doc_id:06d}.json``) instead of a consecutive counter —
+    a replayed micro-batch (failure between sink write and offset
+    commit) must overwrite the exact same files for the at-least-once
+    + idempotent-sink contract (ST3) to hold; a global counter can't
+    replay deterministically. ``availableNow`` drains pending input
+    then stops — batch-drain semantics for backfills."""
+    schema = spark.read.parquet(source_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    valid_pred = is_valid_content("text")
+    title = F.concat(F.lit("Doc "), F.col("doc_id"))
+    dlq_dir = os.path.join(out_dir, "_dead_letter")
+    sink_root = out_dir
+
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        ok = batch.filter(valid_pred).select(
+            "doc_id",
+            title.alias("title"),
+            build_url(title).alias("url"),
+            F.col("text").alias("content"),
+            F.length("text").cast("bigint").alias("content_length"),
+            "lang",
+            "source",
+        )
+        dlq = batch.filter(~valid_pred).select(
+            "doc_id",
+            "source",
+            F.lit("validation_failed: empty or null content").alias("error"),
+        )
+
+        bs = batch_size
+        root = sink_root
+
+        def _write_partition(rows):
+            import json
+            import os
+
+            for row in rows:
+                d = os.path.join(root, f"batch_{row['doc_id'] // bs:03d}")
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"article_{row['doc_id']:06d}.json")
+                tmp = f"{path}.{batch_id}.tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(
+                        json.dumps(
+                            row.asDict(recursive=True),
+                            ensure_ascii=False,
+                            indent=2,
+                            default=str,
+                        )
+                    )
+                os.replace(tmp, path)  # atomic, replay-idempotent
+            yield
+
+        ok.rdd.mapPartitions(_write_partition).count()
+        if dlq.limit(1).count():
+            dlq.write.mode("append").parquet(dlq_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
