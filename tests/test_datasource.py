@@ -74,3 +74,38 @@ def test_paged_json_filter_pushdown_prunes_partitions(spark, sf_dir, tmp_path):
         "prefix", "nope_"
     ).load(out)
     assert none.count() == 0
+
+
+def test_paged_json_writer_roundtrip(spark, sf_dir, tmp_path):
+    """Writer half: df.write.format('paged_json') lands the K1 layout
+    with id-derived idempotent paths, a commit-protocol _SUCCESS stamp,
+    and reads back losslessly through the reader half."""
+    out = str(tmp_path / "written")
+    register(spark)
+    docs = read_table(spark, sf_dir, "documents").limit(250).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    (
+        docs.write.format("paged_json")
+        .option("path", out)
+        .option("batch_size", "100")
+        .mode("append")
+        .save()
+    )
+    # commit stamped the total row count
+    assert open(os.path.join(out, "_SUCCESS"), encoding="utf-8").read() == "250"
+    # layout: id-derived batch dirs and article names
+    assert os.path.exists(os.path.join(out, "batch_000", "article_000000.json"))
+    assert os.path.exists(os.path.join(out, "batch_002", "article_000249.json"))
+
+    back = read_paged_json(spark, out, _SCHEMA).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    assert back.count() == 250
+    assert back.exceptAll(docs).count() == 0
+
+    # rewriting the same rows is a no-op layout-wise (idempotent paths)
+    docs.write.format("paged_json").option("path", out).option(
+        "batch_size", "100"
+    ).mode("append").save()
+    assert read_paged_json(spark, out, _SCHEMA).count() == 250

@@ -1,9 +1,10 @@
 """Paged-JSON custom data source (Python Data Source API).
 
-Reads the K1 sink's one-JSON-file-per-record layout
-(``batch_NNN/article_NNNNNN.json`` — sinks/per_record_json.py) back
-into a DataFrame, re-expressing the reference's source machinery as a
-real Spark connector:
+Reads AND writes the K1 one-JSON-file-per-record layout
+(``batch_NNN/article_NNNNNN.json`` — sinks/per_record_json.py) as a
+real Spark connector — ``spark.read.format("paged_json")`` /
+``df.write.format("paged_json")`` — re-expressing the reference's
+source/sink machinery:
 
 - **partition planning** (S1, src/mediawiki_client.py:66-112): each
   ``batch_NNN`` directory is one InputPartition — the reference's
@@ -114,6 +115,70 @@ def make_paged_json_datasource():
                 rec["batch"] = partition.batch_num
                 yield tuple(rec.get(k) for k in self.fields)
 
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class PagedJsonCommit(WriterCommitMessage):
+        def __init__(self, count: int):
+            self.count = count
+
+    class PagedJsonWriter(DataSourceWriter):
+        """Writer half of the connector (K1 sink as a first-class
+        ``df.write.format("paged_json")`` path): rows land at
+        ``batch_{id//batch_size:03d}/article_{id:06d}.json`` — paths
+        derive from the ``id_col`` option, so task retries and job
+        re-runs overwrite identically (ST3 idempotence; a counter
+        could not replay). Tasks report row counts as commit
+        messages; ``commit`` stamps ``_SUCCESS`` with the total —
+        the full write → commit-message → commit/abort protocol."""
+
+        def __init__(self, options, schema):
+            self.path = options["path"]
+            self.id_col = options.get("id_col", "doc_id")
+            self.batch_size = int(options.get("batch_size", "1000"))
+            self.indent = int(options.get("indent", "2"))
+
+        def write(self, rows):
+            import json
+            import os
+
+            count = 0
+            for row in rows:
+                rec = row.asDict(recursive=True)
+                rid = int(rec[self.id_col])
+                d = os.path.join(
+                    self.path, f"batch_{rid // self.batch_size:03d}"
+                )
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"article_{rid:06d}.json")
+                tmp = path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(
+                        json.dumps(
+                            rec,
+                            ensure_ascii=False,
+                            indent=self.indent,
+                            default=str,
+                        )
+                    )
+                os.replace(tmp, path)
+                count += 1
+            return PagedJsonCommit(count)
+
+        def commit(self, messages):
+            import os
+
+            total = sum(m.count for m in messages if m is not None)
+            with open(
+                os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"
+            ) as f:
+                f.write(str(total))
+
+        def abort(self, messages):
+            # Idempotent-overwrite sink: partial files are valid JSON at
+            # deterministic paths; the retry overwrites them. Absence of
+            # _SUCCESS marks the job as uncommitted.
+            pass
+
     class PagedJsonDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -126,6 +191,9 @@ def make_paged_json_datasource():
 
         def reader(self, schema):
             return PagedJsonReader(self.options, schema)
+
+        def writer(self, schema, overwrite):
+            return PagedJsonWriter(self.options, schema)
 
     return PagedJsonDataSource
 
