@@ -739,6 +739,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_K = 8  # character k-gram length
+_WIN_W = 4  # winnowing window (hashes per window)
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(norm) - {_WIN_K - 1}),
+          i -> ('0x' || substr(md5(substr(norm, i, {_WIN_K})), 1, 8))::BIGINT
+        ) AS hs
+      FROM n WHERE length(norm) >= {_WIN_K + _WIN_W - 1}
+    ),
+    w AS (
+      SELECT doc_id,
+        list_sort(list_distinct(
+          list_transform(generate_series(1, len(hs) - {_WIN_W - 1}),
+            j -> list_min(hs[j : j + {_WIN_W - 1}]))
+        )) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+      CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ','))
+        AS winnow_digest
+    FROM w
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (the
+    MOSS/Schleimer-Wilkerson-Aiken scheme — the 'rolling hash'
+    fingerprint family per BASELINE.json; complements
+    text_fingerprint's whole-document digests with LOCAL fingerprints
+    that survive partial edits): hash every character {_WIN_K}-gram,
+    slide a {_WIN_W}-hash window and keep each window's minimum;
+    the sorted distinct minima are the document's fingerprint set,
+    digested to one md5 for comparison. A sequential rolling hash is
+    an imperative optimization — columnar engines hash all positions
+    in parallel instead (same output, one map pass); all arithmetic
+    is JVM higher-order expressions, shared verbatim with the DuckDB
+    oracle via the md5-prefix hash. Guarantee: any shared substring of
+    length ≥ {_WIN_K + _WIN_W - 1} chars yields at least one shared
+    fingerprint."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= _WIN_K + _WIN_W - 1)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.length(F.col("norm")) - (_WIN_K - 1)),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substr(F.col("norm"), i, F.lit(_WIN_K))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+                        lambda j: F.array_min(F.slice(F.col("hs"), j, _WIN_W)),
+                    )
+                )
+            ).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.md5(
+                F.concat_ws(",", F.transform(F.col("fps"), lambda x: x.cast("string")))
+            ).alias("winnow_digest"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary column plumbing (decode stubs live in
 # operators/multimodal.py — the Spark-side schema/batching is real).
