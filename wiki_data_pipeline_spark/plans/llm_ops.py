@@ -739,6 +739,102 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_top_tokens",
+    oracle="""
+    SELECT token, n_occurrences, n_docs FROM (
+      SELECT token,
+        count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs,
+        row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) >= 1
+      )
+      GROUP BY token
+    ) WHERE rn <= 100
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction — top-100 tokens by occurrence
+    count with document frequency (engine extension per SURVEY.md §2;
+    the stopword/vocab analysis pass every text pipeline runs before
+    tokenizer training). explode → ONE hash aggregate on the token
+    (count + distinct-doc count share the shuffle) → global top-k,
+    which Spark executes as per-partition heaps + a k-row driver
+    merge (TakeOrderedAndProject), never a full sort. Token skew
+    ('the') is absorbed by map-side partial aggregation — the hot
+    token collapses to one row per partition before the exchange.
+    Deterministic: ties broken by token text."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.filter(F.length(F.trim(F.col("text"))) >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+    )
+    counts = tokens.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(100)
+        .select("token", "n_occurrences", "n_docs")
+    )
+
+
+@query(
+    "text_token_idf",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+        unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) >= 1
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT token,
+      count(*) AS doc_freq,
+      round(ln((SELECT n_docs FROM n) / count(*)), 6) AS idf
+    FROM tok
+    GROUP BY token
+    HAVING count(*) >= 10
+    """,
+)
+def text_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + IDF per token (engine extension per
+    SURVEY.md §2 — the tf-idf prep pass): distinct (doc, token) pairs
+    → count per token, idf = ln(N/df) rounded to 6 decimals (libm ln
+    may differ in the last ulp across engines — the same pre-round
+    rule as cosine scores). The corpus size N is a 1-row scalar
+    broadcast; rare tokens are cut at df ≥ 10 to keep the result a
+    vocabulary table, not a long tail of hapaxes (at 100 TB the tail
+    would dominate output size — cut it at the aggregate, before any
+    sort or sink)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim(F.col("text"))) >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .distinct()
+    )
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 10)
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
+        )
+    )
+
+
 _WIN_K = 8  # character k-gram length
 _WIN_W = 4  # winnowing window (hashes per window)
 
