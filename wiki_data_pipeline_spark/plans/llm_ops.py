@@ -835,6 +835,72 @@ def text_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) >= 1
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tcnt,
+        sum(count(*)) OVER (PARTITION BY doc_id) AS dlen
+      FROM tok GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token,
+        round(ln((SELECT count(DISTINCT doc_id) FROM tok)
+                 / count(DISTINCT doc_id)), 6) AS idf
+      FROM tok GROUP BY token
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT tf.doc_id, tf.token,
+        round((tf.tcnt * 1.0 / tf.dlen) * idf.idf, 6) AS tfidf,
+        row_number() OVER (PARTITION BY tf.doc_id
+          ORDER BY round((tf.tcnt * 1.0 / tf.dlen) * idf.idf, 6) DESC,
+                   tf.token) AS rn
+      FROM tf JOIN idf ON tf.token = idf.token
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction via tf-idf — top-3 terms per doc
+    (engine extension per SURVEY.md §2: the feature-extraction
+    composition of the vocabulary passes — tf from one grouped count
+    with a per-doc window total sharing the same shuffle key prefix,
+    idf from the document-frequency aggregate, joined back on the
+    token and ranked per doc). The idf side is vocabulary-sized →
+    broadcast; the per-doc rank is row_number ≤ 3, which Spark prunes
+    with WindowGroupLimit on both sides of the exchange. Determinism:
+    idf pre-rounded (libm ln ulp), tfidf rounded BEFORE ranking, token
+    tie-break."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim(F.col("text"))) >= 1).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tcnt"))
+        .withColumn(
+            "dlen", F.sum("tcnt").over(Window.partitionBy("doc_id"))
+        )
+    )
+    n_docs = tok.select("doc_id").distinct().count()
+    idf = tok.groupBy("token").agg(
+        F.round(F.log(F.lit(n_docs) / F.countDistinct("doc_id")), 6).alias("idf")
+    )
+    tfidf = F.round((F.col("tcnt") / F.col("dlen")) * F.col("idf"), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(idf), on="token")
+        .select("doc_id", "token", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
 _WIN_K = 8  # character k-gram length
 _WIN_W = 4  # winnowing window (hashes per window)
 
