@@ -430,6 +430,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT doc_a, doc_b,
+      CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline: MinHash-LSH for
+    RECALL (cheap, probabilistic, shuffle-on-signature) → exact
+    shingle Jaccard for PRECISION, computed ONLY on the candidate
+    pairs (generalizes F9's dedup per SURVEY.md §2.3/§2.4; this is
+    the composition production dedup actually ships, vs
+    dedup_ngram_jaccard's exact-everywhere formulation that inverts
+    the whole corpus). Candidate docs' shingle SETS are rebuilt as
+    per-doc arrays (narrow, semi-joined to the candidate ids so
+    non-candidates never materialize shingles) and each pair verifies
+    via array_intersect — per-pair work is O(|A|+|B|), total work is
+    O(candidates), not O(Σ posting-list²). Exact integer counts → the
+    double division is bitwise identical across engines."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    corpus = _dedup_corpus(spark, sf_dir)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    sharr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+            ),
+        )
+    )
+    docs = (
+        corpus.join(cand_ids, on="doc_id", how="left_semi")
+        .filter(F.size(tokens) >= 3)
+        .select("doc_id", sharr.alias("sh"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    c = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = c.cast("double") / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - c
+    )
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
