@@ -71,6 +71,61 @@ def test_word_count(spark, golden):
     assert golden.select(word_count("content").alias("w")).first().w == 7
 
 
+def test_word_count_empty_matches_python_split(spark):
+    """Reference len(s.split()) yields 0 for empty/whitespace-only text;
+    the bare split expression would yield 1 ([''])."""
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("\t\n",), ("one two",), (None,)], "t STRING"
+    )
+    got = [r.w for r in df.select(word_count("t").alias("w")).collect()]
+    assert got == [0, 0, 0, 2, None]
+
+
+def test_minhash_lsh_bucket_cap_observed(spark):
+    """Production skew guard: a synthetic hot bucket (identical docs)
+    is truncated to max_bucket_size, and the truncation is observed —
+    capped bucket count + dropped doc count — never silent."""
+    from pyspark.sql import Observation
+
+    from wiki_data_pipeline_spark.plans.llm_ops import minhash_lsh_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    # Unbounded: 10 identical docs → all 45 pairs.
+    assert minhash_lsh_pairs(corpus).count() == 45
+    # Capped at 4 members per bucket: C(4,2) = 6 pairs, 6 docs dropped
+    # per bucket (all 4 band-buckets are the same hot group).
+    obs = Observation("lsh_cap")
+    capped = minhash_lsh_pairs(corpus, max_bucket_size=4, observation=obs)
+    assert capped.count() == 6
+    metrics = obs.get
+    assert metrics["capped_buckets"] == 4
+    assert metrics["dropped_docs"] == 24
+
+
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    """right/full outer would emit each unmatched dim row once per salt
+    (n_salts null-padded duplicates) — rejected with guidance."""
+    from wiki_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "k INT, fid INT")
+    dim = spark.createDataFrame([(1, "a"), (3, "c")], "k INT, name STRING")
+    # fact-preserving modes are row-identical to the unsalted join
+    assert salted_join(fact, dim, "k", "fid", n_salts=4).count() == 1
+    assert (
+        salted_join(fact, dim, "k", "fid", n_salts=4, how="left").count() == 2
+    )
+    assert (
+        salted_join(fact, dim, "k", "fid", n_salts=4, how="left_anti").count()
+        == 1
+    )
+    for bad in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", "fid", how=bad)
+
+
 def test_decode_media_stub_contract():
     assert decode_media(b"abc", "text/plain") == b"abc"
     with pytest.raises(NotImplementedError):
@@ -134,7 +189,7 @@ def test_queries_have_reference_citations():
 
     _load_all()
     ext_prefixes = ("dedup_", "sim_", "text_", "multimodal_")
-    opid = re.compile(r"\b(S\d|T\d+|F\d|J\d|A\d|L\d|ST\d|K\d|Q\d)\b|§2")
+    opid = re.compile(r"\b(S\d|T\d+|F\d|J\d|A\d|L\d|ST\d|K\d|Q\d+)\b|§2")
     missing = [
         name
         for name, spec in _REGISTRY.items()

@@ -73,6 +73,31 @@ def test_pipeline_dead_letter_rows(spark, sf_dir, tmp_path):
     assert "validation_failed" in rows[2].error
 
 
+def test_pipeline_failed_rows_not_retried_forever(spark, sf_dir, tmp_path):
+    """The watermark covers dead-lettered rows too (reference
+    mark_failed semantics): an invalid doc ABOVE the max valid doc_id
+    must not be re-selected, re-counted, and re-dead-lettered on every
+    subsequent run."""
+    out = str(tmp_path / "dlq_wm_out")
+    docs = spark.createDataFrame(
+        [
+            (1, "a fine document", "en", "api"),
+            (2, "another good one", "de", "api"),
+            (9, None, "en", "api"),  # invalid, above max valid id
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    s1 = run_pipeline(spark, sf_dir, out, docs=docs)
+    assert s1["processed"] == 2 and s1["failed"] == 1
+    assert s1["watermark"] == 9  # advances past the failure
+
+    s2 = run_pipeline(spark, sf_dir, out, docs=docs)
+    assert s2["processed"] == 0
+    assert s2["failed"] == 0  # NOT re-dead-lettered
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    assert dlq.count() == 1  # exactly one dead-letter row, not per-run dupes
+
+
 def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
     """Streaming twin: drains pending files, reruns process ONLY new
     files, doc_id-derived paths make replays overwrite identically."""

@@ -75,6 +75,9 @@ def test_enrichment_dead_letter_on_exhaustion(spark, sf_dir):
         initial_delay=0.01,
     ).collect()
     assert all(r.content is None and r.error is not None for r in enriched)
+    # exhaustion reports the ACTUAL number of tries (max_retries + 1),
+    # not max_retries + 2 (the old post-increment off-by-one)
+    assert all(r.attempts == 1 for r in enriched)
 
 
 def test_enrichment_rate_limit_floor(spark, sf_dir):

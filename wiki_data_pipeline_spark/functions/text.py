@@ -25,9 +25,17 @@ def clean_whitespace(col: Column | str) -> Column:
 
 
 def word_count(col: Column | str) -> Column:
-    """Whitespace token count (T7). Reference src/production_data_processor.py:171."""
+    """Whitespace token count (T7). Reference src/production_data_processor.py:171.
+
+    Matches Python ``len(s.split())``: empty / whitespace-only text
+    counts 0 words — the bare trim+split expression would yield ['']
+    with size 1 for '' and miss tab/newline-only strings entirely
+    (Spark trim strips only 0x20). Splitting on \\s+ and dropping
+    empty tokens is exact for every case; null text stays null, like
+    the reference's missing-content path. Oracles mirror the same
+    list_filter expression."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
 
 
 def line_count(col: Column | str) -> Column:

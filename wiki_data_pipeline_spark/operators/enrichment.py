@@ -100,7 +100,11 @@ def fetch_enrich(
                 out["title"].append(str(title))
                 out["content"].append(content if ok else None)
                 out["source"].append("fake_api" if ok else None)
-                out["attempts"].append(attempt + 1)
+                # success: `attempt` failed tries preceded the winning
+                # one → attempt + 1 total. exhaustion: the loop already
+                # post-incremented past the last try → attempt IS the
+                # total (max_retries + 1).
+                out["attempts"].append(attempt + 1 if ok else attempt)
                 out["error"].append(None if ok else err)
             yield pd.DataFrame(out)
 

@@ -43,7 +43,19 @@ def salted_join(
     """Equi-join ``fact ⋈ dim`` on ``on`` with the fact side salted by
     ``fact_row_key`` (any well-distributed per-row column, e.g. the
     fact table's primary key) and the dim side replicated n_salts
-    times. Result is row-identical to the unsalted join."""
+    times. Result is row-identical to the unsalted join for the
+    fact-preserving modes (inner / left / left_semi / left_anti).
+
+    right / full outer are rejected: the replicated dim side would
+    emit each unmatched dim row once PER SALT (n_salts null-padded
+    duplicates). Salt the dim side instead (swap the arguments)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"across salts; use one of {sorted(allowed)} or salt the other side"
+        )
     f = with_salt(fact, fact_row_key, n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -33,7 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from wiki_data_pipeline_spark.functions.text import build_url, is_valid_content
@@ -98,11 +98,21 @@ def run_pipeline(
         batch_size=batch_size,
         start_index=start_index,
     )
-    n_failed = dlq.count()
-    if n_failed:
-        dlq.write.mode("append").parquet(os.path.join(out_dir, "_dead_letter"))
+    # Single pass over the dead-letter split: the row count rides an
+    # Observation on the write job instead of a separate .count() scan
+    # (at 100 TB the old count-then-write recomputed the filter twice).
+    dlq_obs = Observation("dlq")
+    dlq.observe(dlq_obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+        os.path.join(out_dir, "_dead_letter")
+    )
+    n_failed = int(dlq_obs.get["n"])
 
-    state = ckpt.commit(normalized, "doc_id")
+    # Watermark covers ALL disposed rows (valid + dead-lettered) — a
+    # failed doc above the max valid doc_id must not be re-selected and
+    # re-dead-lettered forever (reference mark_failed semantics).
+    # total_processed still counts only sink-written rows: it seeds the
+    # consecutive output-file numbering.
+    state = ckpt.commit(pending, "doc_id", n_processed=n_written)
     n_batches = (
         (start_index + n_written - 1) // batch_size - start_index // batch_size + 1
         if n_written
@@ -200,8 +210,13 @@ def run_pipeline_streaming(
             yield
 
         ok.rdd.mapPartitions(_write_partition).count()
-        if dlq.limit(1).count():
-            dlq.write.mode("append").parquet(dlq_dir)
+        # Per-batch overwrite directory: replayed micro-batches rewrite
+        # the same path instead of appending duplicates (foreachBatch is
+        # at-least-once), and the old emptiness probe (limit(1).count())
+        # was a second scan of the split.
+        dlq.write.mode("overwrite").parquet(
+            os.path.join(dlq_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         docs.writeStream.foreachBatch(_write_batch)

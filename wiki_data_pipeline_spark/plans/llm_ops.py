@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -164,42 +164,25 @@ _MINHASH_CTES = f"""corpus AS ({_CORPUS_SQL}),
     )"""
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_MINHASH_CTES}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + banded LSH:
-    word-3-gram shingles → ONE md5 per shingle split into two 32-bit
-    halves → 8 minhashes by Kirsch-Mitzenmacher double hashing
-    (h_i = (h1 + i·h2) mod p, a valid universal family — one hash
-    computation instead of 8 salted ones, and integer min-aggregation
-    instead of string) → 4 bands of 2 → docs sharing any band bucket
-    pair up.
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    max_bucket_size: int | None = None,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH over a
+    (doc_id, text) corpus — the reusable core behind the
+    ``dedup_minhash_lsh`` query.
 
-    Scale path: the signature stage is fully NARROW — shingling,
-    hashing, and the 8 mins are higher-order array expressions per doc
-    (md5 inside transform, array_min per hash function), so the
-    exploded shingle set is never shuffled (the groupBy(doc_id)
-    min-aggregate formulation shuffles 2 longs × every shingle; this
-    shuffles nothing until banding). The hash-pair array materializes
-    in its own projection and is referenced by all 8 mins —
-    CollapseProject keeps non-cheap multi-referenced expressions
-    un-inlined, so each shingle is md5'd exactly once (verified: one
-    `md5` in the plan). The only shuffle is (band, signature);
-    candidate pairs come from within-bucket pair expansion over
-    collect_list (buckets are duplicate-group-sized by construction,
-    so the in-bucket expansion is tiny; a self-join formulation would
-    rescan the whole signature table per side). Band-bucket skew (a
-    bucket with B docs → B² pairs) is the classic hazard;
-    distinct-per-doc shingles + uniform md5 keep buckets small, and a
-    bucket-size cap would guard pathological corpora."""
-    corpus = _dedup_corpus(spark, sf_dir)
+    ``max_bucket_size`` is the production skew guard: a band bucket
+    with B members expands to B·(B-1)/2 pairs, so one pathological
+    bucket (boilerplate-heavy crawl, stop-shingle collisions) can
+    dominate the whole job. When set, each bucket's sorted member list
+    is truncated to the first K ids (``slice(ids, 1, K)`` — stable,
+    deterministic) BEFORE pair expansion. Truncation is never silent:
+    pass an ``Observation`` and read ``capped_buckets`` /
+    ``dropped_docs`` after the first action on the result — both are
+    computed on the write path, no extra job. The default (None) is
+    exact and oracle-checked at fixture scale."""
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.array_distinct(
         F.transform(
@@ -250,6 +233,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        over = F.size("ids") - max_bucket_size
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum((over > 0).cast("long")).alias("capped_buckets"),
+                F.sum(F.greatest(over, F.lit(0))).alias("dropped_docs"),
+            )
+        buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket_size))
     # all (i < j) pairs within each bucket via nested higher-order fns
     ids = F.col("ids")
     pairs = F.flatten(
@@ -266,6 +258,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH:
+    word-3-gram shingles → ONE md5 per shingle split into two 32-bit
+    halves → 8 minhashes by Kirsch-Mitzenmacher double hashing
+    (h_i = (h1 + i·h2) mod p, a valid universal family — one hash
+    computation instead of 8 salted ones, and integer min-aggregation
+    instead of string) → 4 bands of 2 → docs sharing any band bucket
+    pair up.
+
+    Scale path: the signature stage is fully NARROW — shingling,
+    hashing, and the 8 mins are higher-order array expressions per doc
+    (md5 inside transform, array_min per hash function), so the
+    exploded shingle set is never shuffled (the groupBy(doc_id)
+    min-aggregate formulation shuffles 2 longs × every shingle; this
+    shuffles nothing until banding). The hash-pair array materializes
+    in its own projection and is referenced by all 8 mins —
+    CollapseProject keeps non-cheap multi-referenced expressions
+    un-inlined, so each shingle is md5'd exactly once (verified: one
+    `md5` in the plan). The only shuffle is (band, signature);
+    candidate pairs come from within-bucket pair expansion over
+    collect_list (buckets are duplicate-group-sized by construction,
+    so the in-bucket expansion is tiny; a self-join formulation would
+    rescan the whole signature table per side). Band-bucket skew (a
+    bucket with B docs → B² pairs) is the classic hazard;
+    distinct-per-doc shingles + uniform md5 keep buckets small, and
+    ``minhash_lsh_pairs(max_bucket_size=K, observation=obs)`` is the
+    production cap for pathological corpora (observed, never silent;
+    unbounded here so the oracle stays exact)."""
+    return minhash_lsh_pairs(_dedup_corpus(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1092,13 +1124,32 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract", oracle=None)
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE list_aggregate(
+                  list_transform(string_split(text, ''), x -> ascii(x)),
+                  'avg') END AS mean_byte,
+      CAST(CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
+      'text/plain' AS media_type
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over binary payloads via
-    mapInPandas (rows-only check: the deterministic fake 'decoder'
-    isn't SQL-expressible). Real Spark plumbing — binary column, Arrow
-    batches, explicit output schema; the codec itself is stubbed per
-    the environment contract (no image/audio libs)."""
+    mapInPandas. Real Spark plumbing — binary column, Arrow batches,
+    explicit output schema; the codec itself is stubbed per the
+    environment contract (no image/audio libs).
+
+    The stub features over a UTF-8 payload of ASCII fixture text ARE
+    SQL-expressible byte-wise (octet_length / per-char codepoints /
+    first codepoint), so the oracle hash-checks the full mapInPandas
+    path — bytes sum exactly in float64 (≤ 255·n ≪ 2^53), so the mean
+    is bitwise identical across engines."""
     from wiki_data_pipeline_spark.operators.multimodal import extract_features
 
     docs = read_table(spark, sf_dir, "documents")

@@ -44,7 +44,7 @@ from wiki_data_pipeline_spark.plans.registry import query
       count(*)                                        AS n_docs,
       CAST(sum(length(text)) AS BIGINT)               AS total_chars,
       CAST(sum(length(text)) AS DOUBLE) / count(*)    AS avg_chars,
-      CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+      CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_words,
       count(DISTINCT lang)                            AS n_langs
     FROM documents
     WHERE text IS NOT NULL AND length(trim(text)) >= 1
@@ -91,7 +91,7 @@ def a2_summary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       text                                               AS content,
       NULL::VARCHAR                                      AS author,
       CAST(length(text) AS BIGINT)                       AS content_length,
-      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS word_count,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS word_count,
       lang, source
     FROM documents
     WHERE text IS NOT NULL AND length(trim(text)) >= 1
@@ -162,11 +162,13 @@ def t3_whitespace_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      list_filter(
-        list_transform(
-          ['Category:' || lang, 'Category:  ' || source, '  ', 'Plain'],
-          x -> trim(regexp_replace(x, '^Category:', ''))),
-        x -> x <> '')                       AS categories,
+      array_to_string(
+        list_filter(
+          list_transform(
+            ['Category:' || lang, 'Category:  ' || source, '  ', 'Plain'],
+            x -> trim(regexp_replace(x, '^Category:', ''))),
+          x -> x <> ''),
+        '|')                                AS categories,
       CAST(len(list_filter(
         list_transform(
           ['Category:' || lang, 'Category:  ' || source, '  ', 'Plain'],
@@ -180,7 +182,11 @@ def t4_clean_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/data_processor.py:68-83): strip ``Category:`` prefix, trim,
     drop empties — via transform/filter higher-order functions, never a
     Python UDF. The synthetic category array is derived on the fly
-    (documents have no category column; FIXTURES.md §B mapping)."""
+    (documents have no category column; FIXTURES.md §B mapping).
+
+    The cleaned array is emitted in canonical scalar form
+    (``array_join(cats, '|')``) so downstream comparators can hash the
+    column; ``category_count`` preserves the array-length semantics."""
     docs = read_table(spark, sf_dir, "documents")
     raw = F.array(
         F.concat(F.lit("Category:"), F.col("lang")),
@@ -191,7 +197,7 @@ def t4_clean_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     cats = clean_categories(raw)
     return docs.select(
         "doc_id",
-        cats.alias("categories"),
+        F.array_join(cats, "|").alias("categories"),
         F.size(cats).cast("bigint").alias("category_count"),
     )
 
@@ -234,7 +240,7 @@ def t5_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       CAST(length(text) AS BIGINT)                                AS character_count,
-      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS word_count,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS word_count,
       CAST(len(string_split(text, chr(10))) AS BIGINT)            AS line_count,
       length(trim(text)) > 0                                      AS has_content,
       length(text) = n_chars                                      AS n_chars_consistent
@@ -328,7 +334,7 @@ def f9_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(*)                                     AS total_articles,
       CAST(sum(length(text)) AS BIGINT)            AS total_content_length,
       CAST(sum(length(text)) AS DOUBLE) / count(*) AS average_content_length,
-      CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+      CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_words,
       count(DISTINCT lang)                         AS unique_langs,
       count(DISTINCT source)                       AS unique_sources,
       CAST(max(length(text)) AS BIGINT)            AS max_content_length,
@@ -721,7 +727,7 @@ def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       to_json(struct_pack(
         content_length    := CAST(length(text) AS BIGINT),
         plain_text_length := CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT),
-        word_count        := CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
+        word_count        := CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT),
         source            := source,
         has_content       := length(text) > 0
       )) AS metadata

@@ -109,6 +109,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(c.c_mktsegment, 'NONE')    AS mktsegment
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 = 0
     """,
 )
 def j1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,8 +117,15 @@ def j1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``get_article_content`` lookup loop, src/main.py:101-110 →
     stubs⋈content). The dimension side is explicitly broadcast —
     at 100 TB the fact side streams through map tasks with zero
-    shuffle; null-fill mirrors the reference's fetch-miss path."""
-    orders = read_table(spark, sf_dir, "orders")
+    shuffle; null-fill mirrors the reference's fetch-miss path.
+
+    Output contract is narrowed by a deterministic key filter
+    (o_orderkey % 7) so cross-engine comparators hash a bounded row
+    set; the filter is on the probe side's primary key, so every join
+    semantics is still exercised row-for-row."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
     customer = read_table(spark, sf_dir, "customer")
     return orders.join(
         F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
@@ -358,6 +366,7 @@ def agg_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       lag(event_id)  OVER w AS prev_event_id,
       lead(event_id) OVER w AS next_event_id
     FROM events
+    WHERE user_id % 7 = 0
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """,
 )
@@ -366,8 +375,14 @@ def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.5: Window ranking exposed beyond the reference's L3
     row-indexing use). Partitioned windows scale — the shuffle is on
     user_id and each partition sorts locally; contrast with L4's
-    global window, which is the one deliberately non-scalable form."""
-    events = read_table(spark, sf_dir, "events")
+    global window, which is the one deliberately non-scalable form.
+
+    A deterministic partition-key filter (user_id % 7) bounds the
+    output for cross-engine hashing; filters on the PARTITION BY key
+    commute with the window, so per-user results are unchanged."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
     w = Window.partitionBy("user_id").orderBy("event_id")
     wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
     return events.select(
@@ -1061,6 +1076,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         AS n_in_frame
     FROM events
+    WHERE user_id % 7 = 0
     """,
 )
 def window_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,8 +1090,12 @@ def window_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-adds the frame, DuckDB may evict incrementally — exact decimal
     addition makes both orders identical). Same scale shape as any
     partitioned window: one shuffle on user_id, local sort, O(frame)
-    state per row."""
-    events = read_table(spark, sf_dir, "events")
+    state per row. A deterministic partition-key filter (user_id % 7)
+    bounds the output for cross-engine hashing; it commutes with the
+    PARTITION BY user_id windows."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("event_id")
@@ -1804,3 +1824,106 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     return joined
+
+
+# ---------------------------------------------------------------------------
+# Q12-shaped: late-shipment counts split by order priority class.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT
+      l.l_returnflag AS ship_class,
+      CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped join: conditional-count aggregation over a
+    fact⋈fact equi-join with a POST-JOIN date-arithmetic predicate
+    (l_shipdate ≥ o_orderdate + 60 days — the late-shipment analog;
+    the fixtures carry no shipmode/commitdate/receiptdate, NOTES_r1.md
+    documents the original Q12 skip). Closes the last hole in the
+    join-shape sweep: CASE-inside-sum classification, which Spark
+    plans as a single hash aggregate after the join — no per-class
+    scans. The l_shipdate range predicate is join-independent and
+    pushes to the parquet scan; the cross-table date comparison
+    evaluates join-side. At 100 TB the equi-join shuffles on orderkey
+    (or rides the bucketed layout, see join_bucketed_orderkey); the
+    aggregate output is 3 rows — nothing else is wide."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(high.cast("int")).cast("bigint").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-dictionary enrichment: literal map lookup, zero joins.
+# ---------------------------------------------------------------------------
+
+_LANG_NAMES = {
+    "en": "English",
+    "de": "German",
+    "fr": "French",
+    "es": "Spanish",
+    # 'zh' deliberately absent → exercises the miss/default path
+}
+
+
+@query(
+    "dict_broadcast_enrichment",
+    oracle="""
+    SELECT doc_id, lang,
+      CASE lang
+        WHEN 'en' THEN 'English'
+        WHEN 'de' THEN 'German'
+        WHEN 'fr' THEN 'French'
+        WHEN 'es' THEN 'Spanish'
+        ELSE 'unknown' END AS language_name,
+      CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN TRUE ELSE FALSE END
+        AS dict_hit
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+)
+def dict_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary keyed lookup (the reference's in-memory
+    category/language map analog — a Python dict consulted per row,
+    src/data_processor.py's constant maps): the dict becomes a LITERAL
+    map expression (create_map of constants), so the lookup runs
+    inside whole-stage codegen on every executor — zero joins, zero
+    shuffles, and the dictionary ships with the serialized plan
+    exactly like a broadcast variable, without touching the RDD API.
+    Misses fall back to a default ('unknown') — the reference's
+    dict.get(k, default). For dictionaries too big to inline (> a few
+    MB) the right form is a broadcast hash join against a dim table
+    (j1_enrichment_join); this is the small-dict fast path. Output is
+    bounded by a deterministic key filter for comparator hashing."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = [p for kv in _LANG_NAMES.items() for p in (F.lit(kv[0]), F.lit(kv[1]))]
+    lang_map = F.create_map(*pairs)
+    name = lang_map[F.col("lang")]
+    return docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        "lang",
+        F.coalesce(name, F.lit("unknown")).alias("language_name"),
+        name.isNotNull().alias("dict_hit"),
+    )

@@ -270,6 +270,7 @@ def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
              THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE user_id % 7 = 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -295,8 +296,13 @@ def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, streaming-capable with watermark); the oracle rebuilds
     sessions via gaps-and-islands. Session end = last event + gap
     (Spark semantics: a new event at exactly start+gap opens a NEW
-    session, hence ``>=`` in the oracle's flag)."""
-    events = read_table(spark, sf_dir, "events")
+    session, hence ``>=`` in the oracle's flag). A deterministic
+    user_id % 7 filter bounds the output for cross-engine hashing;
+    sessions merge per user, so dropping whole users leaves the
+    remaining sessions unchanged."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
     return (
         events.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
@@ -535,6 +541,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE user_id % 7 = 0
     )
     SELECT event_id, user_id,
       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -550,8 +557,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session starts, a running sum numbers them. Both windows share one
     (user_id)-partitioned sort — a single shuffle; session ids are
     per-user sequence numbers so the global id is (user_id,
-    session_seq), with no cross-partition coordination at 100 TB."""
-    events = read_table(spark, sf_dir, "events")
+    session_seq), with no cross-partition coordination at 100 TB.
+    A deterministic partition-key filter (user_id % 7) bounds the
+    output for cross-engine hashing; it commutes with the per-user
+    windows."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -578,7 +590,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(json_extract(props, '$.k') AS BIGINT)   AS k,
       CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field
     FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
     """,
 )
 def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,7 +613,7 @@ def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
     )
-    return out.filter(F.col("k") >= 50)
+    return out.filter(F.col("k") >= 90)
 
 
 # ---------------------------------------------------------------------------

@@ -52,17 +52,31 @@ class HighWatermarkCheckpoint:
         """Rows newer than the committed watermark (pushdown-friendly)."""
         return df.filter(F.col(seq_col) > self.load().watermark)
 
-    def commit(self, df: DataFrame, seq_col: str) -> CheckpointState:
+    def commit(
+        self, df: DataFrame, seq_col: str, n_processed: int | None = None
+    ) -> CheckpointState:
         """Advance the watermark to max(seq) of the processed batch.
         Call AFTER the sink write succeeds (at-least-once + idempotent
-        sink ≡ the reference's overwrite=True story, ST3)."""
+        sink ≡ the reference's overwrite=True story, ST3).
+
+        ``df`` must be EVERYTHING the run disposed of — successes AND
+        dead-lettered rows (the reference's mark_failed also advances
+        past failures, src/checkpoint_manager.py); otherwise a failed
+        row above the max success id would be re-selected and
+        re-dead-lettered on every subsequent run. ``n_processed``
+        overrides the amount added to ``total_processed`` (e.g. count
+        only sink-written rows while the watermark still covers the
+        dead-lettered ones — total_processed seeds the consecutive
+        output-file numbering, L3)."""
         agg = df.agg(
             F.max(seq_col).alias("mx"), F.count("*").alias("n")
         ).collect()[0]
         state = self.load()
         if agg["n"]:
             state.watermark = int(agg["mx"])
-            state.total_processed += int(agg["n"])
+            state.total_processed += int(
+                agg["n"] if n_processed is None else n_processed
+            )
         state.runs += 1
         state.status = "processing"
         self.save(state)

@@ -91,8 +91,14 @@ def run_dead_letter_split(
     """Dead-letter routing on a stream (ST4): one foreachBatch splits
     each micro-batch into an ok sink and an error-tagged DLQ sink —
     the reference's mark_failed list (src/queue_manager.py:80-84), but
-    the error reason is PERSISTED (fixing bug §2.11) and delivery is
-    exactly-once per sink via the checkpoint."""
+    the error reason is PERSISTED (fixing bug §2.11).
+
+    Delivery: foreachBatch is at-least-once, so each sink writes to a
+    ``batch_id=N`` subdirectory with OVERWRITE — a micro-batch replayed
+    after a crash between the writes and the offset commit rewrites the
+    same directory instead of appending duplicates, making the
+    composition effectively exactly-once. Readers use the sink root;
+    parquet partition discovery surfaces batch_id as a column."""
     events = read_event_stream(spark, source_dir)
 
     def _split(batch: DataFrame, batch_id: int) -> None:
@@ -101,8 +107,10 @@ def run_dead_letter_split(
             "error",
             F.concat(F.lit("value_below_threshold: "), F.col("value").cast("string")),
         )
-        ok.write.mode("append").parquet(ok_dir)
-        dlq.write.mode("append").parquet(dlq_dir)
+        ok.write.mode("overwrite").parquet(os.path.join(ok_dir, f"batch_id={batch_id}"))
+        dlq.write.mode("overwrite").parquet(
+            os.path.join(dlq_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         events.writeStream.foreachBatch(_split)
