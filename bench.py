@@ -67,7 +67,27 @@ HEADLINE = [
     "cdc_latest_state",
     "incr_agg_merge",
     "sample_stratified_by_lang",
+    "q12_late_shipment_priority",
+    "dict_broadcast_enrichment",
 ]
+
+# Previous round's per-query timings: the regression gate. Path
+# overridable for local experiments; queries not in the baseline
+# (new this round) are skipped by the gate.
+BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
+REGRESSION_FACTOR = 2.0
+
+
+def _load_baseline() -> dict[str, float]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), BASELINE_BENCH)
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        return (doc.get("parsed") or doc).get("queries") or {}
+    except (json.JSONDecodeError, AttributeError):
+        return {}
 
 
 def main() -> None:
@@ -95,6 +115,31 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query regression gate vs the previous round's bench: flag
+    # anything slower than REGRESSION_FACTOR× its baseline (min-of-2
+    # already absorbs the host's disk noise). Delta table → stderr so
+    # stdout stays ONE JSON line; flagged names also ship in the JSON.
+    baseline = _load_baseline()
+    deltas = {
+        name: round(timings[name] / baseline[name], 2)
+        for name in timings
+        if baseline.get(name)
+    }
+    regressions = {n: d for n, d in deltas.items() if d > REGRESSION_FACTOR}
+    if baseline:
+        print(
+            f"-- bench deltas vs {BASELINE_BENCH} (this/prev, >1 = slower):",
+            file=sys.stderr,
+        )
+        for name in sorted(deltas, key=deltas.get, reverse=True):
+            flag = "  << REGRESSION" if name in regressions else ""
+            print(
+                f"   {name}: {timings[name]:.3f}s vs {baseline[name]:.3f}s "
+                f"= {deltas[name]:.2f}x{flag}",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {
@@ -103,6 +148,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "baseline_bench": BASELINE_BENCH if baseline else None,
+                "regressions_over_2x": regressions,
             }
         )
     )
