@@ -1,11 +1,14 @@
 """CLI entry point — the reference's ``python src/main.py --config
 --limit --reset`` surface (src/main.py:230-261) for the Spark engine:
 
-    python -m wiki_data_pipeline_spark --sf-dir /root/testdata/sf0.001 \
-        --out /tmp/wdps_out --limit 100 [--reset]
+    python -m wiki_data_pipeline_spark --out /tmp/wdps_out --limit 100
+    python -m wiki_data_pipeline_spark --config pipeline.yaml
+    python -m wiki_data_pipeline_spark --config pipeline.yaml --limit 10
 
-Prints the run summary as one JSON line (the reference logs the same
-fields, src/main.py:213-221).
+Precedence matches the reference: YAML config (``config.py``, the
+src/config_manager.py analog) supplies defaults; explicit CLI flags
+override per-key. Prints the run summary as one JSON line (the
+reference logs the same fields, src/main.py:213-221).
 """
 
 from __future__ import annotations
@@ -18,29 +21,56 @@ import os
 def main() -> int:
     p = argparse.ArgumentParser(description="wiki_data_pipeline_spark batch run")
     p.add_argument(
+        "--config",
+        default=None,
+        help="YAML config file (sections: storage/naming/processing/"
+        "enrichment/spark); CLI flags override per-key",
+    )
+    p.add_argument(
         "--sf-dir",
-        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        default=None,
         help="fixture directory with documents.parquet",
     )
-    p.add_argument("--out", required=True, help="output directory (JSON sink)")
+    p.add_argument("--out", default=None, help="output directory (JSON sink)")
     p.add_argument("--limit", type=int, default=None, help="process first N docs")
     p.add_argument(
         "--reset", action="store_true", help="drop the checkpoint and start over"
     )
-    p.add_argument("--batch-size", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=None)
     args = p.parse_args()
 
+    from wiki_data_pipeline_spark.config import load_config
     from wiki_data_pipeline_spark.pipeline import run_pipeline
     from wiki_data_pipeline_spark.session import get_spark
 
-    spark = get_spark()
+    cfg = load_config(args.config)
+    sf_dir = (
+        args.sf_dir
+        or os.environ.get("SPARK_GRAFT_SF_DIR")
+        or cfg.storage.sf_dir
+    )
+    out_dir = args.out or cfg.storage.out_dir
+    if not out_dir:
+        p.error("--out is required (or set storage.out_dir in the config file)")
+    limit = args.limit if args.limit is not None else cfg.processing.limit
+    batch_size = (
+        args.batch_size if args.batch_size is not None else cfg.processing.batch_size
+    )
+    reset = args.reset or cfg.processing.reset
+
+    spark = get_spark(
+        app_name=cfg.spark.app_name,
+        master=cfg.spark.master,
+        shuffle_partitions=cfg.spark.shuffle_partitions,
+        extra_conf=cfg.spark.extra_conf,
+    )
     summary = run_pipeline(
         spark,
-        args.sf_dir,
-        args.out,
-        limit=args.limit,
-        reset=args.reset,
-        batch_size=args.batch_size,
+        sf_dir,
+        out_dir,
+        limit=limit,
+        reset=reset,
+        batch_size=batch_size,
     )
     print(json.dumps(summary))
     return 0

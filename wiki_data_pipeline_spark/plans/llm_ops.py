@@ -83,17 +83,26 @@ def _shingles(corpus: DataFrame) -> DataFrame:
     """doc_id → exploded distinct word-3-gram shingles.
 
     Rows are already unique: array_distinct dedups within the doc and
-    doc_id is unique, so no extra distinct/shuffle is needed."""
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    doc_id is unique, so no extra distinct/shuffle is needed.
+
+    The token array is materialized in its OWN projection before the
+    shingling lambda references it: an expression inlined into a
+    higher-order-function lambda is re-evaluated per array element
+    (split would run once per shingle — O(tokens²) splitting), while a
+    column reference is evaluated once per row. CollapseProject keeps
+    the multi-referenced non-cheap column un-inlined (same pattern as
+    the minhash md5_arr stage; measured ~2× on this path)."""
+    toks = F.col("toks")
     shingles = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - 3),
+        F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(
-            " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
         ),
     )
     return (
         _spread(corpus)
-        .filter(F.size(tokens) >= 3)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
@@ -1843,4 +1852,409 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")))
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing).
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com or 555-' ||
+        lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' at 10.0.' ||
+        (doc_id % 256)::VARCHAR || '.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)    AS n_ips,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g'),
+        '{_PII_IP}', '<IP>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene — the C4/RefinedWeb-style
+    scrub pass; engine extension per SURVEY.md §2, no reference
+    analog): detect and redact emails / phone numbers / IPv4 addresses
+    with JVM regexes — per-type match counts for audit metrics plus
+    the redacted text. The fixture corpus carries no PII, so a
+    deterministic seeded injection (doc_id-derived email/phone/IP)
+    makes the match paths real and oracle-checkable.
+
+    Scale: pure narrow projection — three regexp_replace passes fused
+    into one whole-stage-codegen stage, no shuffle, no Python. Count
+    metrics come from regexp_count-equivalent extract_all sizes so the
+    audit aggregate (sum over corpus) is a cheap follow-on reduce."""
+    docs = read_table(spark, sf_dir, "documents")
+    seeded_expr = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    seeded = F.col("seeded")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    # seeded materialized in its own projection: it feeds four regex
+    # expressions; as a column reference the concat runs once per row.
+    return _spread(docs).select("doc_id", seeded_expr.alias("seeded")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_IP), F.lit(0)))
+        .cast("bigint").alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality signals).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tokens) - 1),
+          i -> tokens[i] || ' ' || tokens[i+1])) AS gram
+      FROM tok WHERE len(tokens) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram
+    ),
+    tot AS (
+      SELECT doc_id, sum(n) AS total_bigrams FROM gc GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, gram AS top_bigram, n AS top_n
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY n DESC, gram) AS rn
+        FROM gc
+      ) WHERE rn = 1
+    )
+    SELECT t.doc_id,
+      CAST(len(tk.tokens) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(tk.tokens)) AS DOUBLE) / len(tk.tokens)
+        AS distinct_token_ratio,
+      t.top_bigram,
+      CAST(t.top_n AS DOUBLE) / tt.total_bigrams AS top_bigram_frac
+    FROM top t
+    JOIN tot tt ON t.doc_id = tt.doc_id
+    JOIN tok tk ON t.doc_id = tk.doc_id
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-rules family — repetitive
+    docs are low-value training data; engine extension per SURVEY.md
+    §2): per-doc distinct-token ratio and the most frequent bigram
+    with its share of all bigrams (ties broken lexicographically for
+    cross-engine determinism). The fractions are exact-int divisions —
+    bitwise stable across engines.
+
+    Scale: bigram counting is explode + groupBy(doc_id, gram) with
+    map-side partial aggregation (the measured-fastest shape here —
+    see the simhash negative result on narrow folds, NOTES_r1.md);
+    the top-1 selection is max_by over the same aggregate — no window
+    over exploded rows, one shuffle keyed by (doc_id, gram), uniform.
+    The distinct-token ratio stays fully narrow (higher-order
+    array_distinct per doc)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    base = (
+        _spread(docs)
+        # tokens materialized in their own projection: lambda-inlined
+        # split would re-split the text once per bigram (see _shingles)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            (
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            ).alias("distinct_token_ratio"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            ).alias("grams"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+    )
+    gc = (
+        base.select("doc_id", "n_tokens", "distinct_token_ratio",
+                    F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "n_tokens", "distinct_token_ratio", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    # top-1 bigram per doc: min_by on (-n, gram) = max count, lex tiebreak
+    return (
+        gc.groupBy("doc_id", "n_tokens", "distinct_token_ratio")
+        .agg(
+            F.min_by(
+                F.struct("gram", "n"), F.struct((-F.col("n")).alias("neg"), "gram")
+            ).alias("top"),
+            F.sum("n").alias("total_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_token_ratio",
+            F.col("top.gram").alias("top_bigram"),
+            (F.col("top.n").cast("double") / F.col("total_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (n-gram overlap vs a held-out set).
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 → the synthetic "benchmark" set
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(tokens) - 2),
+          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+      FROM tok WHERE len(tokens) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    scored AS (
+      SELECT s.doc_id,
+        count(*) AS n_shingles,
+        CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_overlap
+      FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+      CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac,
+      CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+    FROM scored WHERE n_overlap > 0
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (the eval-set n-gram-overlap
+    decontamination pass every serious pretraining pipeline runs;
+    engine extension per SURVEY.md §2): word-3-gram shingles of each
+    candidate doc are probed against the distinct shingle set of a
+    "benchmark" corpus (here the deterministic doc_id % 97 subset);
+    docs exceeding 50% overlap are flagged for removal.
+
+    Scale: the benchmark shingle set is small by construction (eval
+    sets are MBs, not TBs) → Spark broadcasts the build side of the
+    probe join, so the candidate corpus streams through map tasks with
+    ZERO shuffle before the per-doc aggregate; the aggregate keys on
+    doc_id (uniform). This is the decontamination plan that survives
+    100 TB: never shuffle the corpus on shingle, only the benchmark
+    side is materialized. Output is bounded to overlapping docs."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _shingles(docs.select("doc_id", "text"))
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias(
+                "n_overlap"
+            ),
+        )
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return scored.filter(F.col("n_overlap") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= 0.5).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (perplexity-style quality signal).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "score_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    lm AS (
+      SELECT token, count(*) AS n, sum(count(*)) OVER () AS total
+      FROM tok GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id,
+        count(*) AS n_tokens,
+        sum(CAST(round(-ln(CAST(lm.n AS DOUBLE) / lm.total), 6)
+            AS DECIMAL(28, 6))) AS sum_surprisal
+      FROM tok t JOIN lm ON t.token = lm.token
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(round(CAST(sum_surprisal AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+        AS mean_surprisal
+    FROM scored
+    """,
+)
+def score_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained unigram
+    LM (the cheap LM-filter tier — CCNet/RedPajama score docs with a
+    small LM; the unigram reduction keeps it pure SQL; engine
+    extension per SURVEY.md §2): token probabilities from corpus
+    counts, per-doc mean surprisal -ln p averaged over tokens.
+    Unusually-improbable-token docs (gibberish) score high, repetitive
+    docs score low.
+
+    Determinism: each token's surprisal is rounded to 6 decimals and
+    summed as DECIMAL (addition-order-proof), then the mean is rounded
+    — engines' ln() may differ in the last ulp, rounding well above
+    ulp scale absorbs it.
+
+    Scale: the LM is a groupBy(token) aggregate — vocabulary-sized
+    output (small even at 100 TB corpus: ~millions of types), so the
+    probability join back to the token stream is a broadcast; the
+    per-doc aggregate shuffles on doc_id. Two shuffles total, both on
+    uniform keys; the token explode itself stays partition-local."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    lm = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = lm.agg(F.sum("n").alias("total"))
+    lm = lm.crossJoin(F.broadcast(total))
+    surprisal = F.round(
+        -F.log(F.col("n").cast("double") / F.col("total")), 6
+    ).cast("decimal(28,6)")
+    return (
+        tok.join(F.broadcast(lm.select("token", surprisal.alias("s"))), on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("s").alias("sum_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_s").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-cut training batch assembly).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, doc_id, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS offset_tokens
+      FROM tok
+    )
+    SELECT lang,
+      CAST(offset_tokens // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM placed
+    GROUP BY lang, offset_tokens // {_PACK_BUDGET}
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-batch assembly: concatenate docs in
+    a deterministic order, cut every ``{_PACK_BUDGET}`` tokens — the
+    GPT-style pack-then-split that wastes no context window; engine
+    extension per SURVEY.md §2): each doc's starting token offset is a
+    running sum within its language stream; the containing sequence id
+    is offset // budget. Documents may straddle a boundary — the
+    tokenizer stage does the intra-doc split; this op decides the
+    grouping, which is the distributed-shuffle part of the problem.
+
+    Scale: ONE window (running sum) per language partition — shuffle
+    on lang + in-partition sort by doc_id, then a groupBy on (lang,
+    seq_id) that AQE coalesces. The window is the honest cost: packing
+    is order-defined, so a total per-stream order is irreducible; at
+    100 TB shard the stream key further (lang, doc_id // N) to bound
+    partition size, which keeps sequences deterministic within
+    shards."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = docs.select(
+        "lang", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn("offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            "lang",
+            (F.col("offset_tokens") / _PACK_BUDGET).cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
     )
