@@ -1605,6 +1605,110 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    (the MapReduce CC algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — converges in O(log²) rounds
+    on ANY graph vs the diameter-many rounds of plain min-label
+    propagation in ``dedup_cluster_components``; same output contract
+    and oracle — the two are bench-raced twins).
+
+    large-star: every node's strictly-larger neighbors re-attach to
+    its minimum (min of the node and all its neighbors); small-star:
+    orienting each edge large→small, every node's smaller neighbors —
+    and the node itself — re-attach to that minimum. Each half-round
+    is one groupBy(min) + one co-partitioned join + distinct; edge
+    count never grows (every emitted edge replaces one consumed edge),
+    and the structure collapses to stars whose centers are component
+    minima. Convergence = edge multiset fixpoint, detected by an
+    (count, sum) Observation riding the round's localCheckpoint —
+    labels/edges only ever decrease, so an unchanged signature ⟺
+    done; no frontier collect.
+
+    Scale: the reason this form exists — high-diameter dedup graphs
+    (chained near-dups: A~B~C~...) make plain propagation pay one
+    driver round per hop, while star rounds square-jump. Hot hubs are
+    fine: both stars key the shuffle by node id and the min-aggregate
+    is decomposable (map-side partials), so a 10⁶-degree boilerplate
+    hub never funnels its neighbor list through one reducer as a
+    collected array."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge set, canonical orientation a > b
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("a"),
+        F.least("doc_a", "doc_b").alias("b"),
+    ).distinct().localCheckpoint()
+    prev_sig = None
+    for _ in range(12):
+        # -- large-star: symmetric adjacency; larger neighbors -> min
+        adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mn = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            adj.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+            .distinct()
+        )
+        # -- small-star: orientation large->small; smaller neighbors
+        #    and the center itself -> min
+        dmn = large.groupBy("a").agg(F.min("b").alias("mn"))
+        small = (
+            large.join(dmn, "a")
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionAll(dmn.select(F.col("a"), F.col("mn").alias("b")))
+            .distinct()
+        )
+        obs = Observation()
+        edges = small.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a") + F.col("b")).alias("s"),
+        ).localCheckpoint()
+        sig = (obs.get["n"], obs.get["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stars: (member, root) edges; add the roots themselves
+    return (
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component_id"))
+        .unionAll(
+            edges.select("b").distinct().select(
+                F.col("b").alias("doc_id"), F.col("b").alias("component_id")
+            )
+        )
+        .select("doc_id", F.col("component_id").cast("bigint").alias("component_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-means clustering over embeddings (iterative centroid refinement).
 # ---------------------------------------------------------------------------
