@@ -50,3 +50,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    """SCALE.md claims the decontamination probe broadcasts the
+    benchmark shingle set so the corpus never shuffles on shingle."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("contamination_ngram_overlap").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_surprisal_lm_join_is_broadcast(spark, sf_dir):
+    """The unigram LM (vocabulary-sized) must broadcast back onto the
+    token stream, not shuffle it."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("score_unigram_surprisal").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantize_plan_is_shuffle_free(spark, sf_dir):
+    """emb_scalar_quantize is a map-only rewrite: no Exchange beyond
+    the deliberate _spread pre-repartition of the single-split
+    fixture file (RoundRobinPartitioning), which is NOT a keyed
+    shuffle."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("emb_scalar_quantize").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

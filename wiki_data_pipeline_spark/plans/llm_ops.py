@@ -173,25 +173,13 @@ _MINHASH_CTES = f"""corpus AS ({_CORPUS_SQL}),
     )"""
 
 
-def minhash_lsh_pairs(
-    corpus: DataFrame,
-    max_bucket_size: int | None = None,
-    observation: Observation | None = None,
-) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + banded LSH over a
-    (doc_id, text) corpus — the reusable core behind the
-    ``dedup_minhash_lsh`` query.
-
-    ``max_bucket_size`` is the production skew guard: a band bucket
-    with B members expands to B·(B-1)/2 pairs, so one pathological
-    bucket (boilerplate-heavy crawl, stop-shingle collisions) can
-    dominate the whole job. When set, each bucket's sorted member list
-    is truncated to the first K ids (``slice(ids, 1, K)`` — stable,
-    deterministic) BEFORE pair expansion. Truncation is never silent:
-    pass an ``Observation`` and read ``capped_buckets`` /
-    ``dropped_docs`` after the first action on the result — both are
-    computed on the write path, no extra job. The default (None) is
-    exact and oracle-checked at fixture scale."""
+def _minhash_bands(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, sig) LSH band table for a (doc_id, text)
+    corpus — the narrow signature stage shared by the full-corpus pair
+    expansion (``minhash_lsh_pairs``) and the cross-batch incremental
+    probe (``dedup_incremental_minhash``). At scale this is the table
+    a production pipeline PERSISTS (bucketed by (band_idx, sig)) so
+    ingest batches never recompute the corpus side."""
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.array_distinct(
         F.transform(
@@ -236,7 +224,29 @@ def minhash_lsh_pairs(
             for b in range(_N_HASHES // _BAND_SIZE)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_idx", "sig"))
+    return sig.select("doc_id", F.posexplode(band_arr).alias("band_idx", "sig"))
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    max_bucket_size: int | None = None,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH over a
+    (doc_id, text) corpus — the reusable core behind the
+    ``dedup_minhash_lsh`` query.
+
+    ``max_bucket_size`` is the production skew guard: a band bucket
+    with B members expands to B·(B-1)/2 pairs, so one pathological
+    bucket (boilerplate-heavy crawl, stop-shingle collisions) can
+    dominate the whole job. When set, each bucket's sorted member list
+    is truncated to the first K ids (``slice(ids, 1, K)`` — stable,
+    deterministic) BEFORE pair expansion. Truncation is never silent:
+    pass an ``Observation`` and read ``capped_buckets`` /
+    ``dropped_docs`` after the first action on the result — both are
+    computed on the write path, no extra job. The default (None) is
+    exact and oracle-checked at fixture scale."""
+    bands = _minhash_bands(corpus)
     buckets = (
         bands.groupBy("band_idx", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -2361,4 +2371,247 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.min("doc_id").cast("bigint").alias("first_doc_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization of embeddings (int8 ANN-serving prep).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_scalar_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+        list_min(embedding::DOUBLE[]) AS vmin,
+        list_max(embedding::DOUBLE[]) AS vmax
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, e, vmin, vmax,
+        list_transform(e, x -> CAST(least(255.0,
+          floor((x - vmin) / (vmax - vmin) * 256.0)) AS BIGINT)) AS codes
+      FROM v
+    )
+    SELECT vec_id, vmin, vmax,
+      array_to_string(codes, ',') AS codes_csv,
+      list_aggregate(list_transform(generate_series(1, len(e)),
+        i -> (e[i] - (vmin + (codes[i] + 0.5) * (vmax - vmin) / 256.0))
+           * (e[i] - (vmin + (codes[i] + 0.5) * (vmax - vmin) / 256.0))),
+        'sum') / len(e) AS recon_mse
+    FROM q
+    """,
+)
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of embeddings — the ANN-serving
+    compression step (4× smaller vectors; engine extension per
+    SURVEY.md §2, embedding-pipeline family): per-vector min/max
+    range, 256-bin floor binning (floor, not round — no cross-engine
+    half-to-even hazard), plus the mean squared reconstruction error
+    as the quality audit metric. Codes are emitted CSV-serialized
+    (comparators hash scalars, not arrays).
+
+    Determinism: min/max/scale/floor are exact IEEE ops; the MSE fold
+    is the same left-to-right aggregate as the cosine/sq_dist family.
+
+    Scale: fully narrow — one projection chain per vector, no
+    shuffle, no Python; at 100 TB this is a map-only rewrite of the
+    vector table, and the quantized table feeds the IVF/LSH probes
+    (sim_ann_ivf) at a quarter of the scan bytes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("e")
+    vmin, vmax = F.col("vmin"), F.col("vmax")
+    codes = F.transform(
+        e,
+        lambda x: F.least(
+            F.lit(255.0), F.floor((x - vmin) / (vmax - vmin) * 256.0)
+        ).cast("bigint"),
+    )
+    recon = lambda x, c: vmin + (c + F.lit(0.5)) * (vmax - vmin) / 256.0  # noqa: E731
+    base = (
+        _spread(emb)
+        .select("vec_id", as_double("embedding").alias("e"))
+        .select(
+            "vec_id", "e",
+            F.array_min(e).alias("vmin"), F.array_max(e).alias("vmax"),
+        )
+        .select("vec_id", "e", "vmin", "vmax", codes.alias("codes"))
+    )
+    mse = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("codes"),
+            lambda x, c: (x - recon(x, c)) * (x - recon(x, c)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(F.col("e"))
+    return base.select(
+        "vec_id", "vmin", "vmax",
+        F.array_join("codes", ",").alias("codes_csv"),
+        mse.alias("recon_mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-batch MinHash dedup (continuous-ingest shape).
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = 100000  # doc_id >= split → the "new batch" (synth dups)
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS existing_doc
+    FROM bands n
+    JOIN bands e ON n.band_idx = e.band_idx AND n.sig = e.sig
+      AND n.doc_id >= {_INCR_SPLIT} AND e.doc_id < {_INCR_SPLIT}
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) near-dedup — the continuous-ingest
+    form of ``dedup_minhash_lsh`` (generalizes reference F9's
+    dedup-on-insert anti-join, src/queue_manager.py:52-58, from exact
+    title identity to near-dup content identity): only pairs that
+    CROSS the batch boundary are produced — new docs (the synthesized
+    doc_id ≥ {_INCR_SPLIT} duplicates in the dedup corpus) probing the
+    existing corpus. A new doc with any match is a drop candidate; the
+    within-batch and within-existing pairs are deliberately excluded
+    (the existing corpus is already deduped; within-batch dedup is the
+    plain pass).
+
+    Scale: THE reason minhash signatures are stored, not recomputed —
+    at 100 TB the existing side is a persisted (band, sig, doc_id)
+    table bucketed by (band, sig), so each ingest batch shingles ONLY
+    its own docs (narrow, batch-sized) and joins against the bucketed
+    signature store with zero shuffle of the store. Here both sides
+    derive from one corpus expression; the split predicates are pushed
+    below the band explode by Catalyst either way."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = _minhash_bands(corpus)
+    new_side = bands.filter(F.col("doc_id") >= _INCR_SPLIT).select(
+        "band_idx", "sig", F.col("doc_id").alias("new_doc")
+    )
+    old_side = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
+        "band_idx", "sig", F.col("doc_id").alias("existing_doc")
+    )
+    return (
+        new_side.join(old_side, on=["band_idx", "sig"])
+        .select("new_doc", "existing_doc")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize / frame-sample as oracle-checked registry queries
+# (the mapInPandas plumbing of operators/multimodal.py, hash-checked
+# end-to-end byte-wise — stub codec over ASCII text payloads).
+# ---------------------------------------------------------------------------
+
+_RESIZE_TARGET = 64
+
+
+@query(
+    "multimodal_resize_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+      'text/plain' AS media_type,
+      CAST(n AS BIGINT) AS orig_bytes,
+      CAST(least(n, {_RESIZE_TARGET}) AS BIGINT) AS resized_bytes,
+      hex(encode(CASE WHEN n <= {_RESIZE_TARGET} THEN text ELSE
+        array_to_string(list_transform(
+          generate_series(0, {_RESIZE_TARGET} - 1),
+          i -> substr(text,
+                 CAST(floor(i * (n / {_RESIZE_TARGET}.0)) AS BIGINT) + 1, 1)),
+          '') END)) AS resized_hex
+    FROM t
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``resize_media`` mapInPandas operator as an oracle-checked
+    query (multimodal family — BASELINE.json extension): binary
+    payloads stride-subsampled to ≤{_RESIZE_TARGET} bytes; the resized
+    payload is emitted hex-encoded so the comparator hashes a scalar.
+    The stub 'codec' (byte-identity over text/plain) is exactly
+    SQL-expressible byte-wise over the ASCII fixture — the whole
+    Arrow-batched Python path is hash-checked, not just row-counted.
+
+    Scale: shrink-early map stage — output strictly smaller than
+    input, no shuffle (see operators/multimodal.py:resize_media)."""
+    from wiki_data_pipeline_spark.operators.multimodal import resize_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    # no _spread: the map stage is I/O-light and each extra partition
+    # costs a Python-worker spawn on a cold run (32 × ~1 s dominated
+    # the fixture-scale wall; at real scale partition count comes from
+    # the scan splits anyway)
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    out = resize_media(media, target_bytes=_RESIZE_TARGET)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "orig_bytes",
+        "resized_bytes",
+        F.hex("payload").alias("resized_hex"),
+    )
+
+
+_FRAME_SIZE = 16
+_FRAME_EVERY = 4
+
+
+@query(
+    "multimodal_frame_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+        unnest(generate_series(0, CAST(n // {_FRAME_SIZE} AS BIGINT) - 1,
+                               {_FRAME_EVERY})) AS frame_idx
+      FROM t WHERE n >= {_FRAME_SIZE}
+    )
+    SELECT doc_id,
+      CAST(frame_idx AS INT) AS frame_idx,
+      CAST({_FRAME_SIZE} AS BIGINT) AS n_frame_bytes,
+      hex(encode(substr(text, frame_idx * {_FRAME_SIZE} + 1,
+                        {_FRAME_SIZE}))) AS frame_hex
+    FROM f
+    """,
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``sample_frames`` fan-out mapInPandas operator as an
+    oracle-checked query (multimodal family): payloads cut into
+    consecutive {_FRAME_SIZE}-byte frames, every {_FRAME_EVERY}th
+    emitted as its own row — the rows-out > rows-in shape a real video
+    decoder produces, hash-checked frame-by-frame via hex encoding.
+
+    Scale: fan-out happens inside the partition (no shuffle);
+    downstream per-frame feature extraction composes as another map
+    (operators/multimodal.py:sample_frames)."""
+    from wiki_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    # no _spread — see multimodal_resize_stats (cold worker spawns)
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    out = sample_frames(media, frame_size=_FRAME_SIZE, every_n=_FRAME_EVERY)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_frame_bytes",
+        F.hex("frame").alias("frame_hex"),
     )
