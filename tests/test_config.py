@@ -109,3 +109,52 @@ processing:
     assert summary["processed"] == 7  # CLI --limit 7 beats file limit 5
     files = glob.glob(os.path.join(out, "batch_*", "article_*.json"))
     assert len(files) == 7
+
+
+def test_env_resolution_recurses_into_extra_conf(tmp_path, monkeypatch):
+    """${VAR} values nested inside spark.extra_conf — exactly where
+    credentials live — must resolve, not pass through as literals."""
+    path = tmp_path / "c.yaml"
+    path.write_text(
+        """
+spark:
+  extra_conf:
+    spark.hadoop.fs.s3a.secret.key: ${WDPS_TEST_SECRET}
+"""
+    )
+    monkeypatch.setenv("WDPS_TEST_SECRET", "s3kr1t")
+    cfg = load_config(str(path))
+    assert cfg.spark.extra_conf["spark.hadoop.fs.s3a.secret.key"] == "s3kr1t"
+    monkeypatch.delenv("WDPS_TEST_SECRET")
+    with pytest.raises(ValueError, match="WDPS_TEST_SECRET"):
+        load_config(str(path))
+
+
+def test_numeric_values_coerced_at_load(tmp_path, monkeypatch):
+    """Quoted-YAML and env-resolved values arrive as strings; numeric
+    knobs must coerce at LOAD time (a TypeError mid-run after the sink
+    wrote files is the failure mode the strict-load design forbids)."""
+    path = tmp_path / "c.yaml"
+    path.write_text(
+        """
+processing:
+  batch_size: ${WDPS_TEST_BS}
+  limit: "25"
+  reset: "true"
+enrichment:
+  global_qps: "0.5"
+"""
+    )
+    monkeypatch.setenv("WDPS_TEST_BS", "500")
+    cfg = load_config(str(path))
+    assert cfg.processing.batch_size == 500
+    assert cfg.processing.limit == 25
+    assert cfg.processing.reset is True
+    assert cfg.enrichment.global_qps == 0.5
+
+
+def test_bad_typed_value_fails_at_load(tmp_path):
+    path = tmp_path / "c.yaml"
+    path.write_text("processing:\n  batch_size: lots\n")
+    with pytest.raises(ValueError, match="processing.batch_size"):
+        load_config(str(path))

@@ -472,3 +472,30 @@ def test_udtf_chunking_matches_jvm_plan(spark, sf_dir):
     via_jvm = get("text_chunking").fn(spark, sf_dir).filter("doc_id < 50")
     assert via_udtf.count() == via_jvm.count()
     assert via_udtf.exceptAll(via_jvm).count() == 0
+
+
+def test_multimodal_null_payloads(spark):
+    """NULL payloads (e.g. encode(NULL text)) must flow through as NULL
+    features / zero frames, not crash the Python worker — the DuckDB
+    oracles produce NULLs for the same rows."""
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"abcd", "text/plain"), (2, None, "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 4
+    assert feats[2].n_bytes is None
+    assert feats[2].mean_byte is None
+    assert feats[2].first_byte is None
+
+    resized = {r.doc_id: r for r in resize_media(media, target_bytes=2).collect()}
+    assert resized[1].resized_bytes == 2
+    assert resized[2].orig_bytes is None and resized[2].payload is None
+
+    frames = sample_frames(media, frame_size=2, every_n=1).collect()
+    assert {r.doc_id for r in frames} == {1}

@@ -160,3 +160,53 @@ def test_pipeline_cli(sf_dir, tmp_path):
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["processed"] == 10
     assert len(_json_files(out)) == 10
+
+
+def test_pipeline_naming_patterns(spark, sf_dir, tmp_path):
+    """The config naming knobs flow through to the sink (reference
+    config.yaml naming section)."""
+    out = str(tmp_path / "named_out")
+    s = run_pipeline(
+        spark, sf_dir, out, limit=5, batch_size=3,
+        file_pattern="doc_{index:04d}.json",
+        directory_pattern="chunk_{batch_num:02d}",
+    )
+    assert s["processed"] == 5
+    files = sorted(glob.glob(os.path.join(out, "chunk_*", "doc_*.json")))
+    assert len(files) == 5
+    assert files[0].endswith(os.path.join("chunk_00", "doc_0000.json"))
+    assert files[-1].endswith(os.path.join("chunk_01", "doc_0004.json"))
+
+
+def test_pipeline_enrichment_stage(spark, sf_dir, tmp_path):
+    """--enrich wiring: fetched rows gain api_content/attempts in the
+    JSON output; retry-exhausted fetches dead-letter (reference
+    mark_failed) and the watermark still covers them."""
+    out = str(tmp_path / "enrich_out")
+    s = run_pipeline(
+        spark, sf_dir, out, limit=10, batch_size=20,
+        enrichment={
+            "global_qps": None,  # no pacing in tests
+            "max_retries": 0,    # first transient failure is fatal
+            "initial_delay": 0.0,
+            "max_delay": 0.0,
+            "fail_every": 4,     # doc_ids 0,4,8 fail their only attempt
+        },
+    )
+    assert s["processed"] == 7
+    assert s["failed"] == 3
+    assert s["watermark"] == 9  # failures don't hold the watermark back
+    files = _json_files(out)
+    assert len(files) == 7
+    rec = json.loads(open(files[0], encoding="utf-8").read())
+    assert rec["api_content"].startswith("content[")
+    assert rec["attempts"] == 1
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    errs = {r.doc_id: r.error for r in dlq.collect()}
+    assert set(errs) == {0, 4, 8}
+    assert all(e.startswith("fetch_failed:") for e in errs.values())
+
+    # Resume: nothing left below the watermark, including the failures.
+    s2 = run_pipeline(spark, sf_dir, out, limit=10, batch_size=20,
+                      enrichment={"global_qps": None, "fail_every": 4})
+    assert s2["processed"] == 0 and s2["failed"] == 0

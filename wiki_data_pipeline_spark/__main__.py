@@ -14,6 +14,7 @@ reference logs the same fields, src/main.py:213-221).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 
@@ -37,6 +38,12 @@ def main() -> int:
         "--reset", action="store_true", help="drop the checkpoint and start over"
     )
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--enrich",
+        action="store_true",
+        help="run the rate-limited per-article fetch stage with the "
+        "config's enrichment knobs (QPS/retry/backoff)",
+    )
     args = p.parse_args()
 
     from wiki_data_pipeline_spark.config import load_config
@@ -71,6 +78,9 @@ def main() -> int:
         limit=limit,
         reset=reset,
         batch_size=batch_size,
+        file_pattern=cfg.naming.file_pattern,
+        directory_pattern=cfg.naming.directory_pattern,
+        enrichment=dataclasses.asdict(cfg.enrichment) if args.enrich else None,
     )
     print(json.dumps(summary))
     return 0

@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import os
 import re
+import types
 from dataclasses import dataclass, field, fields
-from typing import Any
+from typing import Any, Union, get_args, get_origin, get_type_hints
 
 try:  # PyYAML is present in this environment; degrade clearly if not
     import yaml
@@ -103,7 +104,9 @@ _SECTIONS = {f.name: f.type for f in fields(PipelineConfig)}
 def _resolve_env(value: Any) -> Any:
     """``${VAR}`` string values resolve from the environment (the
     reference's .env override for secrets, generalized — missing vars
-    are a load-time error, not a None that detonates later)."""
+    are a load-time error, not a None that detonates later). Recurses
+    into dicts/lists so nested values like ``spark.extra_conf``
+    entries — exactly where credentials live — resolve too."""
     if isinstance(value, str):
         m = _ENV_REF.match(value)
         if m:
@@ -114,6 +117,57 @@ def _resolve_env(value: Any) -> Any:
                     "environment"
                 )
             return os.environ[name]
+    elif isinstance(value, dict):
+        return {k: _resolve_env(v) for k, v in value.items()}
+    elif isinstance(value, list):
+        return [_resolve_env(v) for v in value]
+    return value
+
+
+def _coerce(value: Any, hint: Any, where: str) -> Any:
+    """Coerce a YAML/env value to the dataclass field's declared type,
+    or raise at LOAD time — a numeric knob arriving as the string
+    "500" (quoted YAML, or any ${VAR} resolution, which always yields
+    str) must not detonate as a TypeError mid-run after the sink has
+    already written files."""
+    origin = get_origin(hint)
+    if origin is Union or origin is types.UnionType:  # e.g. int | None
+        args = [a for a in get_args(hint) if a is not type(None)]
+        if value is None:
+            return None
+        return _coerce(value, args[0], where)
+    if origin is dict:
+        if not isinstance(value, dict):
+            raise ValueError(f"{where}: expected a mapping, got {value!r}")
+        kt, vt = get_args(hint)
+        return {
+            _coerce(k, kt, where): _coerce(v, vt, where)
+            for k, v in value.items()
+        }
+    try:
+        if hint is bool:
+            if isinstance(value, bool):
+                return value
+            if isinstance(value, str) and value.lower() in (
+                "true", "false", "1", "0", "yes", "no",
+            ):
+                return value.lower() in ("true", "1", "yes")
+            raise ValueError
+        if hint is int:
+            if isinstance(value, bool):
+                raise ValueError
+            coerced = int(str(value)) if not isinstance(value, int) else value
+            return coerced
+        if hint is float:
+            return float(value) if not isinstance(value, float) else value
+        if hint is str:
+            if not isinstance(value, (str, int, float)):
+                raise ValueError
+            return str(value)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{where}: cannot interpret {value!r} as {hint.__name__}"
+        ) from None
     return value
 
 
@@ -125,7 +179,13 @@ def _build_section(cls: type, raw: dict[str, Any], section: str) -> Any:
             f"unknown key(s) {sorted(unknown)} in config section "
             f"'{section}' (known: {sorted(known)})"
         )
-    return cls(**{k: _resolve_env(v) for k, v in raw.items()})
+    hints = get_type_hints(cls)
+    return cls(
+        **{
+            k: _coerce(_resolve_env(v), hints[k], f"{section}.{k}")
+            for k, v in raw.items()
+        }
+    )
 
 
 def load_config(path: str | None = None) -> PipelineConfig:

@@ -53,7 +53,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     stub_types = frozenset(_STUB_TYPES)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _decode(payload: bytes, media_type: str) -> bytes:
+        def _decode(payload: bytes, media_type: str) -> bytes | None:
+            if payload is None:
+                return None  # missing media → NULL features, not a crash
             if media_type in stub_types:
                 return payload
             raise NotImplementedError(
@@ -66,13 +68,25 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "n_bytes": pd.Series(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="Int64",
+                    ),
                     "mean_byte": pd.Series(
-                        [float(sum(p)) / len(p) if len(p) else 0.0 for p in payloads],
-                        dtype="float64",
+                        [
+                            None
+                            if p is None
+                            else (float(sum(p)) / len(p) if len(p) else 0.0)
+                            for p in payloads
+                        ],
+                        dtype="Float64",
                     ),
                     "first_byte": pd.Series(
-                        [p[0] if len(p) else -1 for p in payloads], dtype="int32"
+                        [
+                            None if p is None else (p[0] if len(p) else -1)
+                            for p in payloads
+                        ],
+                        dtype="Int32",
                     ),
                     "media_type": pdf["media_type"],
                 }
@@ -102,7 +116,9 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
     stub_types = frozenset(_STUB_TYPES)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _decode(payload: bytes, media_type: str) -> bytes:
+        def _decode(payload: bytes, media_type: str) -> bytes | None:
+            if payload is None:
+                return None  # missing media → NULL output, not a crash
             if media_type in stub_types:
                 return payload
             raise NotImplementedError(
@@ -116,7 +132,7 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
             ]
             resized = []
             for p in decoded:
-                if len(p) <= target_bytes:
+                if p is None or len(p) <= target_bytes:
                     resized.append(p)
                 else:
                     stride = len(p) / target_bytes
@@ -128,10 +144,12 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
                     "orig_bytes": pd.Series(
-                        [len(p) for p in decoded], dtype="int64"
+                        [len(p) if p is not None else None for p in decoded],
+                        dtype="Int64",
                     ),
                     "resized_bytes": pd.Series(
-                        [len(p) for p in resized], dtype="int64"
+                        [len(p) if p is not None else None for p in resized],
+                        dtype="Int64",
                     ),
                     "payload": resized,
                 }
@@ -159,7 +177,9 @@ def sample_frames(
     stub_types = frozenset(_STUB_TYPES)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _decode(payload: bytes, media_type: str) -> bytes:
+        def _decode(payload: bytes, media_type: str) -> bytes | None:
+            if payload is None:
+                return None  # missing media → zero frames, not a crash
             if media_type in stub_types:
                 return payload
             raise NotImplementedError(
@@ -174,6 +194,8 @@ def sample_frames(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]
             ):
                 raw = _decode(payload, mtype)
+                if raw is None:
+                    continue
                 n_frames = len(raw) // frame_size
                 for fi in range(0, n_frames, every_n):
                     frame = raw[fi * frame_size : (fi + 1) * frame_size]

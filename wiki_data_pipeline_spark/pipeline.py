@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 
 from wiki_data_pipeline_spark.functions.text import build_url, is_valid_content
 from wiki_data_pipeline_spark.io import read_table
-from wiki_data_pipeline_spark.sinks.per_record_json import write_per_record_json
+from wiki_data_pipeline_spark.sinks.per_record_json import (
+    write_per_record_json_with_watermark,
+)
 from wiki_data_pipeline_spark.streaming.checkpoint import HighWatermarkCheckpoint
 
 
@@ -50,10 +52,23 @@ def run_pipeline(
     reset: bool = False,
     batch_size: int = 1000,
     docs: DataFrame | None = None,
+    file_pattern: str = "article_{index:06d}.json",
+    directory_pattern: str = "batch_{batch_num:03d}",
+    enrichment: dict | None = None,
 ) -> dict:
     """Run the article pipeline; returns the summary dict (reference
     src/main.py:213-221 shape). ``docs`` overrides the corpus for
-    tests; default reads ``documents`` from ``sf_dir``."""
+    tests; default reads ``documents`` from ``sf_dir``.
+
+    ``file_pattern``/``directory_pattern`` are the reference naming
+    knobs (config.yaml ``naming``). ``enrichment`` — kwargs for
+    ``operators.enrichment.fetch_enrich`` (the config ``enrichment``
+    section as a dict) — enables the reference's rate-limited
+    per-article API fetch stage: each valid doc's stub is fetched
+    under the QPS/retry contract, fetched rows gain ``api_content``
+    and ``attempts`` columns in the JSON output, and retry-exhausted
+    fetches dead-letter alongside validation failures (reference
+    mark_failed, src/main.py:122-133)."""
     ckpt_path = os.path.join(out_dir, "_checkpoint", "progress.json")
     ckpt = HighWatermarkCheckpoint(ckpt_path)
     if reset and os.path.exists(ckpt_path):
@@ -88,31 +103,67 @@ def run_pipeline(
         "source",
     )
 
+    enriched = None
+    if enrichment is not None:
+        from wiki_data_pipeline_spark.operators.enrichment import fetch_enrich
+
+        # The fetch stage is rate-limited and side-effectful (a real
+        # deployment calls an external API) — persist so the sink job
+        # and the dead-letter job share ONE fetch pass, never two.
+        enriched = fetch_enrich(
+            normalized.select("doc_id", "title"), **enrichment
+        ).persist()
+        fetch_ok = enriched.filter(F.col("error").isNull()).select(
+            "doc_id",
+            F.col("content").alias("api_content"),
+            "attempts",
+        )
+        fetch_dlq = enriched.filter(F.col("error").isNotNull()).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.concat(F.lit("fetch_failed: "), "error").alias("error"),
+        )
+        normalized = normalized.join(fetch_ok, "doc_id", "inner")
+        dlq = dlq.unionByName(fetch_dlq)
+
     # Continue the global file numbering where the last run stopped
     # (reference L3 consecutive indices across batches/resumes).
     start_index = ckpt.load().total_processed
-    n_written = write_per_record_json(
+    n_written, max_ok = write_per_record_json_with_watermark(
         normalized,
         out_dir,
         order_col="doc_id",
         batch_size=batch_size,
         start_index=start_index,
+        file_pattern=file_pattern,
+        directory_pattern=directory_pattern,
     )
-    # Single pass over the dead-letter split: the row count rides an
-    # Observation on the write job instead of a separate .count() scan
-    # (at 100 TB the old count-then-write recomputed the filter twice).
+    # Single pass over the dead-letter split: the row count AND the max
+    # doc_id ride an Observation on the write job instead of separate
+    # scans (at 100 TB the old count-then-write recomputed the filter
+    # twice).
     dlq_obs = Observation("dlq")
-    dlq.observe(dlq_obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
-        os.path.join(out_dir, "_dead_letter")
-    )
+    dlq.observe(
+        dlq_obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    ).write.mode("append").parquet(os.path.join(out_dir, "_dead_letter"))
     n_failed = int(dlq_obs.get["n"])
+    max_dlq = dlq_obs.get["mx"]
 
     # Watermark covers ALL disposed rows (valid + dead-lettered) — a
     # failed doc above the max valid doc_id must not be re-selected and
-    # re-dead-lettered forever (reference mark_failed semantics).
-    # total_processed still counts only sink-written rows: it seeds the
-    # consecutive output-file numbering.
-    state = ckpt.commit(pending, "doc_id", n_processed=n_written)
+    # re-dead-lettered forever (reference mark_failed semantics). Both
+    # maxima came out of the two sink jobs themselves, so the commit is
+    # O(1) — no third scan of the pending set. total_processed still
+    # counts only sink-written rows: it seeds the consecutive
+    # output-file numbering.
+    candidates = [m for m in (max_ok, max_dlq) if m is not None]
+    state = ckpt.commit_values(
+        watermark=max(candidates) if candidates else None,
+        n_disposed=n_written + n_failed,
+        n_processed=n_written,
+    )
+    if enriched is not None:
+        enriched.unpersist()
     n_batches = (
         (start_index + n_written - 1) // batch_size - start_index // batch_size + 1
         if n_written

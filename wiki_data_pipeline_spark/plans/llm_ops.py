@@ -1698,15 +1698,33 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
             .distinct()
         )
         obs = Observation()
+        # Fixpoint signature = (count, sum of per-edge xxhash64): a
+        # plain (count, sum(a+b)) can collide across different edge
+        # multisets ({(5,1),(3,2)} vs {(4,2),(3,2)}) and stop a round
+        # early; hashing each edge first makes collision astronomically
+        # unlikely while still riding the checkpoint job as one scalar.
         edges = small.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a") + F.col("b")).alias("s"),
+            # decimal sum: long would ANSI-overflow on 64-bit hashes
+            F.sum(F.xxhash64("a", "b").cast("decimal(20,0)")).alias("s"),
         ).localCheckpoint()
         sig = (obs.get["n"], obs.get["s"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    else:
+        converged = False
+    if not converged:
+        # Never return a non-star edge set as if it were component
+        # labels — O(log² n) rounds means 12 covers any real corpus,
+        # so exhaustion signals a bug or pathological input, loudly.
+        raise RuntimeError(
+            "dedup_cluster_components_star: no fixpoint after 12 "
+            "large-star/small-star rounds; refusing to return "
+            "unconverged component labels"
+        )
     # stars: (member, root) edges; add the roots themselves
     return (
         edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component_id"))
@@ -2614,4 +2632,126 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "n_frame_bytes",
         F.hex("frame").alias("frame_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style heuristic quality filters (repetition + stopword
+# signals) — the document-level gate a pretraining pipeline runs
+# before dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_gopher_filters",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    uni AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+    uni_stats AS (
+      SELECT doc_id,
+        CAST(sum(cnt) AS BIGINT) AS n_words,
+        CAST(max(cnt) AS BIGINT) AS top_cnt,
+        CAST(sum(cnt * length(tok)) AS BIGINT) AS char_sum,
+        CAST(sum(CASE WHEN tok IN ('the', 'a') THEN cnt ELSE 0 END)
+             AS BIGINT) AS stop_cnt
+      FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+    bi_stats AS (
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_bi,
+        CAST(count(*) AS BIGINT) AS n_bi_distinct
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+      u.n_words,
+      u.char_sum / u.n_words AS mean_word_len,
+      u.stop_cnt / u.n_words AS stopword_ratio,
+      u.top_cnt / u.n_words AS top_unigram_ratio,
+      (b.n_bi - b.n_bi_distinct) / b.n_bi AS dup_bigram_ratio,
+      CAST(u.n_words BETWEEN 50 AND 100000
+       AND u.char_sum / u.n_words BETWEEN 3.0 AND 10.0
+       AND u.stop_cnt / u.n_words >= 0.02
+       AND u.top_cnt / u.n_words <= 0.20
+       AND (b.n_bi - b.n_bi_distinct) / b.n_bi <= 0.60 AS INT) AS passes
+    FROM uni_stats u LEFT JOIN bi_stats b USING (doc_id)
+    """,
+)
+def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate: per-doc word count,
+    mean word length, stopword ratio, top-unigram fraction (Gopher's
+    "fraction of the doc that is its most common word"), and duplicate
+    2-gram fraction (Gopher's repeated-n-gram signal), plus the
+    composed pass/fail flag.
+
+    Scale design: NOT the narrow quadratic form (``transform(distinct,
+    t -> size(filter(toks, =t)))`` is O(distinct·len) per doc — a
+    10k-token doc costs 10⁸ comparisons). Instead both signals ride
+    decomposable explode→groupBy aggregations: unigram counts shuffle
+    (doc_id, tok) once with map-side partials, and ALL unigram-derived
+    metrics (n_words, top count, char sum, stopword count) come out of
+    that ONE shuffled table's second aggregate; bigram stats are the
+    same shape over 2-gram keys. The final assembly is a co-keyed
+    doc_id join. Everything JVM-side; ratios are exact int/int double
+    divisions so the oracle hash-matches bitwise."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok_tbl = _spread(docs).select("doc_id", F.explode(toks).alias("tok"))
+    uni = tok_tbl.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    uni_stats = uni.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+        F.sum(F.col("cnt") * F.length("tok")).cast("bigint").alias("char_sum"),
+        F.sum(
+            F.when(F.col("tok").isin("the", "a"), F.col("cnt")).otherwise(F.lit(0))
+        ).cast("bigint").alias("stop_cnt"),
+    )
+    # bigrams: hoist the token array into its own projection (lambda
+    # re-evaluation hazard — see _shingles) before the window transform
+    hoisted = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(hoisted) - 2),
+        lambda i: F.concat_ws(" ", F.get(hoisted, i), F.get(hoisted, i + 1)),
+    )
+    bg_tbl = (
+        _spread(docs)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size(hoisted) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    bgc = bg_tbl.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bgc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bi_distinct"),
+    )
+    j = uni_stats.join(bi_stats, "doc_id", "left")
+    mwl = F.col("char_sum") / F.col("n_words")
+    stop_r = F.col("stop_cnt") / F.col("n_words")
+    top_r = F.col("top_cnt") / F.col("n_words")
+    dup_bi = (F.col("n_bi") - F.col("n_bi_distinct")) / F.col("n_bi")
+    passes = (
+        F.col("n_words").between(50, 100000)
+        & mwl.between(3.0, 10.0)
+        & (stop_r >= 0.02)
+        & (top_r <= 0.20)
+        & (dup_bi <= 0.60)
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        stop_r.alias("stopword_ratio"),
+        top_r.alias("top_unigram_ratio"),
+        dup_bi.alias("dup_bigram_ratio"),
+        passes.cast("int").alias("passes"),
     )

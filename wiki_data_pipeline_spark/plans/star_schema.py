@@ -1866,7 +1866,14 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60))
+        # INTERVAL arithmetic, not date_add: date_add truncates the
+        # timestamp to DATE (time-of-day dropped), silently diverging
+        # from the oracle's `+ INTERVAL 60 DAY` if fixtures ever carry
+        # non-midnight order timestamps.
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
             F.sum(high.cast("int")).cast("bigint").alias("high_line_count"),

@@ -71,11 +71,30 @@ class HighWatermarkCheckpoint:
         agg = df.agg(
             F.max(seq_col).alias("mx"), F.count("*").alias("n")
         ).collect()[0]
+        return self.commit_values(
+            watermark=agg["mx"],
+            n_disposed=int(agg["n"]),
+            n_processed=n_processed,
+        )
+
+    def commit_values(
+        self,
+        watermark: int | None,
+        n_disposed: int,
+        n_processed: int | None = None,
+    ) -> CheckpointState:
+        """Commit from PRECOMPUTED aggregates — for callers whose sink
+        jobs already saw every row (Observation on a DataFrame write,
+        or the JSON sink's per-partition max): no extra scan of the
+        source. ``watermark`` is max(seq) over everything disposed
+        (None when the batch was empty); ``n_disposed`` gates the
+        advance; ``n_processed`` overrides the total_processed
+        increment as in :meth:`commit`."""
         state = self.load()
-        if agg["n"]:
-            state.watermark = int(agg["mx"])
+        if n_disposed and watermark is not None:
+            state.watermark = int(watermark)
             state.total_processed += int(
-                agg["n"] if n_processed is None else n_processed
+                n_disposed if n_processed is None else n_processed
             )
         state.runs += 1
         state.status = "processing"
