@@ -2755,3 +2755,200 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_bi.alias("dup_bigram_ratio"),
         passes.cast("int").alias("passes"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+    ),
+    cedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    cnodes AS (SELECT DISTINCT u AS node FROM cedges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM cnodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN cedges e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+      FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+        0.6 * least(1.0, cc / 500.0)
+          + 0.4 * least(1.0, ((cc - (wc - 1)) / wc) / 8.0) AS quality_score
+      FROM (
+        SELECT doc_id,
+          CAST(length(text) AS DOUBLE) AS cc,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS wc
+        FROM corpus
+      )
+    ),
+    lab AS (
+      SELECT q.doc_id,
+        COALESCE(c.component_id, q.doc_id) AS component_id,
+        q.quality_score
+      FROM q LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component_id, quality_score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY component_id
+        ORDER BY quality_score DESC, doc_id) AS rn
+      FROM lab
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one canonical document per
+    near-duplicate cluster. Composes the MinHash cluster components
+    with the heuristic quality score — within each component keep the
+    highest-quality doc (ties → lowest doc_id, so exact copies keep
+    the original); docs in no cluster are their own component and
+    survive unchanged. This is the keep-list a training pipeline joins
+    against before tokenization.
+
+    Scale: components from the iterative min-label plan (bounded
+    rounds, localCheckpoint lineage control); the quality projection
+    is narrow; the left join keys doc_id (components table ≪ corpus —
+    only clustered docs appear in it, so it broadcasts in practice);
+    the per-component top-1 is a rank-1 window that Spark rewrites to
+    WindowGroupLimit — partial top-1 per map task before the
+    (component_id) exchange, never a full sort of the corpus."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    comp = dedup_cluster_components(spark, sf_dir)
+    cc = F.length("text").cast("double")
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    awl = (cc - (wc - 1)) / wc
+    quality = 0.6 * F.least(F.lit(1.0), cc / 500.0) + 0.4 * F.least(
+        F.lit(1.0), awl / 8.0
+    )
+    scored = corpus.select("doc_id", quality.alias("quality_score"))
+    labeled = scored.join(
+        F.broadcast(comp), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "quality_score",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component_id", "quality_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-and-chunk (GPT-style pretraining
+# packing — tokens laid end-to-end, cut into fixed-capacity bins).
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+
+@query(
+    "pack_sequences_concat",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+        CAST(COALESCE(SUM(n) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS start
+      FROM t
+    ),
+    x AS (
+      SELECT doc_id, n, start,
+        unnest(generate_series(start // {_PACK_CAP},
+                               (start + n - 1) // {_PACK_CAP})) AS bin_id
+      FROM c
+    )
+    SELECT doc_id,
+      CAST(bin_id AS BIGINT) AS bin_id,
+      CAST(least((bin_id + 1) * {_PACK_CAP}, start + n)
+           - greatest(bin_id * {_PACK_CAP}, start) AS BIGINT) AS tokens_in_bin
+    FROM x
+    """,
+)
+def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concatenate-and-chunk style: whitespace-token
+    counts laid end-to-end in doc_id order and cut into fixed
+    {_PACK_CAP}-token bins; each output row is (doc, bin, tokens of
+    the doc landing in that bin). Docs straddling a boundary appear in
+    every bin they touch — exactly what a pretraining loader that
+    packs by concatenation produces (the bin is the training
+    sequence, tokens_in_bin the doc's contribution).
+
+    Scale: the global running offset is the l3 two-pass pattern, NOT a
+    single-partition window — range-partition by doc_id, per-partition
+    token sums (one tiny job, #partitions rows collected), cumulative
+    offsets broadcast back, intra-partition cumsum via a per-partition
+    window. The bin fan-out is a narrow sequence+posexplode. Integer
+    `div` arithmetic end-to-end — bitwise-identical to the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n"),
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = counted.repartitionByRange(n_parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    psums = ranged.groupBy("pid").agg(F.sum("n").alias("s")).orderBy("pid").collect()
+    offsets, acc = [], 0
+    for r in psums:
+        offsets.append((r["pid"], acc))
+        acc += int(r["s"])
+    off = spark.createDataFrame(offsets, "pid int, offset bigint")
+    local_before = F.coalesce(
+        F.sum("n").over(
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    started = (
+        ranged.withColumn("local_before", local_before)
+        .join(F.broadcast(off), on="pid")
+        .select(
+            "doc_id",
+            "n",
+            (F.col("offset") + F.col("local_before")).alias("start"),
+        )
+    )
+    cap = F.lit(_PACK_CAP)
+    first_bin = F.expr(f"start div {_PACK_CAP}")
+    last_bin = F.expr(f"(start + n - 1) div {_PACK_CAP}")
+    return (
+        started.select(
+            "doc_id",
+            "n",
+            "start",
+            F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            (
+                F.least((F.col("bin_id") + 1) * cap, F.col("start") + F.col("n"))
+                - F.greatest(F.col("bin_id") * cap, F.col("start"))
+            ).cast("bigint").alias("tokens_in_bin"),
+        )
+    )
