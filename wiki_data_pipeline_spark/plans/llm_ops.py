@@ -2688,7 +2688,9 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style heuristic quality gate: per-doc word count,
+    """F7/ST4 quality-gate lineage (reference valid-document gate,
+    src/data_processor.py:48-56) generalized to a Gopher/C4-style
+    heuristic quality gate: per-doc word count,
     mean word length, stopword ratio, top-unigram fraction (Gopher's
     "fraction of the doc that is its most common word"), and duplicate
     2-gram fraction (Gopher's repeated-n-gram signal), plus the
@@ -2887,7 +2889,8 @@ _PACK_CAP = 512
     """,
 )
 def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing, concatenate-and-chunk style: whitespace-token
+    """L4 fixed-size-batching lineage (reference batch cutter,
+    src/main.py:137-142) in concatenate-and-chunk form: whitespace-token
     counts laid end-to-end in doc_id order and cut into fixed
     {_PACK_CAP}-token bins; each output row is (doc, bin, tokens of
     the doc landing in that bin). Docs straddling a boundary appear in
