@@ -35,17 +35,29 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table (S1/S2: partitioned full scan).
 
-    The fixture's ``events.ts`` is parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read nanos as long (legacy
-    conf, safe to set per-session) and truncate to microsecond
-    timestamps — exactly what DuckDB does on the same file, so both
-    engines see identical values.
+    ``events.ts`` is normalized to TIMESTAMP (LTZ) here, at the single
+    read boundary, whatever physical type the fixture carries:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      read nanos as long (legacy conf, safe per-session) and truncate
+      to microseconds — exactly what DuckDB does on the same file.
+    - parquet TIMESTAMP(isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ, which event-time APIs (``withWatermark``) and
+      BIGINT casts refuse; cast to TIMESTAMP. The session timezone is
+      pinned to UTC (session.py), so the NTZ wall clock and the LTZ
+      instant coincide and DuckDB (naive) sees identical values.
+
+    Downstream operators can therefore assume ``ts`` is TIMESTAMP.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

