@@ -216,6 +216,31 @@ def test_wikitext_pandas_udf_fallback(spark):
     assert out[1] is None
 
 
+def test_wikitext_real_parser_golden(spark):
+    """T6 full-fidelity branch: when ``wikitextparser`` is installed,
+    the pandas_udf takes the real-parser path
+    (src/production_mediawiki_client.py:106-118). Golden fixtures
+    recorded from ``wtp.parse(x).plain_text()``; includes a template
+    (``{{...}}``) the regex fallback cannot strip, so this test fails
+    rather than silently passing if the branch selection regresses.
+    Skipped (not passed) when the library is absent."""
+    pytest.importorskip("wikitextparser")
+    from wiki_data_pipeline_spark.functions.wikitext import plain_text_col
+
+    golden = [
+        (
+            "This is [[wikitext]] content with '''bold''' and ''italic''.",
+            "This is wikitext content with bold and italic.",
+        ),
+        ("See [[target|label]] here.", "See label here."),
+        ("Before {{cite web|url=x}} after.", "Before  after."),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in golden], "content string")
+    out = [r.p for r in df.select(plain_text_col("content").alias("p")).collect()]
+    assert out == [e for _, e in golden]
+
+
 def test_l3_scalable_index_matches_global_window(spark, sf_dir):
     """L3 scale path: two-pass partition-offset index must equal the
     naive row_number() over a global ORDER BY (src/azure_manager.py:66-67)."""
