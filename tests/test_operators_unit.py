@@ -524,3 +524,40 @@ def test_multimodal_null_payloads(spark):
 
     frames = sample_frames(media, frame_size=2, every_n=1).collect()
     assert {r.doc_id for r in frames} == {1}
+
+
+def test_domain_temperature_flattens_mixture(spark, sf_dir):
+    """α=0.5 temperature sampling must DOWN-weight head domains more
+    than tail domains: kept-fraction (rate) is non-increasing in
+    source size, and no source is dropped entirely."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    from wiki_data_pipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    out = get("sample_domain_temperature").fn(spark, sf_dir)
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    assert set(rates) == set(sizes), "every source must survive sampling"
+    by_size = sorted(sizes, key=lambda s: (sizes[s], s))
+    for small, big in zip(by_size, by_size[1:]):
+        if sizes[small] < sizes[big]:
+            assert rates[small] >= rates[big], (small, big)
+
+
+def test_bigram_surprisal_buckets_are_thirds(spark, sf_dir):
+    """Per-language head/middle/tail bucketing by exact discrete
+    33rd/66th percentiles: head ≤ ~third of each language (percentile
+    ties can only shrink head/middle, never inflate them), and every
+    language has a non-empty head."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    rows = get("score_bigram_surprisal").fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.bucket)
+    for lang, buckets in by_lang.items():
+        n = len(buckets)
+        head = buckets.count("head")
+        assert 0 < head, lang
+        assert head <= 0.45 * n + 1, (lang, head, n)

@@ -2980,3 +2980,227 @@ def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("tokens_in_bin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain/language mixture resampling (temperature sampling).
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_SQL = "sqrt(CAST(ns AS DOUBLE))"  # α = 0.5 temperature
+_MIX_BUDGET = 0.5  # keep ~50% of the corpus overall
+
+
+@query(
+    "sample_domain_temperature",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, count(*) AS ns, sum(count(*)) OVER () AS total
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, ns, total,
+        CAST(round({_MIX_ALPHA_SQL}, 6) AS DECIMAL(28, 6)) AS sq
+      FROM n
+    ),
+    s AS (SELECT *, sum(sq) OVER () AS ssum FROM w),
+    p AS (
+      SELECT source,
+        round(least(1.0,
+          ({_MIX_BUDGET} * total * CAST(sq AS DOUBLE))
+            / (CAST(ssum AS DOUBLE) * ns)), 6) AS rate
+      FROM s
+    )
+    SELECT d.doc_id, d.source, p.rate
+    FROM documents d JOIN p USING (source)
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) < rate * 1000000
+    """,
+)
+def sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling with temperature smoothing (engine
+    extension per SURVEY.md §2 — the data-mixing step of multi-domain
+    corpus prep, the exponent-smoothed sampling of multilingual LM
+    training: target share per source ∝ count^α with α=0.5, so
+    head domains are down-weighted and tail domains up-weighted,
+    within a fixed ~50%-of-corpus token budget). Acceptance is
+    per-source deterministic hash thresholding (md5 mod 1e6 <
+    rate·1e6), so membership is stable under reruns, repartitioning
+    and engine changes — the same primitive as sample_stable_hash.
+
+    Determinism: per-source sqrt is rounded to 6 decimals and summed
+    as DECIMAL (addition-order-proof); the final rate is one double
+    division of bit-identical inputs, rounded to 6 — both engines
+    compute the same literal threshold.
+
+    Scale: the rate table is |sources| rows (tiny) — computed from one
+    small groupBy and broadcast back; the acceptance filter is then a
+    narrow map over the scan. One small shuffle + one broadcast join
+    at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").alias("ns"))
+    tot = n.agg(F.sum("ns").alias("total"))
+    w = n.crossJoin(F.broadcast(tot)).withColumn(
+        "sq", F.round(F.sqrt(F.col("ns").cast("double")), 6).cast("decimal(28,6)")
+    )
+    ssum = w.agg(F.sum("sq").alias("ssum"))
+    rate = (
+        w.crossJoin(F.broadcast(ssum))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (_MIX_BUDGET * F.col("total") * F.col("sq").cast("double"))
+                    / (F.col("ssum").cast("double") * F.col("ns")),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 1000000
+    return (
+        docs.join(F.broadcast(rate), on="source")
+        .filter(bucket < F.col("rate") * 1000000)
+        .select("doc_id", "source", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal scoring with per-language quality buckets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "score_bigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, t[i] AS ctx, t[i] || ' ' || t[i+1] AS bigram
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT ctx, count(*) AS n1 FROM bg GROUP BY ctx),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab FROM (
+        SELECT unnest(t) AS tok FROM tok
+      )
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+        sum(CAST(round(-ln((CAST(c2.n2 AS DOUBLE) + 1)
+              / (c1.n1 + v.vocab)), 6) AS DECIMAL(28, 6))) AS s
+      FROM bg b
+      JOIN c2 ON c2.bigram = b.bigram
+      JOIN c1 ON c1.ctx = b.ctx
+      CROSS JOIN v
+      GROUP BY b.doc_id, b.lang
+    ),
+    m AS (
+      SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        round(CAST(s AS DOUBLE) / n_bigrams, 6) AS mean_surprisal
+      FROM scored
+    ),
+    th AS (
+      SELECT lang, quantile_disc(mean_surprisal, 0.33) AS p33,
+        quantile_disc(mean_surprisal, 0.66) AS p66
+      FROM m GROUP BY lang
+    )
+    SELECT m.doc_id, m.lang, m.n_bigrams, m.mean_surprisal,
+      CASE WHEN m.mean_surprisal <= th.p33 THEN 'head'
+           WHEN m.mean_surprisal <= th.p66 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM m JOIN th USING (lang)
+    """,
+)
+def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with per-language head/middle/tail
+    buckets (engine extension per SURVEY.md §2 — the CCNet-style LM
+    filter tier above score_unigram_surprisal's unigram reduction):
+    an add-one-smoothed corpus bigram LM scores each doc's mean
+    surprisal -ln((c(w₁w₂)+1)/(c(w₁)+|V|)); docs are then bucketed
+    against their language's 33rd/66th exact discrete percentiles —
+    head = most-fluent third, the slice CCNet keeps.
+
+    Determinism: per-bigram surprisal rounded to 6 decimals, summed as
+    DECIMAL, mean rounded; bucket thresholds are percentile_disc over
+    those already-rounded means (exact data values, no interpolation),
+    so both engines pick identical thresholds.
+
+    Scale: bigram/context count tables are vocabulary-sized aggregates
+    (shuffle on token keys — uniform); the count join back to the
+    bigram stream shuffles on the bigram key. The threshold table is
+    |langs| rows → broadcast. No Python anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _spread(docs).select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    t = F.col("t")
+    bg = toks.filter(F.size(t) >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("ctx"),
+                    F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.ctx", "p.bigram")
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("ctx").agg(F.count("*").alias("n1"))
+    vocab = (
+        toks.select(F.explode(t).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    surprisal = F.round(
+        -F.log(
+            (F.col("n2").cast("double") + 1) / (F.col("n1") + F.col("vocab"))
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    m = (
+        bg.join(c2, on="bigram")
+        .join(c1, on="ctx")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(surprisal).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+    m.createOrReplaceTempView("_bigram_scored")
+    th = m.sparkSession.sql(
+        """
+        SELECT lang,
+          percentile_disc(0.33) WITHIN GROUP (ORDER BY mean_surprisal) AS p33,
+          percentile_disc(0.66) WITHIN GROUP (ORDER BY mean_surprisal) AS p66
+        FROM _bigram_scored GROUP BY lang
+        """
+    )
+    bucket = (
+        F.when(F.col("mean_surprisal") <= F.col("p33"), "head")
+        .when(F.col("mean_surprisal") <= F.col("p66"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        m.join(F.broadcast(th), on="lang")
+        .select("doc_id", "lang", "n_bigrams", "mean_surprisal", bucket.alias("bucket"))
+    )

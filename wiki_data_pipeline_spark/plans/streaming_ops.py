@@ -455,6 +455,55 @@ def sketch_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_hll_mergeable_rollup",
+    oracle="""
+    SELECT event_type,
+      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS within_eps
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (SURVEY.md §2.5 sketch family — the
+    hypertable-rollup pattern): per-day HLL++ sketches of distinct
+    users are built once (hll_sketch_agg), then UNIONED across days
+    per event_type (hll_union_agg) — the merged estimate equals
+    sketching the raw stream, which is the whole point: daily sketch
+    partitions are the persistable rollup artifact, and any coarser
+    grain (week/month/all-time) is a cheap union over them instead of
+    a re-scan of raw events. Like sketch_approx_distinct_check, the
+    driver row carries the ε bound (|merged estimate − exact|/exact ≤
+    0.05) plus deterministic exact counts, so the engine-specific
+    sketch bytes never enter the hash compare.
+
+    Scale: the daily sketch table is |days × types| rows of fixed-size
+    binary state — the 100 TB path reads THAT, not raw events; the
+    exact side here is verification scaffolding only."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(exact, on="event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_eps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact discrete percentiles per group.
 # ---------------------------------------------------------------------------
