@@ -69,6 +69,9 @@ HEADLINE = [
     "sample_stratified_by_lang",
     "q12_late_shipment_priority",
     "dict_broadcast_enrichment",
+    "sample_domain_temperature",
+    "score_bigram_surprisal",
+    "sketch_hll_mergeable_rollup",
 ]
 
 # Previous round's per-query timings: the regression gate. Path
