@@ -3204,3 +3204,76 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.join(F.broadcast(th), on="lang")
         .select("doc_id", "lang", "n_bigrams", "mean_surprisal", bucket.alias("bucket"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (short-doc-inside-long-doc).
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM ({_CORPUS_SQL}) WHERE doc_id % 100000 < {_JACCARD_MAX_DOC}
+    ),
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+      CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (engine extension per
+    SURVEY.md §2 dedup family): C = |∩| / min(|A|,|B|) ≥ 0.8 — the
+    near-dup class Jaccard structurally misses: a short doc embedded
+    in a much longer one has tiny Jaccard (union is dominated by the
+    long doc) but containment ≈ 1. The training-data failure mode this
+    catches is quote/excerpt duplication: boilerplate-wrapped copies
+    of the same core text.
+
+    Same inverted-index shape as dedup_ngram_jaccard (cost
+    Σ posting-list², not n²; exact integer counts → bitwise-identical
+    division); only the denominator changes, so the two queries share
+    one shingle-join scan when run together (Catalyst reuses the
+    exchange)."""
+    corpus = _dedup_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
+    )
+    sh = _shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    containment = F.col("c").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+    )

@@ -749,3 +749,67 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last.value").alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC → SCD2 history: change-compressed validity intervals per key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+        lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id % 7 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state,
+      strftime(ts, '{TS_US_DUCK}') AS valid_from,
+      strftime(lead(ts) OVER w2, '{TS_US_DUCK}') AS valid_to,
+      (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history construction from a changelog (the
+    warehouse-side complement of cdc_latest_state, SURVEY.md §2.11
+    state-log family): change-compress consecutive same-state rows per
+    key (lag ≠ current keeps only transitions), then close each
+    version with the next transition's timestamp — valid_from /
+    valid_to intervals, open interval = current state. The standard
+    dimension-history table every CDC sink materializes.
+
+    Both window passes share ONE (user_id)-partitioned sort — Spark
+    plans a single shuffle+sort and reuses it (same discipline as
+    sessionize_events); event_id makes the sort total so both engines
+    compress identical runs. The deterministic user_id % 7 filter
+    bounds driver output and commutes with per-user windows. At
+    100 TB: one shuffle on the key, per-key state is O(1) per row —
+    and keys are users, so no planet-scale skew."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", TS_US_SPARK).alias("valid_from"),
+        F.date_format(nxt, TS_US_SPARK).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
