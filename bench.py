@@ -71,6 +71,10 @@ HEADLINE = [
     "dict_broadcast_enrichment",
     "sample_domain_temperature",
     "score_bigram_surprisal",
+    "dedup_substring_spans",
+    "bpe_pair_counts",
+    "layout_zorder_files",
+    "events_minute_ohlc",
     "sketch_hll_mergeable_rollup",
 ]
 

@@ -3277,3 +3277,154 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", containment.alias("containment"))
         .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (suffix-array dedup at n-gram grain).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # tokens per positional span
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM ({_CORPUS_SQL})
+      WHERE doc_id % 100000 < {_JACCARD_MAX_DOC}
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+      FROM corpus
+    ),
+    spans AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tokens) - {_SPAN_N - 1}),
+          i -> md5(array_to_string(tokens[i:i+{_SPAN_N - 1}], ' ')))) AS gh
+      FROM tok WHERE len(tokens) >= {_SPAN_N}
+    ),
+    gd AS (
+      SELECT gh FROM spans GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    nd AS (
+      SELECT doc_id, count(*) AS n_dup_spans
+      FROM spans JOIN gd USING (gh) GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+      CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_frac
+    FROM nd JOIN ns USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection — the suffix-array
+    exact-substring dedup of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better") approximated at fixed n-gram
+    granularity, which is the form that distributes: every positional
+    (overlapping, non-distinct) 8-token window is hashed; a span is
+    duplicated if its hash occurs in ≥2 DISTINCT documents; each doc
+    reports how much of it is cross-doc duplicated text
+    (``dup_frac``). Distinct-shingle Jaccard/MinHash miss this signal
+    entirely — a doc that repeats a 200-token boilerplate block keeps
+    high dup_frac but can sit below any whole-doc similarity
+    threshold; span grain says WHICH text to cut, not which doc.
+
+    Scale: inverted index on the span hash — shuffle keyed on md5 (16
+    bytes, uniformly distributed, no skew), count-distinct-docs per
+    hash, then one join back and a per-doc count. Cost is linear in
+    corpus tokens; the O(n²)-suffix-array of the paper is replaced by
+    hash grouping, the standard distributed formulation. Positional
+    spans (not array_distinct) so within-doc repeats weight dup_frac
+    on both engines identically."""
+    corpus = _dedup_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _SPAN_N),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, _SPAN_N))),
+    )
+    spans = (
+        _spread(corpus)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .filter(F.size(toks) >= _SPAN_N)
+        .select("doc_id", F.explode(grams).alias("gh"))
+    )
+    dup_grams = (
+        spans.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    n_spans = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    n_dup = (
+        spans.join(dup_grams, on="gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return n_dup.join(n_spans, on="doc_id").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+            "dup_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction: BPE first-merge pair statistics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        i -> substr(w, i, 2))) AS pair
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS n_pairs
+    FROM pairs GROUP BY pair
+    ORDER BY n_pairs DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, first merge step (engine extension —
+    the corpus-statistics pass a training-data pipeline runs to build
+    or audit its tokenizer): count every adjacent character pair
+    inside whitespace words (lowercased), emit the top 50 merge
+    candidates. Iterating this (merge top pair → recount) IS
+    byte-pair-encoding; the first iteration is the expensive one at
+    corpus scale and is a pure count, so it belongs in the engine.
+
+    Scale: explode is linear in corpus characters; the pair vocabulary
+    is tiny (≤ |alphabet|²), so map-side partial aggregation collapses
+    nearly all traffic — the shuffle carries one row per (partition,
+    pair). Top-50 with count-then-pair ordering is totally ordered →
+    both engines pick the identical set (ties broken by pair text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: w.substr(i, F.lit(2)),
+    )
+    return (
+        _spread(docs)
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "w"
+            )
+        )
+        .filter(F.length(w) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(50)
+    )

@@ -15,7 +15,7 @@ datetimes — strings sidestep the mismatch (session tz pinned to UTC).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -812,4 +812,284 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_US_SPARK).alias("valid_from"),
         F.date_format(nxt, TS_US_SPARK).alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series downsampling: per-minute OHLC bars.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_minute_ohlc",
+    oracle=f"""
+    SELECT event_type,
+      strftime(date_trunc('minute', ts), '{TS_FMT_DUCK}') AS minute,
+      count(*) AS n_events,
+      arg_min(value, strftime(ts, '{TS_US_DUCK}') ||
+              lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open_value,
+      arg_max(value, strftime(ts, '{TS_US_DUCK}') ||
+              lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_value,
+      max(value) AS high_value,
+      min(value) AS low_value
+    FROM events
+    WHERE user_id % 11 = 0
+    GROUP BY event_type, date_trunc('minute', ts)
+    """,
+)
+def events_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute OHLC downsampling bars per event_type (engine
+    extension per SURVEY.md §2.9 — the hypertable continuous-aggregate
+    shape: raw events roll up into fixed-grain bars that coarser grains
+    re-aggregate from without touching raw data; open/close re-derive
+    exactly because the bar carries its boundary values). first/last
+    within a bar are order-dependent, so both engines select them with
+    min_by/arg_min over one fixed-width sort key
+    (microsecond-timestamp string ++ zero-padded event_id) — totally
+    ordered, hence deterministic under any partitioning; DuckDB's
+    arg_min takes no struct ordering key, which is why the key is a
+    string on both sides.
+
+    Scale: one shuffle on (event_type, minute) with map-side partial
+    min_by/max_by — per-group state is O(1), no sort, no window. The
+    user_id filter bounds driver output and commutes with grouping."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 11 == 0
+    )
+    key = F.concat(
+        F.date_format("ts", TS_US_SPARK),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("minute", F.col("ts")), TS_FMT_SPARK).alias(
+            "minute"
+        ),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min_by("value", key).alias("open_value"),
+        F.max_by("value", key).alias("close_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch: approximate quantiles with a rank-error bound.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_quantile_rank_check",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+      TRUE AS within_p50, TRUE AS within_p95
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_quantile_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch with its guarantee carried in the
+    driver row (SURVEY.md §2.5 sketch family, same contract as
+    sketch_approx_distinct_check): approx_percentile (Greenwald-Khanna,
+    accuracy=10000 → rank error ≤ 1e-4) estimates p50/p95 of value per
+    event_type; a second pass computes the TRUE rank of each estimate
+    (fraction of rows ≤ it) and asserts |rank − q| ≤ 0.02. GK bounds
+    RANK error, not value error, so the check is rank-based — a value
+    bound would be skew-fragile and algorithm-specific. The oracle
+    pins exact counts plus literal TRUEs, so a sketch drifting past
+    its bound reds the row cross-engine.
+
+    Scale: the sketch is fixed-size mergeable state (one shuffle,
+    map-side partial); the verification rank pass broadcasts the tiny
+    per-type threshold table back over events — scaffolding, not the
+    100 TB serving path (which ships only the sketch)."""
+    events = read_table(spark, sf_dir, "events")
+    thr = (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("ap")
+        )
+        .select(
+            "event_type",
+            F.col("ap")[0].alias("a50"),
+            F.col("ap")[1].alias("a95"),
+        )
+    )
+    ranked = events.join(F.broadcast(thr), on="event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.when(F.col("value") <= F.col("a50"), 1).otherwise(0))
+            / F.count("*")
+        ).alias("r50"),
+        (
+            F.sum(F.when(F.col("value") <= F.col("a95"), 1).otherwise(0))
+            / F.count("*")
+        ).alias("r95"),
+    )
+    return ranked.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("within_p50"),
+        (F.abs(F.col("r95") - 0.95) <= 0.02).alias("within_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: z-order (Morton) file assignment with per-file bounds.
+# ---------------------------------------------------------------------------
+
+# Morton interleave of two 8-bit dims: x bits at even positions, y at
+# odd. The same expression is generated for both engines from one
+# formula so the layouts are bitwise identical.
+_Z_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+def _z_col(x: Column, y: Column) -> Column:
+    bits = [
+        F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(8)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query(
+    "layout_zorder_files",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id % 256 AS x,
+        (CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600) % 256 AS y
+      FROM events
+    ),
+    z AS (SELECT x, y, ({_Z_SQL}) AS zval FROM d)
+    SELECT zval >> 8 AS file_id, count(*) AS n_rows,
+      min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+      (max(x) - min(x) <= 15 AND max(y) - min(y) <= 15) AS tile_bounded
+    FROM z GROUP BY zval >> 8
+    """,
+)
+def layout_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file layout planning (engine extension —
+    the write-side data-skipping organizer Delta/Iceberg OPTIMIZE
+    ZORDER implements): interleave the bits of two query dimensions
+    (user bucket ×  epoch-hour bucket) and assign rows to files by
+    z-prefix (top 8 of 16 bits → ≤256 files). The payoff is in the
+    emitted per-file min/max column stats: every file is confined to a
+    ≤16×16 tile in BOTH dimensions (``tile_bounded``, asserted
+    cross-engine), so a point/range predicate on EITHER column prunes
+    ~15/16 of files from footer stats alone — a linear sort bounds one
+    dimension and leaves the other unbounded per file.
+
+    Scale: z-value is a map-only bit expression; the real writer is
+    ``df.repartitionByRange(n, zval).sortWithinPartitions(zval)
+    .write`` — one range shuffle, same as any sorted write. This query
+    materializes the resulting layout manifest (file → bounds), i.e.
+    the statistics table a 100 TB reader would prune against."""
+    events = read_table(spark, sf_dir, "events")
+    d = events.select(
+        (F.col("user_id") % 256).alias("x"),
+        (
+            F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint") % 256
+        ).alias("y"),
+    )
+    z = d.select("x", "y", _z_col(F.col("x"), F.col("y")).alias("zval"))
+    return z.groupBy(F.shiftright(F.col("zval"), 8).alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        (
+            (F.max("x") - F.min("x") <= 15) & (F.max("y") - F.min("y") <= 15)
+        ).alias("tile_bounded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew audit: heavy-hitter keys (the pre-flight for salted joins).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN -1
+                  WHEN user_id % 10 = 1 THEN -2
+                  ELSE user_id END AS join_key
+      FROM events
+    ),
+    counts AS (
+      SELECT join_key, count(*) AS n_events FROM keyed GROUP BY join_key
+    ),
+    stats AS (
+      SELECT CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_n,
+             CAST(sum(n_events) AS BIGINT) AS total_n
+      FROM counts
+    )
+    SELECT join_key, n_events,
+      CAST(n_events AS DOUBLE) / total_n AS share,
+      CAST(n_events AS DOUBLE) / mean_n AS skew_ratio
+    FROM counts, stats
+    WHERE CAST(n_events AS DOUBLE) >= 3.0 * mean_n
+    """,
+)
+def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key audit (engine extension — the pre-flight that
+    decides WHERE the salted-join path in star_schema.join_skew_salted
+    is worth its extra shuffle): per-key frequencies, then keys whose
+    count is ≥3× the mean key load, with their share of total rows.
+    At 100 TB this manifest — a handful of rows — is what picks the
+    salting key list and the salt factor; running it is one groupBy
+    plus an O(#keys) aggregate, vastly cheaper than discovering skew
+    by watching one straggler task run for an hour.
+
+    The events fixture is deliberately uniform (FIXTURES.md), so the
+    audited key synthesizes the classic production skew shape the same
+    way _dedup_corpus synthesizes duplicates: sentinel/default ids
+    (the "unknown user" −1 / "bot traffic" −2 every real event log
+    accumulates) absorb 10% of rows each — exactly the hot-key
+    pattern that melts an unsalted shuffle join.
+
+    mean is computed as explicit double division of exact integer sums
+    on both engines (not avg()) so the 3× threshold compares bitwise
+    identically."""
+    events = read_table(spark, sf_dir, "events")
+    join_key = (
+        F.when(F.col("user_id") % 10 == 0, F.lit(-1))
+        .when(F.col("user_id") % 10 == 1, F.lit(-2))
+        .otherwise(F.col("user_id"))
+    )
+    counts = (
+        events.select(join_key.alias("join_key"))
+        .groupBy("join_key")
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = counts.agg(
+        (
+            F.sum("n_events").cast("double") / F.count("*")
+        ).alias("mean_n"),
+        F.sum("n_events").cast("bigint").alias("total_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_events").cast("double") >= 3.0 * F.col("mean_n"))
+        .select(
+            "join_key",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total_n")).alias(
+                "share"
+            ),
+            (F.col("n_events").cast("double") / F.col("mean_n")).alias(
+                "skew_ratio"
+            ),
+        )
     )
