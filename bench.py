@@ -75,6 +75,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "layout_zorder_files",
     "events_minute_ohlc",
+    "ann_pq_codes",
     "sketch_hll_mergeable_rollup",
 ]
 

@@ -3428,3 +3428,88 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), F.asc("pair"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace centroid codes.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / 4)
+_PQ_NCENT = 16   # codebook size per subspace (centroids = vec_id < 16)
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sub AS (
+      SELECT vec_id, s, ve[s*{_PQ_SUBDIM}+1 : s*{_PQ_SUBDIM}+{_PQ_SUBDIM}] AS sv
+      FROM emb, (SELECT unnest([0, 1, 2, 3]) AS s) t
+    ),
+    cent AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_NCENT}
+    ),
+    scored AS (
+      SELECT v.vec_id, v.s, c.cid,
+        round({_l2_sql('v.sv', 'c.cv')}, 6) AS d,
+        row_number() OVER (PARTITION BY v.vec_id, v.s
+          ORDER BY round({_l2_sql('v.sv', 'c.cv')}, 6), c.cid) AS rn
+      FROM sub v JOIN cent c ON v.s = c.s
+    )
+    SELECT vec_id, s AS subspace, cid AS code, d AS sq_err
+    FROM scored WHERE rn = 1
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the codebook
+    compression every billion-vector ANN index rests on): split each
+    64-dim embedding into 4 disjoint 16-dim subspaces, assign each
+    subvector to its nearest codebook centroid → 4 small codes replace
+    256 floats (64× compression at k=16; 8-bit codebooks give 64→4
+    bytes). Codebooks are fixed deterministically (the first 16
+    vectors' subvectors — a k-means++ seeding stand-in, same
+    determinism pattern as cluster_kmeans_embeddings); assignment =
+    min over (rounded L2, centroid id), so both engines pick identical
+    codes. sq_err is the per-subspace quantization residual — its sum
+    is the reconstruction error that tunes m/k.
+
+    Scale: codebooks are m×k tiny → broadcast; encoding is one map
+    pass + a hash min_by agg keyed (vec_id, subspace) — no window
+    sort, no shuffle of raw vectors beyond the initial spread. The
+    encoded table (4 ints per vector) is what a 100 TB corpus ships
+    to the serving tier; ADC distance tables then score candidates
+    against codes, never raw floats."""
+    from wiki_data_pipeline_spark.functions.vectors import sq_dist
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("ve", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    sub = _spread(emb).select(
+        "vec_id", F.explode(subs).alias("sub")
+    ).select("vec_id", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv"))
+    cent = sub.filter(F.col("vec_id") < _PQ_NCENT).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d = F.round(sq_dist(F.col("sv"), F.col("cv")), 6)
+    scored = sub.join(F.broadcast(cent), on="s").select(
+        "vec_id", "s", "cid", d.alias("d")
+    )
+    best = scored.groupBy("vec_id", "s").agg(
+        F.min_by(F.struct("cid", "d"), F.struct("d", "cid")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("s").alias("subspace"),
+        F.col("best.cid").alias("code"),
+        F.col("best.d").alias("sq_err"),
+    )

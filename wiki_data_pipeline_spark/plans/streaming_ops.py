@@ -1093,3 +1093,47 @@ def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: first-seen day × activity-day offsets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH fa AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      count(*) AS n_active
+    FROM act JOIN fa USING (user_id)
+    GROUP BY cohort_day, date_diff('day', cohort_day, day)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle (engine extension per SURVEY.md §2.9
+    — the activity analysis every event pipeline reports): users
+    bucketed by first-seen day; for each cohort × day-offset, how many
+    of its users were active that day. Day-level distinct first
+    (collapses raw events to ≤ users × days rows), THEN the
+    cohort join — at 100 TB the join input is the compact activity
+    matrix, not the raw stream; both groupBys and the join all shuffle
+    on user_id, so AQE coalesces them onto one exchange footprint."""
+    events = read_table(spark, sf_dir, "events")
+    fa = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(fa, on="user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
