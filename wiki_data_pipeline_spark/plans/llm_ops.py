@@ -3513,3 +3513,116 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.cid").alias("code"),
         F.col("best.d").alias("sq_err"),
     )
+
+
+@query(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sub AS (
+      SELECT vec_id, s, ve[s*{_PQ_SUBDIM}+1 : s*{_PQ_SUBDIM}+{_PQ_SUBDIM}] AS sv
+      FROM emb, (SELECT unnest([0, 1, 2, 3]) AS s) t
+    ),
+    cent AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_NCENT}
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT v.vec_id, v.s, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id, v.s
+            ORDER BY round({_l2_sql('v.sv', 'c.cv')}, 6), c.cid) AS rn
+        FROM sub v JOIN cent c ON v.s = c.s
+      ) WHERE rn = 1
+    ),
+    dt AS (
+      SELECT q.vec_id AS query_id, q.s, c.cid,
+        CAST(round({_l2_sql('q.sv', 'c.cv')}, 6) AS DECIMAL(28,6)) AS dd
+      FROM sub q JOIN cent c ON q.s = c.s
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT dt.query_id, codes.vec_id,
+        CAST(sum(dt.dd) AS DOUBLE) AS adc_dist
+      FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
+      WHERE codes.vec_id <> dt.query_id
+      GROUP BY dt.query_id, codes.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the serving-side
+    half of ann_pq_codes (Jégou et al. 2011 §IV): the query stays
+    un-quantized; one tiny distance table (query-subvector → each of
+    the m×k codebook centroids) is built per query, and every
+    database vector is scored by summing m table lookups selected by
+    its stored codes — raw vectors are never touched at query time.
+    Table-entry distances are rounded then summed as DECIMAL(28,6) so
+    the 4-term sum is exact and order-independent (the engine's
+    standard float-merge discipline); ranking breaks ties on vec_id.
+
+    Scale: the distance table is |Q|·m·k rows → broadcast; scoring is
+    a broadcast-hash join against the 4-ints-per-vector code table
+    (the only thing a 100 TB corpus keeps hot) + a hash agg keyed
+    (query, vec). The top-k window partitions by query_id — |Q|
+    partitions of candidate rows, the standard reranker shape; recall
+    tuning (m, k, rerank-with-raw) sits above this operator."""
+    from wiki_data_pipeline_spark.functions.vectors import sq_dist
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("ve", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    sub = _spread(emb).select(
+        "vec_id", F.explode(subs).alias("sub")
+    ).select("vec_id", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv"))
+    cent = sub.filter(F.col("vec_id") < _PQ_NCENT).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d = F.round(sq_dist(F.col("sv"), F.col("cv")), 6)
+    codes = (
+        sub.join(F.broadcast(cent), on="s")
+        .select("vec_id", "s", "cid", d.alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("cid", F.struct("d", "cid")).alias("code"))
+    )
+    dq = F.round(sq_dist(F.col("sv"), F.col("cv")), 6)
+    dt = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cent), on="s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "cid",
+            dq.cast("decimal(28,6)").alias("dd"),
+        )
+    )
+    adc = (
+        codes.alias("c")
+        .join(
+            F.broadcast(dt.alias("q")),
+            (F.col("c.s") == F.col("q.s"))
+            & (F.col("c.code") == F.col("q.cid"))
+            & (F.col("c.vec_id") != F.col("q.query_id")),
+        )
+        .groupBy(F.col("q.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
+        .agg(F.sum("dd").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+    )
