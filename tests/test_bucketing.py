@@ -89,3 +89,46 @@ def test_quantize_plan_is_shuffle_free(spark, sf_dir):
     plan = _executed_plan(df)
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_pq_adc_scoring_join_is_broadcast(spark, sf_dir):
+    """SCALE.md claims the ADC distance table (|Q|·m·k rows) broadcasts
+    onto the code table — the code table must never sort-merge."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("sim_ann_pq_adc").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zorder_layout_single_aggregation_shuffle(spark, sf_dir):
+    """The Morton interleave is map-only; the only keyed exchange is
+    the final per-file stats aggregation."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("layout_zorder_files").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("hashpartitioning") <= 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_quantile_check_threshold_join_is_broadcast(spark, sf_dir):
+    """The per-type GK threshold table must broadcast back over events
+    for the rank pass, never shuffle events."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("sketch_quantile_rank_check").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_profile_is_single_scan(spark, sf_dir):
+    """quality_column_profile's point is 1 scan for all columns — the
+    plan must contain exactly one parquet scan of events."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("quality_column_profile").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan

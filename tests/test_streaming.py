@@ -305,3 +305,42 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT event_id, count(*) c FROM t_dedup GROUP BY event_id")
     assert got.filter("c > 1").count() == 0
     assert got.count() == events.count()
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    from wiki_data_pipeline_spark.streaming.jobs import run_streaming_minute_ohlc
+
+    src = str(tmp_path / "src")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    run_streaming_minute_ohlc(
+        spark, src, str(tmp_path / "ckpt"), query_name="t_ohlc"
+    )
+    emitted = spark.table("t_ohlc")
+
+    events = read_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    batch = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_start"), "event_type"
+    ).agg(
+        F.count("*").alias("b_n"),
+        F.min_by("value", key).alias("b_open"),
+        F.max_by("value", key).alias("b_close"),
+        F.max("value").alias("b_high"),
+        F.min("value").alias("b_low"),
+    )
+    joined = emitted.join(batch, on=["minute_start", "event_type"], how="left")
+    bad = joined.filter(
+        F.col("b_n").isNull()
+        | (F.col("b_n") != F.col("n_events"))
+        | (F.col("b_open") != F.col("open_value"))
+        | (F.col("b_close") != F.col("close_value"))
+        | (F.col("b_high") != F.col("high_value"))
+        | (F.col("b_low") != F.col("low_value"))
+    )
+    assert bad.count() == 0
+    # only the ≤watermark tail may be withheld in append mode
+    got = emitted.agg(F.sum("n_events")).collect()[0][0]
+    assert got is not None and got >= events.count() * 0.9

@@ -3395,7 +3395,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer induction, first merge step (engine extension —
+    """BPE tokenizer induction, first merge step (engine extension per
+    SURVEY.md §2.8 scalar/token surface —
     the corpus-statistics pass a training-data pipeline runs to build
     or audit its tokenizer): count every adjacent character pair
     inside whitespace words (lowercased), emit the top 50 merge
@@ -3462,7 +3463,8 @@ _PQ_NCENT = 16   # codebook size per subspace (centroids = vec_id < 16)
     """,
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding (Jégou et al. 2011, the codebook
+    """Product-quantization encoding (engine extension per SURVEY.md §2
+    similarity family; Jégou et al. 2011, the codebook
     compression every billion-vector ANN index rests on): split each
     64-dim embedding into 4 disjoint 16-dim subspaces, assign each
     subvector to its nearest codebook centroid → 4 small codes replace
@@ -3625,4 +3627,61 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of IVF vs the exact baseline.
+# ---------------------------------------------------------------------------
+
+# Compose the already-registered oracles (registration order puts them
+# above) — the eval MUST score the same definitions it evaluates.
+from wiki_data_pipeline_spark.plans.registry import _REGISTRY as _QREG  # noqa: E402
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH exact_topk AS ({_QREG['sim_cosine_topk'].oracle}),
+    ivf_topk AS ({_QREG['sim_ann_ivf'].oracle}),
+    hits AS (
+      SELECT query_id, count(*) AS n_hits
+      FROM exact_topk JOIN ivf_topk USING (query_id, vec_id)
+      GROUP BY query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM exact_topk)
+    SELECT query_id,
+      CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      CAST(coalesce(n_hits, 0) AS DOUBLE) / {_TOPK} AS recall_at_k
+    FROM qs LEFT JOIN hits USING (query_id)
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against the exact brute-force
+    baseline (the evaluation every ANN deployment runs before trading
+    recall for scan cost — and the number that justifies nprobe/m/k
+    choices in SCALE.md): per query, |IVF top-k ∩ exact top-k| / k.
+    Both sides are THE registered queries (same plans, same rounding,
+    same tie-breaks), composed — not re-derived — so the eval can't
+    drift from what it evaluates; the oracle nests the same two
+    registered oracle texts.
+
+    Scale: both inputs end at |Q|·k rows, so the eval join is trivial
+    regardless of corpus size — recall evaluation is cheap because
+    only the BASELINE pass is expensive (O(Q·N), run on a sampled
+    query set, amortized over every index rebuild)."""
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ivf = sim_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(ivf, on=["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / _TOPK
+        ).alias("recall_at_k"),
     )

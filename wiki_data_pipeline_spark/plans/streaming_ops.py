@@ -977,7 +977,8 @@ def _z_col(x: Column, y: Column) -> Column:
     """,
 )
 def layout_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) file layout planning (engine extension —
+    """Z-order (Morton-curve) file layout planning (engine extension per
+    SURVEY.md §2.1 sink/layout family —
     the write-side data-skipping organizer Delta/Iceberg OPTIMIZE
     ZORDER implements): interleave the bits of two query dimensions
     (user bucket ×  epoch-hour bucket) and assign rows to files by
@@ -1043,7 +1044,8 @@ def layout_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter key audit (engine extension — the pre-flight that
+    """Heavy-hitter key audit (engine extension per SURVEY.md §2.4 join
+    family — the pre-flight that
     decides WHERE the salted-join path in star_schema.join_skew_salted
     is worth its extra shuffle): per-key frequencies, then keys whose
     count is ≥3× the mean key load, with their share of total rows.
@@ -1136,4 +1138,69 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
         )
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling: one-pass per-column stats.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "quality_column_profile",
+    oracle="""
+    SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_null,
+      CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'ts', count(*) - count(ts), count(DISTINCT ts) FROM events
+    UNION ALL
+    SELECT 'user_id', count(*) - count(user_id),
+      count(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'event_type', count(*) - count(event_type),
+      count(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', count(*) - count(value),
+      count(DISTINCT value) FROM events
+    UNION ALL
+    SELECT 'props', count(*) - count(props),
+      count(DISTINCT props) FROM events
+    """,
+)
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (engine extension per SURVEY.md §2.5
+    aggregate family — the
+    Deequ/GreatExpectations-style drift audit a pipeline runs before
+    trusting a new data drop): per column, null count and exact
+    distinct count. The whole profile is ONE aggregate over one scan —
+    2·|cols| aggregate expressions computed together — then the 1-row
+    wide result is exploded into the (col_name, metric…) long format
+    consumers diff against yesterday's profile. The oracle spells it
+    as per-column UNION ALL scans, which is exactly the naive shape
+    this operator exists to avoid at 100 TB (6 scans → 1).
+
+    Exact countDistinct per column does shuffle each column's value
+    set; for TB-wide profiling swap in approx_count_distinct and carry
+    the ε like sketch_approx_distinct_check — the profile schema stays
+    identical."""
+    events = read_table(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"dist_{c}"))
+    wide = events.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.n_null", "r.n_distinct"
     )

@@ -447,3 +447,56 @@ def run_streaming_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_minute_ohlc(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_ohlc",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 16,
+) -> None:
+    """Streaming twin of the ``events_minute_ohlc`` batch query:
+    watermarked per-minute OHLC bars per event_type. open/close use
+    min_by/max_by over the same fixed-width (timestamp ++ event_id)
+    sort key as the batch plan, so a drained availableNow run emits
+    exactly the batch bars — asserted by
+    tests/test_streaming.py::test_streaming_ohlc_matches_batch.
+    min_by/max_by are ordinary declarative aggregates, so they carry
+    O(1) per-group streaming state like count/sum (no
+    flatMapGroupsWithState needed for first/last-in-window)."""
+    events = read_event_stream(spark, source_dir, max_files_per_trigger)
+    key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", key).alias("open_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+        )
+        .select(
+            F.col("w.start").alias("minute_start"),
+            "event_type",
+            "n_events",
+            "open_value",
+            "close_value",
+            "high_value",
+            "low_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
