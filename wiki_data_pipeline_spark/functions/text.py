@@ -75,3 +75,4 @@ def is_redirect(col: Column | str) -> Column:
     """Redirect predicate (F4). Reference src/mediawiki_client.py:150-151."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(c).startswith("#redirect")
+

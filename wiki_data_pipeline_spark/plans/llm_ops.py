@@ -3685,3 +3685,59 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / _TOPK
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization (NFC + accent strip).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+        substr(text, 1, 20) || ' Caf' || chr(233) || ' e' || chr(769) ||
+          ' M' || chr(252) || 'nchen' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+      strip_accents(nfc_normalize(raw)) AS normalized,
+      CAST(length(raw) AS BIGINT) AS raw_len,
+      CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
+    FROM synth
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (engine extension per SURVEY.md §2.8 —
+    the pass multilingual corpora need BEFORE exact/near dedup:
+    composed 'é' and decomposed 'e'+U+0301 are byte-different,
+    canonically equal, and hash to different md5s, so un-normalized
+    corpora silently miss duplicates). NFC composes; accent-strip
+    folds diacritics for fingerprinting/search keys. The fixture is
+    ASCII, so each doc gets a deterministic mixed suffix (composed
+    é, decomposed e+combining-acute, ü) — nfc_len < raw_len proves
+    composition actually ran; normalized strings and both lengths are
+    hash-checked against DuckDB's nfc_normalize/strip_accents.
+
+    Scale: Arrow-batched pandas_udf (Spark has no NFC expression) —
+    linear, map-only; at 100 TB run ONCE at ingest and persist the
+    canonical form, never per-query."""
+    from wiki_data_pipeline_spark.functions.unicode_norm import (
+        unicode_nfc_strip_accents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw = F.concat(F.substring("text", 1, 20), F.lit(' Café é München'))
+    synth = _spread(docs).select("doc_id", raw.alias("raw"))
+    out = synth.select(
+        "doc_id",
+        unicode_nfc_strip_accents(F.col("raw")).alias("u"),
+        F.length("raw").cast("bigint").alias("raw_len"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("u.normalized").alias("normalized"),
+        "raw_len",
+        F.col("u.nfc_len").alias("nfc_len"),
+    )

@@ -1204,3 +1204,65 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(rows).alias("r")).select(
         "r.col_name", "r.n_null", "r.n_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-moment aggregates: decimal-exact variance / stddev.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_value_moments",
+    oracle=f"""
+    SELECT event_type,
+      count(*) AS n_events,
+      {_davg_sql('value', 'mean_value')},
+      round(
+        (CAST(sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)))
+              AS DOUBLE)
+         - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+           * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+        / (count(*) - 1), 6) AS var_value,
+      round(sqrt(
+        (CAST(sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)))
+              AS DOUBLE)
+         - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+           * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+        / (count(*) - 1)), 6) AS stddev_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev per group with ORDER-PROOF summation
+    (engine extension per SURVEY.md §2.5 aggregate family — the
+    second-moment stats every quality dashboard wants next to
+    count/sum/avg): built-in var_samp sums doubles in partition order,
+    so its low bits change with partitioning and can never hash-match
+    a single-threaded oracle; here both moments (Σx, Σx²) accumulate
+    as exact DECIMAL — associative and partitioning-independent — and
+    only the final var = (Σx² − (Σx)²/n)/(n−1) runs in double, an
+    identical scalar computation on both engines. The same
+    representation is what makes the moments MERGEABLE for the
+    incremental-MV path (incr_agg_merge): partial (n, Σx, Σx²)
+    triples merge exactly.
+
+    Scale: one shuffle with map-side partial decimal sums — identical
+    cost to the existing _dsum pattern; no second pass, no sort."""
+    events = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,6)")
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sx2"),
+    )
+    sx = F.col("sx").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    n = F.col("n_events")
+    var = (sx2 - sx * sx / n) / (n - 1)
+    return agg.select(
+        "event_type",
+        "n_events",
+        (sx / n).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+    )
