@@ -3741,3 +3741,112 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_len",
         F.col("u.nfc_len").alias("nfc_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link analysis: PageRank over the near-duplicate pair graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pr_iter_sql(prev: str) -> str:
+    return f"""
+      SELECT e.dst AS doc_id,
+        round((SELECT 0.15 / n FROM nn) + {_PR_DAMP} *
+          CAST(sum(CAST(round(p.pr / d.outdeg, 9) AS DECIMAL(28,9)))
+               AS DOUBLE), 9) AS pr
+      FROM e
+      JOIN {prev} p ON p.doc_id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    """
+
+
+@query(
+    "graph_pagerank_dedup",
+    oracle=f"""
+    WITH pairs AS ({_QREG['dedup_minhash_lsh'].oracle}),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    pr0 AS (
+      SELECT doc_id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM nodes
+    ),
+    pr1 AS ({_pr_iter_sql('pr0')}),
+    pr2 AS ({_pr_iter_sql('pr1')}),
+    pr3 AS ({_pr_iter_sql('pr2')})
+    SELECT doc_id, round(pr, 6) AS pagerank,
+      CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, doc_id) AS BIGINT)
+        AS rank
+    FROM pr3
+    ORDER BY rank LIMIT 100
+    """,
+)
+def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate pair graph (engine
+    extension per SURVEY.md §2 iterative family — link analysis, the
+    corpus-quality weighting CommonCrawl-style pipelines compute;
+    within dup clusters, centrality is the principled canonical-pick:
+    the version most connected to other versions, vs dedup_keep_best's
+    attribute heuristic). Edges are THE registered dedup_minhash_lsh
+    pairs (oracle composed, not re-derived), symmetrized; 3 power
+    iterations of PR ← 0.15/N + 0.85·Σ PR(in)/outdeg(in).
+
+    Determinism across engines AND partitionings: per-edge
+    contributions are rounded then summed as DECIMAL(28,9) — the
+    in-neighbor sum is exact whatever the shuffle order — and each
+    round's PR is re-rounded before the next, so floating error can't
+    compound differently per engine (same discipline as the k-means
+    decimal means). Scale: per round = one shuffle keyed on dst +
+    broadcast of the O(1) node-count scalar; lineage truncated per
+    round with localCheckpoint exactly like dedup_cluster_components;
+    3 fixed rounds (dup-cluster diameters are tiny — rank gap closes
+    geometrically at 0.85^t)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    e = e.localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("doc_id")).distinct()
+    nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "doc_id", F.round(F.lit(1.0) / F.col("n"), 9).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = F.round(F.col("pr") / F.col("outdeg"), 9).cast(
+            "decimal(28,9)"
+        )
+        pr = (
+            e.join(pr.withColumnRenamed("doc_id", "src"), on="src")
+            .join(deg, on="src")
+            .select(F.col("dst").alias("doc_id"), contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + _PR_DAMP * F.col("s").cast("double"),
+                    9,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # TakeOrderedAndProject first (distributed top-k, no global sort),
+    # THEN rank — the single-partition window sees only 100 rows.
+    top = (
+        pr.select("doc_id", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1266,3 +1266,140 @@ def agg_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_value"),
         F.round(F.sqrt(var), 6).alias("stddev_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: small-file compaction planning.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_CHARS = 64_000
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+          - n_chars AS start_off
+      FROM documents
+    )
+    SELECT source,
+      CAST(floor(start_off / {_COMPACT_TARGET_CHARS}) AS BIGINT) AS file_group,
+      count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM c GROUP BY source, floor(start_off / {_COMPACT_TARGET_CHARS})
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (engine extension per SURVEY.md
+    §2.1 sink/layout family — the OPTIMIZE/bin-packing pass every
+    long-lived 100 TB table needs: streaming ingest leaves thousands
+    of KB-sized files per partition; readers want hundreds of MB):
+    within each source partition, docs are laid out in doc_id order
+    and cut into target-size groups by their cumulative-size START
+    offset — each group is one planned output file, emitted with its
+    id-range manifest so the rewrite is resumable/idempotent per
+    group. Greedy start-offset cutting = first-fit-decreasing-free:
+    deterministic, single pass, no global state.
+
+    Scale: ONE window pass partitioned by source (never a global
+    sort); the cumsum is per-partition-key, exactly the
+    pack_training_sequences discipline. The plan table is tiny
+    (#files rows); the rewrite it drives is embarrassingly parallel
+    per group."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    )
+    return c.groupBy(
+        "source",
+        F.floor(F.col("start_off") / _COMPACT_TARGET_CHARS)
+        .cast("bigint")
+        .alias("file_group"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median / MAD outliers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+        abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_disc(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+      round((d.value - d.med) / m.mad, 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > 5 * m.mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD (engine extension per
+    SURVEY.md §2.5 aggregate family — the anomaly gate a pipeline
+    puts on metric streams, robust where mean/stddev (agg_value_moments)
+    are dragged by the very outliers being hunted: median and MAD have
+    50% breakdown). Flags events with |value − median| > 5·MAD and
+    emits the robust z-score (value − med)/MAD. Exact discrete
+    percentiles on both engines (percentile_disc ≡ quantile_disc, the
+    agg_value_percentiles-proven pair), so thresholding is
+    deterministic — no float summation anywhere.
+
+    Scale: two percentile passes + two broadcast joins of the 5-row
+    stats tables back over events; exact per-group percentiles sort
+    within groups — swap approx_percentile + the rank-check pattern
+    (sketch_quantile_rank_check) when groups stop fitting a sort."""
+    events = read_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "med"
+        )
+    )
+    dev = events.join(F.broadcast(med), on="event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .filter(F.col("adev") > 5 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("med")) / F.col("mad"), 6).alias(
+                "robust_z"
+            ),
+        )
+    )
