@@ -76,6 +76,8 @@ HEADLINE = [
     "layout_zorder_files",
     "events_minute_ohlc",
     "ann_pq_codes",
+    "graph_pagerank_dedup",
+    "events_anomaly_mad",
     "sketch_hll_mergeable_rollup",
 ]
 
