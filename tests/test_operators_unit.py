@@ -561,3 +561,62 @@ def test_bigram_surprisal_buckets_are_thirds(spark, sf_dir):
         head = buckets.count("head")
         assert 0 < head, lang
         assert head <= 0.45 * n + 1, (lang, head, n)
+
+
+def test_zorder_morton_interleave_properties(spark):
+    """The Morton z-value must interleave exactly: x in even bits, y in
+    odd bits, and a z-prefix (file_id) must confine both dims to a
+    16-wide tile — the data-skipping guarantee layout_zorder_files
+    asserts per file."""
+    from wiki_data_pipeline_spark.plans.streaming_ops import _z_col
+
+    df = spark.range(0, 256 * 4).selectExpr(
+        "CAST(id % 256 AS BIGINT) AS x", "CAST((id * 37) % 256 AS BIGINT) AS y"
+    )
+    out = df.select("x", "y", _z_col(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in out:
+        x_back = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y_back = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x_back, y_back) == (r.x, r.y)
+        # the file_id prefix carries exactly the two high nibbles →
+        # every file is a 16×16 tile in (x, y)
+        fid = r.z >> 8
+        fid_x = sum(((fid >> (2 * i)) & 1) << i for i in range(4))
+        fid_y = sum(((fid >> (2 * i + 1)) & 1) << i for i in range(4))
+        assert (fid_x, fid_y) == (r.x >> 4, r.y >> 4)
+
+
+def test_value_moments_match_python_statistics(spark, sf_dir):
+    """agg_value_moments' decimal-exact variance must agree with
+    Python's statistics.variance on the same values (to rounding)."""
+    import statistics
+
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    got = {
+        r.event_type: r
+        for r in get("agg_value_moments").fn(spark, sf_dir).collect()
+    }
+    events = read_table(spark, sf_dir, "events")
+    for etype, row in got.items():
+        vals = [
+            r.value
+            for r in events.filter(F.col("event_type") == etype).collect()
+        ]
+        assert row.n_events == len(vals)
+        assert abs(row.mean_value - statistics.fmean(vals)) < 1e-6
+        assert abs(row.var_value - statistics.variance(vals)) < 1e-4
+
+
+def test_mad_anomalies_are_extreme_tail(spark, sf_dir):
+    """Every flagged MAD outlier must sit beyond 5 robust-z, and the
+    flagged set must be a small tail, not a chunk of the body."""
+    from wiki_data_pipeline_spark.io import read_table
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    out = get("events_anomaly_mad").fn(spark, sf_dir)
+    n_total = read_table(spark, sf_dir, "events").count()
+    rows = out.collect()
+    assert 0 < len(rows) < 0.05 * n_total
+    assert all(abs(r.robust_z) > 5 for r in rows)

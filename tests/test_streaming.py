@@ -344,3 +344,54 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
     # only the ≤watermark tail may be withheld in append mode
     got = emitted.agg(F.sum("n_events")).collect()[0][0]
     assert got is not None and got >= events.count() * 0.9
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingest dedup: stage the dedup corpus as two in-order
+    files (existing corpus, then the synthesized duplicates), run the
+    foreachBatch probe, and assert the boundary-crossing pairs equal
+    the batch dedup_incremental_minhash result."""
+    import os
+    import time
+
+    from wiki_data_pipeline_spark.plans.llm_ops import (
+        _INCR_SPLIT,
+        _dedup_corpus,
+    )
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        run_streaming_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = _dedup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < _INCR_SPLIT)
+    new = corpus.filter(F.col("doc_id") >= _INCR_SPLIT)
+    old.coalesce(1).write.parquet(src)
+    # second file must sort after the first by modification time
+    time.sleep(1.1)
+    new.coalesce(1).write.mode("append").parquet(src)
+    newest = max(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    os.utime(newest, (now + 5, now + 5))
+
+    run_streaming_incremental_dedup(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+    )
+    got = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("new_doc", "existing_doc")
+        .distinct()
+    )
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    expected = get("dedup_incremental_minhash").fn(spark, sf_dir)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert got.count() > 0

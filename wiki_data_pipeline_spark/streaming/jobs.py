@@ -500,3 +500,75 @@ def run_streaming_minute_ohlc(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+) -> None:
+    """Continuous-ingest near-dedup — the streaming form of
+    ``plans/llm_ops.dedup_incremental_minhash`` (reference F9
+    dedup-on-insert, src/queue_manager.py:52-58, upgraded to near-dup
+    content identity): each arriving micro-batch of documents is
+    MinHash-banded with the SAME ``_minhash_bands`` expression as the
+    batch path, probed against the persisted (band, sig, doc_id)
+    signature store, and then added to the store. Detected
+    (new_doc, existing_doc) pairs land under
+    ``pairs_dir/batch=N`` and the batch's signatures under
+    ``store_dir/batch=N`` — per-batch OVERWRITE into a batch_id
+    partition makes a foreachBatch retry idempotent (exactly-once
+    effect over at-least-once execution, the ST3 discipline).
+
+    Scale: the batch side shingles only its own docs (narrow,
+    batch-sized); the store is the persistable banded artifact — at
+    100 TB it lives bucketed by (band, sig) so the probe join
+    shuffles ONLY the new batch, never the store. Store growth is
+    signatures (m hashes/doc), not text."""
+    from wiki_data_pipeline_spark.plans.llm_ops import _minhash_bands
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        bands = _minhash_bands(batch.select("doc_id", "text")).select(
+            "band_idx", "sig", "doc_id"
+        )
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            store = sess.read.parquet(store_dir).select(
+                "band_idx", "sig", F.col("doc_id").alias("existing_doc")
+            )
+            pairs = (
+                bands.join(store, on=["band_idx", "sig"])
+                .select(
+                    F.col("doc_id").alias("new_doc"),
+                    "existing_doc",
+                )
+                .distinct()
+            )
+        except AnalysisException:  # first batch: no store yet
+            pairs = (
+                bands.select(
+                    F.col("doc_id").alias("new_doc"),
+                    F.col("doc_id").alias("existing_doc"),
+                ).limit(0)
+            )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        bands.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
