@@ -1403,3 +1403,86 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: most common 3-step paths within sessions.
+# ---------------------------------------------------------------------------
+
+_PATH_TOPN = 20
+
+
+@query(
+    "path_common_triples",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts, event_type,
+        CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WHERE user_id % 7 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_id, user_id, ts, event_type,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM g
+    ),
+    t AS (
+      SELECT event_type AS t1,
+        lead(event_type, 1) OVER w2 AS t2,
+        lead(event_type, 2) OVER w2 AS t3
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, count(*) AS n_paths
+    FROM t WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_paths DESC, t1, t2, t3 LIMIT {_PATH_TOPN}
+    """,
+)
+def path_common_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining — top 3-step event paths WITHIN
+    sessions (engine extension per SURVEY.md §2.9 — funnel DISCOVERY,
+    where funnel_view_click_purchase measures one funnel someone
+    already hypothesized, this surfaces which paths exist and how
+    often): sessionize (same 30-min-gap spec as sessionize_events),
+    slide a lead/lead² window along each session, count distinct
+    ordered triples, keep the top 20 with full-column tie-break so
+    both engines cut the same set.
+
+    Scale: the sessionize pass and the triple window share ONE
+    (user_id[, session])-sorted shuffle lineage; triples aggregate
+    with map-side partials onto a tiny (|types|³ ≤ 125-row) key space;
+    top-N is TakeOrderedAndProject. The classic n-gram-over-sequences
+    shape — same cost as sessionizing itself."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    s = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    t = s.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w2).alias("t2"),
+        F.lead("event_type", 2).over(w2).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        t.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("t1"), F.asc("t2"), F.asc("t3")
+        )
+        .limit(_PATH_TOPN)
+    )
