@@ -1486,3 +1486,116 @@ def path_common_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_PATH_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function breadth: rank / dense_rank / percent_rank /
+# cume_dist / ntile in one windowed pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_functions",
+    oracle=f"""
+    WITH totals AS (
+      SELECT event_type, user_id,
+        {_dsum_sql('value', 'total_value')}
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, total_value,
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      round(percent_rank() OVER w, 6) AS prnk,
+      round(cume_dist() OVER w, 6) AS cdist,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM totals
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY total_value DESC, user_id)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one windowed pass
+    (SURVEY.md §2.6 ordering family breadth — L1-L3 cover top-k /
+    FIFO / global index; this adds rank, dense_rank, percent_rank,
+    cume_dist, ntile, the leaderboard/quartile shapes every analytics
+    consumer asks for): per-user spend totals ranked within
+    event_type. The window order is TOTAL (value desc, then user_id),
+    so every function — including ntile's bucket boundaries — is
+    deterministic on both engines; totals use the decimal-sum
+    discipline so the ordering keys themselves are exact.
+
+    Scale: one shuffle for the totals agg, one per-type sort for the
+    shared window (all five functions evaluate in a single Window
+    node — Spark computes them in one pass over each partition).
+    Partitions are per-type user sets; if one type's user set outgrows
+    a sort, pre-bucket by hash(user) and rank within buckets + merge
+    offsets (the L3 two-pass pattern)."""
+    events = read_table(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        dsum(F.col("value"), "total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct: rolling 7-day active users (WAU per day).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rolling_distinct_users",
+    oracle="""
+    WITH expanded AS (
+      SELECT DISTINCT CAST(ts AS DATE) + CAST(i AS INTEGER) AS window_end_day,
+        user_id
+      FROM events, (SELECT unnest(generate_series(0, 6)) AS i) t
+    )
+    SELECT strftime(window_end_day, '%Y-%m-%d') AS day,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM expanded
+    GROUP BY window_end_day
+    """,
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day — WAU, the canonical
+    sliding-window DISTINCT (engine extension per SURVEY.md §2.9
+    window family; tumbling/session/moving-sum exist, but distinct
+    does NOT decompose into partial sums, so it gets its own shape):
+    each (day, user) activity row is replicated to the 7 window-end
+    days it supports, then count(DISTINCT) per window-end day. The
+    replicate-then-group form is the distributable one — a per-row
+    7-window fan-out of the already-day-deduped activity set, vs a
+    self-join of events against a day grid.
+
+    Scale: fan-out is 7× the (day, user) activity matrix (≪ raw
+    events), one shuffle on window_end_day; for planetary user counts
+    swap count(DISTINCT) for the mergeable HLL rollup
+    (sketch_hll_mergeable_rollup) — per-day sketches union across any
+    window length without re-reading events. Days past the corpus
+    edge correctly report the trailing-window tail."""
+    events = read_table(spark, sf_dir, "events")
+    act = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    expanded = act.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+        "user_id",
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("wend"), "user_id")
+    return (
+        expanded.distinct()
+        .groupBy(F.date_format("wend", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
