@@ -1599,3 +1599,65 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.date_format("wend", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Compliance: targeted-delete (right-to-be-forgotten) rewrite plan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "compliance_delete_plan",
+    oracle="""
+    WITH blocklist AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 0
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM blocklist)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+      round(CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM blocklist)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        AS affected_frac,
+      sum(CASE WHEN user_id IN (SELECT user_id FROM blocklist)
+          THEN 1 ELSE 0 END) > 0 AS rewrite_needed
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-delete rewrite planning (engine extension per
+    SURVEY.md §2.1 sink/layout family — the right-to-be-forgotten /
+    retention-purge pass every stored 100 TB corpus eventually owes:
+    deletes are rare and row-level, parquet is immutable, so the
+    executable question is WHICH date partitions must be rewritten and
+    how much of each survives): a deterministic deletion blocklist
+    (user_id % 101 — the reference has no PII store to derive one
+    from) is broadcast-semi-joined onto the date-partitioned layout;
+    the emitted manifest (rows, affected count/fraction,
+    rewrite_needed) is the work list the rewrite job executes
+    partition-by-partition, idempotently.
+
+    Scale: blocklists are small (requests, not corpus) → broadcast;
+    one date-keyed aggregate over one scan. Partitions with
+    rewrite_needed=false are untouched — the plan's whole point:
+    delete cost scales with affected partitions, not table size."""
+    events = read_table(spark, sf_dir, "events")
+    blocklist = (
+        events.select("user_id")
+        .filter(F.col("user_id") % 101 == 0)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    tagged = events.join(F.broadcast(blocklist), on="user_id", how="left")
+    hit = F.when(F.col("blocked"), 1).otherwise(0)
+    return tagged.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(hit).cast("bigint").alias("n_affected"),
+        F.round(
+            F.sum(hit).cast("double") / F.count("*"), 6
+        ).alias("affected_frac"),
+        (F.sum(hit) > 0).alias("rewrite_needed"),
+    )
