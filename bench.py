@@ -78,6 +78,8 @@ HEADLINE = [
     "ann_pq_codes",
     "graph_pagerank_dedup",
     "events_anomaly_mad",
+    "path_common_triples",
+    "window_rolling_distinct_users",
     "sketch_hll_mergeable_rollup",
 ]
 
