@@ -1,0 +1,105 @@
+"""Persisted IVF index: build once, probe many (engine extension per
+SURVEY.md §2 similarity family — the serving architecture behind the
+``sim_ann_ivf`` query, which recomputes its index inline for the
+oracle's sake; a deployment builds the index OFFLINE and ships only
+probes).
+
+The inverted file is materialized as a Hive-partitioned parquet layout
+``postings/cid=<cell>/`` — so "search only the probed cells" is not an
+in-plan filter but literal PARTITION PRUNING: a probe reads nprobe
+directories and never lists the rest. The same idea at 100 TB: posting
+lists are the bucketed artifact; centroids are a broadcast-sized side
+table; index build cost (one assignment pass) is amortized over every
+query batch. Mirrors the persisted-store discipline of
+``streaming.jobs.run_streaming_incremental_dedup``."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wiki_data_pipeline_spark.functions.vectors import as_double, cosine
+from wiki_data_pipeline_spark.io import read_table
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    centroid_mod: int = 100,
+) -> None:
+    """Assign every embedding to its nearest deterministic centroid
+    (every ``centroid_mod``-th vector — the k-means stand-in of
+    sim_ann_ivf) and persist centroids + cid-partitioned postings."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
+    )
+    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    s = F.round(cosine(F.col("ve"), F.col("ce")), 6)
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", s.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    (
+        assign.join(v, on="vec_id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+
+
+def probe_ivf(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Top-k cosine search over the persisted index for a
+    (query_id, qe) DataFrame. The postings scan carries
+    ``cid IN (probed cells)`` — partition pruning reads only those
+    directories (PartitionFilters in the scan node). Scoring, rounding
+    and tie-breaks replicate sim_ann_ivf exactly."""
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    score_qc = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        score_qc.desc(), F.col("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    probed_cids = [r.cid for r in probes.select("cid").distinct().collect()]
+    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("cid").isin(probed_cids)
+    )
+    cand = (
+        probes.join(postings, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "ve")
+    )
+    scored = cand.join(queries, on="query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= topk)
