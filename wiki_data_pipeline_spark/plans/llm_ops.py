@@ -1556,6 +1556,48 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Min-label connected components over an (a, b) pair DataFrame →
+    (node, lbl) at fixpoint — the shared iterative core of
+    dedup_cluster_components (MinHash graph) and dedup_semantic_keep
+    (embedding-cosine graph). See dedup_cluster_components for the
+    localCheckpoint / Observation-fixpoint scale discipline."""
+    from pyspark.sql import Observation
+
+    edges = pairs.select(
+        F.col(a).alias("u"), F.col(b).alias("v")
+    ).unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        )
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        obs = Observation()
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
+            )
+            .observe(obs, F.sum("lbl").alias("lbl_sum"))
+            .localCheckpoint()
+        )
+        cur_sum = obs.get["lbl_sum"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+
 @query(
     "dedup_cluster_components",
     oracle=f"""
@@ -1602,39 +1644,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     no separate aggregate pass, and never a collect of the frontier.
     The DuckDB oracle is the same fixpoint via WITH RECURSIVE
     transitive closure."""
-    from pyspark.sql import Observation
-
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select(F.col("u").alias("node")).distinct().withColumn(
-            "lbl", F.col("node")
-        )
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.u == labels.node)
-            .groupBy(F.col("v").alias("node2"))
-            .agg(F.min("lbl").alias("nmin"))
-        )
-        obs = Observation()
-        labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
-            )
-            .observe(obs, F.sum("lbl").alias("lbl_sum"))
-            .localCheckpoint()
-        )
-        cur_sum = obs.get["lbl_sum"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _min_label_components(pairs, "doc_a", "doc_b")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("component_id")
     )
@@ -3850,3 +3861,53 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("pagerank").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup end-to-end: cosine pair graph → components → survivors.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_QREG['dedup_embedding_cosine'].oracle}),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION ALL
+      SELECT vec_b AS u, vec_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+      node = min(lbl) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (arXiv:2303.09540, the full pipeline form —
+    engine extension per SURVEY.md §2.10 iterative surface):
+    embedding-cosine near-dup PAIRS (the registered
+    dedup_embedding_cosine graph, composed not re-derived) are closed
+    into semantic clusters by the shared min-label component core, and
+    each cluster keeps exactly one survivor (its min-id member —
+    swap in keep-best scoring like dedup_keep_best for quality-aware
+    survivorship). Output lists only CLUSTERED vectors with their
+    keep/drop verdict; vectors in no pair survive implicitly, so the
+    drop list — not the corpus — is the operator's product.
+
+    Scale: pair graph from sign-bucketed LSH (never all-pairs);
+    component rounds = cluster diameter (shallow for near-dup
+    graphs); same localCheckpoint/Observation discipline as
+    dedup_cluster_components via the shared helper."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    labels = _min_label_components(pairs, "vec_a", "vec_b")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("lbl").cast("bigint").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_survivor"),
+    )
