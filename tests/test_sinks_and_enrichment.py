@@ -258,3 +258,36 @@ def test_ivf_index_build_probe_matches_inline_query(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cid" in plan.split("PartitionFilters", 1)[1][:120], plan
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Data-lake schema evolution (S2 source robustness): an old
+    writer's files lack a column added later; mergeSchema must unify
+    the layout and null-fill the old rows, and filters on the new
+    column must not error on old files."""
+    from wiki_data_pipeline_spark.io import read_table
+
+    out = str(tmp_path / "evolving")
+    events = read_table(spark, sf_dir, "events")
+    old = events.filter(F.col("event_id") <= 500).select(
+        "event_id", "event_type", "value"
+    )
+    new = events.filter(F.col("event_id") > 500).select(
+        "event_id", "event_type", "value",
+        F.lit("v2").alias("schema_version"),
+    )
+    old.write.parquet(out + "/batch=0")
+    new.write.parquet(out + "/batch=1")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {
+        "event_id", "event_type", "value", "schema_version", "batch"
+    }
+    assert merged.count() == events.count()
+    assert (
+        merged.filter(F.col("schema_version").isNull()).count()
+        == old.count()
+    )
+    assert (
+        merged.filter(F.col("schema_version") == "v2").count() == new.count()
+    )

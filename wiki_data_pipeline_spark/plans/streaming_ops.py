@@ -1661,3 +1661,65 @@ def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("affected_frac"),
         (F.sum(hit) > 0).alias("rewrite_needed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST2 companion — incremental TOP-K maintenance (merge per-slice top-ks).
+# ---------------------------------------------------------------------------
+
+_TOPK_MAINT = 10
+
+
+@query(
+    "incr_topk_maintenance",
+    oracle=f"""
+    SELECT event_type, event_id, value, rnk FROM (
+      SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value,
+        CAST(row_number() OVER (PARTITION BY event_type
+          ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+      FROM events
+    ) WHERE rnk <= {_TOPK_MAINT}
+    """,
+)
+def incr_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TOP-K maintenance — the mergeable-MV form of a
+    leaderboard (SURVEY.md §2.9 ST2 family, the top-k sibling of
+    incr_agg_merge): top-k is a monoid under 'union then re-top-k'
+    (top-k(A∪B) = top-k(top-k(A) ∪ top-k(B))), so the stored MV keeps
+    only k rows per group and each refresh re-ranks the OLD top-k
+    unioned with the new slice's top-k — never re-reading history.
+    Here the persisted state is the event_id ≤ 500 slice's top-10 and
+    the delta is the > 500 slice; the oracle is the full recompute, so
+    the hash match proves merge ≡ recompute (exact, because the
+    ranking order (value desc, event_id) is total).
+
+    Scale: each slice's top-k is a per-group WindowGroupLimit (k rows
+    survive map-side on both sides of its shuffle); the merge ranks
+    2k rows per group. Refresh cost is O(delta + k·|groups|) vs
+    O(history) for the naive recompute."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.select("event_type", "event_id", "value")
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _TOPK_MAINT)
+            .drop("r")
+        )
+
+    state = topk(events.filter(F.col("event_id") <= 500))
+    delta = topk(events.filter(F.col("event_id") > 500))
+    return (
+        state.unionAll(delta)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK_MAINT)
+        .select(
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "value",
+            "rnk",
+        )
+    )
