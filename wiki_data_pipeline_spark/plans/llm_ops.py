@@ -3256,9 +3256,9 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index shape as dedup_ngram_jaccard (cost
     Σ posting-list², not n²; exact integer counts → bitwise-identical
-    division); only the denominator changes, so the two queries share
-    one shingle-join scan when run together (Catalyst reuses the
-    exchange)."""
+    division); only the denominator changes — a pipeline running both
+    should compute the shingle join once and derive both thresholds
+    from the shared `common` frame."""
     corpus = _dedup_corpus(spark, sf_dir).filter(
         F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
     )

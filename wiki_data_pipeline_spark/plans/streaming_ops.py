@@ -1124,8 +1124,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its users were active that day. Day-level distinct first
     (collapses raw events to ≤ users × days rows), THEN the
     cohort join — at 100 TB the join input is the compact activity
-    matrix, not the raw stream; both groupBys and the join all shuffle
-    on user_id, so AQE coalesces them onto one exchange footprint."""
+    matrix, not the raw stream, and the final (cohort, offset) rollup
+    aggregates a users×days frame, so every shuffle after the first
+    touches reduced data."""
     events = read_table(spark, sf_dir, "events")
     fa = events.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
