@@ -3911,3 +3911,60 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("bigint").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval integrity: near-dup leakage ACROSS train/val/test splits.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_leakage_minhash",
+    oracle=f"""
+    WITH pairs AS ({_QREG['dedup_minhash_lsh'].oracle}),
+    tagged AS (
+      SELECT doc_a, doc_b,
+        CASE WHEN {_HASH_BUCKET_SQL.format(key='doc_a')} < 80 THEN 'train'
+             WHEN {_HASH_BUCKET_SQL.format(key='doc_a')} < 90 THEN 'val'
+             ELSE 'test' END AS split_a,
+        CASE WHEN {_HASH_BUCKET_SQL.format(key='doc_b')} < 80 THEN 'train'
+             WHEN {_HASH_BUCKET_SQL.format(key='doc_b')} < 90 THEN 'val'
+             ELSE 'test' END AS split_b
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, split_a, split_b
+    FROM tagged WHERE split_a <> split_b
+    """,
+)
+def split_leakage_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup LEAKAGE audit (engine extension per
+    SURVEY.md §2.10 — the eval-integrity check next to
+    contamination_ngram_overlap, which guards against EXTERNAL
+    benchmarks; this guards the pipeline's OWN splits: a near-copy of
+    a train document sitting in val silently inflates eval, the
+    failure mode document-level hash splitting cannot prevent because
+    near-dups hash differently): the registered LSH pair graph is
+    tagged with each side's split_train_val_test assignment (same
+    md5-bucket rule, composed not re-derived) and pairs that straddle
+    splits are emitted. The fix loop: move/drop flagged docs, or
+    split by CLUSTER id (dedup_cluster_components) instead of doc id —
+    which makes this audit provably empty.
+
+    Scale: pair-graph cost (banded LSH, never all-pairs) + a map-only
+    split tag — the audit rides the dedup pass a pipeline already
+    runs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+
+    def split_of(c: Column) -> Column:
+        h = _hash_bucket(c)
+        return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            split_of(F.col("doc_a")).alias("split_a"),
+            split_of(F.col("doc_b")).alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
