@@ -260,7 +260,7 @@ def test_ivf_index_build_probe_matches_inline_query(spark, sf_dir, tmp_path):
     assert "cid" in plan.split("PartitionFilters", 1)[1][:120], plan
 
 
-def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+def test_schema_evolution_merge_read_events(spark, sf_dir, tmp_path):
     """Data-lake schema evolution (S2 source robustness): an old
     writer's files lack a column added later; mergeSchema must unify
     the layout and null-fill the old rows, and filters on the new

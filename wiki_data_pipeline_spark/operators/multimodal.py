@@ -234,6 +234,10 @@ def label_centroid_residuals(emb_df):
         import numpy as np
         import pandas as pd
 
+        # Group rows arrive in shuffle order; sort by key so the float
+        # summation order inside mean() is fixed and the residuals are
+        # deterministic across partitionings/re-runs.
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
         mat = np.stack(pdf["embedding"].to_numpy())  # (n, d) float32
         centroid = mat.astype(np.float64).mean(axis=0)
         res = np.sqrt(((mat - centroid) ** 2).sum(axis=1))

@@ -1399,10 +1399,13 @@ def sim_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.10 extension — the embedding-cluster quality signal
     used to pick semantic-dedup candidates: small residual ⇒ vector is
     near its cluster center ⇒ dedup candidate). The oracle recomputes
-    centroid + residual relationally (unnest → per-dim AVG → rejoin);
-    residuals are rounded to 6 decimals JVM-side (F.round, half-up like
-    DuckDB ROUND) so both engines agree despite float summation
-    order."""
+    centroid + residual relationally (unnest → per-dim AVG → rejoin).
+    Determinism: the UDF sorts each group by vec_id, so the Spark-side
+    result is bit-stable across partitionings; cross-engine, residuals
+    are rounded to 6 decimals on both sides (F.round half-up ≡ DuckDB
+    ROUND), which agrees in practice but is not a bitwise guarantee for
+    a value landing exactly on a rounding boundary — the rows-only unit
+    test backstops that documented risk."""
     from wiki_data_pipeline_spark.operators.multimodal import (
         label_centroid_residuals,
     )

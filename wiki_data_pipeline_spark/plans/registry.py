@@ -51,98 +51,21 @@ def _load_all() -> None:
     )
 
 
-def _correctness_history() -> dict[str, tuple[int, bool]]:
-    """name → (last round the harness sampled it, did that row pass).
-
-    The external correctness harness writes ``CORRECTNESS_r{N}.json``
-    at the repo root and samples a prefix of the exported registry each
-    round, so export order doubles as a coverage-rotation policy. The
-    rotation is derived from those artifacts — never from hand-tuned
-    name lists baked into product code. A row counts as ok if all three
-    checks passed, or if it is a rows-only row that produced rows
-    (``err == "no_oracle"``) for a query that STILL has no oracle —
-    rows-only status is reported honestly, not hidden from the sampling
-    window, and a query that has since gained an oracle counts as
-    unconfirmed until a value-checked row exists."""
-    import json
-    import os
-    import re
-
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    history: dict[str, tuple[int, bool]] = {}
-    try:
-        entries = sorted(os.listdir(root))
-    except OSError:
-        return history
-    for fname in entries:
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(os.path.join(root, fname)) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            spec = _REGISTRY.get(name)
-            ok = bool(
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ) or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-                and spec is not None
-                and spec.oracle is None
-            )
-            prev = history.get(name)
-            if prev is None or rnd >= prev[0]:
-                history[name] = (rnd, ok)
-    return history
-
-
-def _ordered_names() -> list[str]:
-    """Registration order, rotated by correctness history when the
-    harness's artifacts are present (any normal deployment has none, so
-    order is plain registration order): names whose latest sampled row
-    failed come first, then never-sampled names, then passing names
-    with the oldest green row first — so a fixed-size sampling prefix
-    re-confirms stale results before re-checking fresh ones.
-    Registration order breaks all ties, keeping the export stable."""
-    names = list(_REGISTRY)
-    history = _correctness_history()
-    if not history:
-        return names
-    reg_idx = {n: i for i, n in enumerate(names)}
-
-    def key(name: str) -> tuple[int, int, int]:
-        row = history.get(name)
-        if row is None:
-            return (1, 0, reg_idx[name])
-        rnd, ok = row
-        return (2, rnd, reg_idx[name]) if ok else (0, rnd, reg_idx[name])
-
-    return sorted(names, key=key)
-
-
 def all_queries() -> dict[str, QueryFn]:
+    """All registered queries in plain registration order.
+
+    Library export order never depends on anything outside the package
+    (the evaluation harness's coverage-rotation policy lives in
+    ``tools/rotation.py`` and is applied only by the harness adapter
+    ``__spark_entry__.py``)."""
     _load_all()
-    return {name: _REGISTRY[name].fn for name in _ordered_names()}
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
     return {
-        name: _REGISTRY[name].oracle
-        for name in _ordered_names()
-        if _REGISTRY[name].oracle
+        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle
     }
 
 

@@ -1356,7 +1356,7 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_id, d.event_type, d.value,
       round((d.value - d.med) / m.mad, 6) AS robust_z
     FROM dev d JOIN mad m USING (event_type)
-    WHERE abs(d.value - d.med) > 5 * m.mad
+    WHERE m.mad > 0 AND abs(d.value - d.med) > 5 * m.mad
     """,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,9 +1392,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad"
         )
     )
+    # mad > 0 guard: a group where ≥50% of values are identical has
+    # MAD 0, which would flood the filter with every nonzero deviation
+    # and divide by zero (Spark NULL vs DuckDB inf — engines disagree).
     return (
         dev.join(F.broadcast(mad), on="event_type")
-        .filter(F.col("adev") > 5 * F.col("mad"))
+        .filter((F.col("mad") > 0) & (F.col("adev") > 5 * F.col("mad")))
         .select(
             "event_id",
             "event_type",

@@ -544,8 +544,17 @@ def run_streaming_incremental_dedup(
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
-            store = sess.read.parquet(store_dir).select(
-                "band_idx", "sig", F.col("doc_id").alias("existing_doc")
+            # Retry-idempotence: a foreachBatch retry may run AFTER this
+            # batch's own store_dir/batch=N write landed but before the
+            # checkpoint committed; restricting the probe to strictly
+            # prior batches keeps the re-run's view identical to the
+            # first attempt's (no spurious self/within-batch pairs).
+            store = (
+                sess.read.parquet(store_dir)
+                .filter(F.col("batch") < F.lit(batch_id))
+                .select(
+                    "band_idx", "sig", F.col("doc_id").alias("existing_doc")
+                )
             )
             pairs = (
                 bands.join(store, on=["band_idx", "sig"])
