@@ -115,21 +115,26 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two timed passes, keep the per-query minimum: the fixture host's
-    # shared disk shows multi-second I/O stalls, and min-of-N isolates
-    # the engine's steady-state cost from that external noise.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Three timed passes, report the per-query MEDIAN: the fixture
+    # host's shared disk shows multi-second I/O stalls, and a median of
+    # three makes the 2x regression gate robust to one contended trial
+    # (a single-run outlier burned round 3's gate) without letting a
+    # lucky min hide a real slowdown. Per-query [min, max] spread ships
+    # alongside so a noisy trial is visible, not averaged away.
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            trials[name].append(round(time.perf_counter() - t0, 3))
+
+    timings = {name: sorted(ts)[1] for name, ts in trials.items()}
+    spread = {name: [min(ts), max(ts)] for name, ts in trials.items()}
 
     total = round(sum(timings.values()), 3)
 
     # Per-query regression gate vs the previous round's bench: flag
-    # anything slower than REGRESSION_FACTOR× its baseline (min-of-2
+    # anything slower than REGRESSION_FACTOR× its baseline (median-of-3
     # already absorbs the host's disk noise). Delta table → stderr so
     # stdout stays ONE JSON line; flagged names also ship in the JSON.
     baseline = _load_baseline()
@@ -160,6 +165,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "trials": 3,
+                "stat": "median",
+                "spread": spread,
                 "baseline_bench": BASELINE_BENCH if baseline else None,
                 "regressions_over_2x": regressions,
             }

@@ -126,10 +126,66 @@ def test_salted_join_rejects_dim_preserving_modes(spark):
             salted_join(fact, dim, "k", "fid", how=bad)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_media_stub_contract():
     assert decode_media(b"abc", "text/plain") == b"abc"
+    # audio/video codecs are always stubbed (librosa/av)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"RIFF", "audio/wav")
+    if not _pil_available():
+        # the image gate must fail LOUDLY (documented stub), never
+        # silently pass bytes through as if they were decoded
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image/png")
+
+
+def test_image_decode_without_pil_raises_in_worker(spark):
+    """Without pillow, an image/* payload must surface the documented
+    NotImplementedError from the Spark worker — not decode garbage."""
+    if _pil_available():
+        pytest.skip("pillow installed; covered by test_real_image_decode")
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n", "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        extract_features(media).collect()
+
+
+def test_real_image_decode_through_arrow_path(spark):
+    """Real-media path (skip-gated on pillow): a 2x2 PNG decodes to 12
+    raw RGB bytes through the SAME verified mapInPandas plumbing the
+    stub types use, and resize_media downsamples real pixels."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from wiki_data_pipeline_spark.operators.multimodal import resize_media
+
+    im = PIL_Image.new("RGB", (2, 2))
+    im.putdata([(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, png, "image/png"), (2, b"abc", "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 12  # 2x2 RGB pixels, not len(png)
+    assert feats[1].first_byte == 255
+    assert feats[2].n_bytes == 3  # stub types coexist in the same batch
+
+    rows = {r.doc_id: r for r in resize_media(media, target_bytes=3).collect()}
+    assert rows[1].orig_bytes == 12 and rows[1].resized_bytes == 3  # 1x1 RGB
 
 
 def test_extract_features_plumbing(spark):
@@ -283,6 +339,19 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert r.score <= best[r.query_id] + 1e-9
     for q, ids in approx.items():
         assert len(ids & exact[q]) >= 2, (q, ids, exact[q])
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """sim_ann_recall_eval must not just REPORT recall — every query's
+    row carries recall_ok = recall@k >= 0.6, and all must hold: an IVF
+    collapse (wrong centroid assignment, empty probes) fails here even
+    though the eval query itself still hash-matches its oracle."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    rows = get("sim_ann_recall_eval").fn(spark, sf_dir).collect()
+    assert rows, "recall eval produced no queries"
+    bad = [(r.query_id, r.recall_at_k) for r in rows if not r.recall_ok]
+    assert not bad, f"IVF recall below floor: {bad}"
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):

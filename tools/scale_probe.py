@@ -1,0 +1,151 @@
+"""Scaling probe: run the dedup/ANN family at 1x / 3x / 10x of sf0.1
+and check wall-time growth is ~linear (no shuffle-volume mistakes that
+sub-second sf0.1 numbers can't expose).
+
+`python tools/scale_probe.py [workdir]` — generates scaled copies of
+sf0.1 documents/embeddings under workdir (default /tmp/scale_probe),
+runs the probed queries at each scale, and prints one JSON line per
+scale plus a growth summary.
+
+Replica construction matters: naive replication would make every doc a
+10-way near-duplicate, inflating candidate pairs quadratically and
+confounding the linearity measurement. Instead each replica k is
+DECORRELATED from the others — every token is tagged with the replica
+id (disjoint shingle space, so within-replica dup structure is
+preserved and cross-replica dups are impossible) and embeddings are
+circularly shifted by k dims (norms preserved, cosine structure
+decorrelated). Dup/pair counts then scale linearly BY CONSTRUCTION and
+the probe measures the engine, not the data artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+PROBED = [
+    "dedup_minhash_lsh",
+    "dedup_substring_spans",
+    "sim_ann_pq_adc",
+    "graph_pagerank_dedup",
+]
+SCALES = [1, 3, 10]
+
+
+def build_scaled(spark, workdir: str, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(workdir, f"x{mult}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    from wiki_data_pipeline_spark.io import read_table
+
+    docs = read_table(spark, SRC, "documents")
+    emb = read_table(spark, SRC, "embeddings")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    reps = spark.range(mult).withColumnRenamed("id", "k")
+    scaled_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("k") * max_doc).alias("doc_id"),
+            # tag every token with the replica id: disjoint shingle
+            # space per replica, so dup structure scales linearly
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        lambda t: F.concat(
+                            F.col("k").cast("string"), F.lit("_"), t
+                        ),
+                    ),
+                )
+            )
+            .alias("text"),
+            *[
+                c
+                for c in docs.columns
+                if c not in ("doc_id", "text")
+            ],
+        )
+    )
+    n_dim = len(emb.select("embedding").first()[0])
+    scaled_emb = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("k") * max_vec).alias("vec_id"),
+            # circular shift by k dims: norm-preserving decorrelation
+            F.concat(
+                F.slice(
+                    F.col("embedding"),
+                    (F.col("k") % n_dim) + 1,
+                    F.lit(n_dim) - (F.col("k") % n_dim),
+                ),
+                F.slice(F.col("embedding"), F.lit(1), F.col("k") % n_dim),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    scaled_docs.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    scaled_emb.write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    open(done, "w").close()
+    return out
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe"
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    results: dict[int, dict[str, float]] = {}
+    for mult in SCALES:
+        sf_dir = build_scaled(spark, workdir, mult)
+        timings: dict[str, float] = {}
+        for name in PROBED:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warmup
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        results[mult] = timings
+        print(json.dumps({"scale": mult, "timings": timings}))
+
+    growth = {
+        name: round(results[SCALES[-1]][name] / results[SCALES[0]][name], 2)
+        for name in PROBED
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "wall_growth_at_10x",
+                "growth": growth,
+                "linear_bound_ok": {
+                    n: g <= 15.0 for n, g in growth.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

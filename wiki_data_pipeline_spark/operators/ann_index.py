@@ -64,14 +64,20 @@ def probe_ivf(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     topk: int = 5,
 ) -> DataFrame:
     """Top-k cosine search over the persisted index for a
     (query_id, qe) DataFrame. The postings scan carries
     ``cid IN (probed cells)`` — partition pruning reads only those
     directories (PartitionFilters in the scan node). Scoring, rounding
-    and tie-breaks replicate sim_ann_ivf exactly."""
+    and tie-breaks replicate sim_ann_ivf exactly; ``nprobe`` defaults
+    to the SAME constant the inline query uses so index probes and
+    sim_ann_ivf stay result-identical."""
+    if nprobe is None:
+        from wiki_data_pipeline_spark.plans.llm_ops import _NPROBE
+
+        nprobe = _NPROBE
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     score_qc = F.round(cosine(F.col("qe"), F.col("ce")), 6)
     w_probe = Window.partitionBy("query_id").orderBy(

@@ -5,11 +5,15 @@ reference carries text only).
 Design: media is an opaque ``binary`` column plus typed metadata
 columns. Decode and feature extraction run as ``mapInPandas`` — Arrow
 batches of (doc_id, payload, media_type) stream through Python in
-columnar form, never row-at-a-time. The actual codecs (PIL/librosa/…)
-are NOT in this container, so the decode step is stubbed: a
-deterministic byte-level "decoder" stands in, and `decode_media`
-raises ``NotImplementedError`` for real media types, keeping the
-plumbing (schema, batch shape, partitioning) real and testable.
+columnar form, never row-at-a-time. Codecs are import-gated per worker
+(the functions/wikitext.py pattern): ``image/*`` decodes through PIL
+when it is installed (real pixel bytes), and raises a clearly-marked
+``NotImplementedError`` when it is not — so the same plumbing (schema,
+batch shape, partitioning) runs everywhere, and environments with the
+codec get real decode with no code change. Audio/video (librosa/av)
+remain stubbed pending those libraries. The byte-identity stub types
+are always supported and are what the deterministic hash-checked tests
+use.
 """
 
 from __future__ import annotations
@@ -27,14 +31,27 @@ _STUB_TYPES = {"text/plain", "application/octet-stream"}
 
 
 def decode_media(payload: bytes, media_type: str) -> bytes:
-    """Decode one media payload. Real codecs are unavailable in this
-    environment — only the byte-identity stub types are supported;
-    image/audio/video decode is a clearly-marked stub."""
+    """Decode one media payload to raw bytes. Byte-identity stub types
+    pass through; ``image/*`` decodes to raw RGB pixel bytes via PIL
+    when installed (import-gated, the functions/wikitext.py pattern);
+    audio/video raise a clearly-marked stub error pending librosa/av."""
     if media_type in _STUB_TYPES:
         return payload
+    if media_type.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                f"decode for {media_type!r} requires PIL, which is not "
+                "installed; plumbing is real, install pillow for real decode"
+            ) from e
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.convert("RGB").tobytes()
     raise NotImplementedError(
         f"decode for {media_type!r} requires a codec library not present "
-        "in this environment (PIL/librosa/av); plumbing is real, codec is stubbed"
+        "in this environment (librosa/av); plumbing is real, codec is stubbed"
     )
 
 
@@ -58,6 +75,18 @@ def extract_features(media: DataFrame) -> DataFrame:
                 return None  # missing media → NULL features, not a crash
             if media_type in stub_types:
                 return payload
+            if media_type.startswith("image/"):
+                try:  # per-worker import gate: real decode iff PIL exists
+                    import io
+
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        f"decode for {media_type!r} requires PIL (pillow), "
+                        "not installed on this worker"
+                    ) from e
+                with Image.open(io.BytesIO(payload)) as im:
+                    return im.convert("RGB").tobytes()
             raise NotImplementedError(
                 f"decode for {media_type!r} requires a codec library not "
                 "present in this environment; plumbing real, codec stubbed"
@@ -103,11 +132,12 @@ RESIZE_SCHEMA = (
 
 def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
     """Resize over (doc_id, payload, media_type) — the image-resize
-    plumbing with the codec stubbed (BASELINE.json multimodal surface;
-    PIL absent in this environment): for stub types the 'resize' is a
-    deterministic stride subsample of the byte payload down to
+    surface (BASELINE.json multimodal): for stub types the 'resize' is
+    a deterministic stride subsample of the byte payload down to
     ``target_bytes`` (byte-identity family, reproducible everywhere);
-    real image types raise the clearly-marked NotImplementedError.
+    ``image/*`` goes through a per-worker PIL import gate — real
+    decode + pixel resize when pillow is installed, clearly-marked
+    NotImplementedError when not.
     Arrow-batched mapInPandas, no shuffle — a pure map stage whose
     output is strictly smaller than its input, the property that makes
     resize-early the right plan at 100 TB (shrink before any
@@ -116,29 +146,46 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
     stub_types = frozenset(_STUB_TYPES)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _decode(payload: bytes, media_type: str) -> bytes | None:
+        def _decode_resize(
+            payload: bytes, media_type: str
+        ) -> tuple[bytes | None, bytes | None]:
+            """→ (decoded_raw, resized_raw)."""
             if payload is None:
-                return None  # missing media → NULL output, not a crash
+                return None, None  # missing media → NULL output, not a crash
             if media_type in stub_types:
-                return payload
+                if len(payload) <= target_bytes:
+                    return payload, payload
+                stride = len(payload) / target_bytes
+                return payload, bytes(
+                    payload[int(i * stride)] for i in range(target_bytes)
+                )
+            if media_type.startswith("image/"):
+                try:  # per-worker import gate: real resize iff PIL exists
+                    import io
+
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        f"resize for {media_type!r} requires PIL (pillow), "
+                        "not installed on this worker"
+                    ) from e
+                # Real image path: decode, then downsample so the RGB
+                # thumbnail fits target_bytes (side = floor(sqrt(t/3))).
+                side = max(1, int((target_bytes / 3) ** 0.5))
+                with Image.open(io.BytesIO(payload)) as im:
+                    rgb = im.convert("RGB")
+                    return rgb.tobytes(), rgb.resize((side, side)).tobytes()
             raise NotImplementedError(
                 f"resize for {media_type!r} requires a codec library not "
                 "present in this environment; plumbing real, codec stubbed"
             )
 
         for pdf in batches:
-            decoded = [
-                _decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
-            ]
-            resized = []
-            for p in decoded:
-                if p is None or len(p) <= target_bytes:
-                    resized.append(p)
-                else:
-                    stride = len(p) / target_bytes
-                    resized.append(
-                        bytes(p[int(i * stride)] for i in range(target_bytes))
-                    )
+            decoded, resized = [], []
+            for p, t in zip(pdf["payload"], pdf["media_type"]):
+                d, r = _decode_resize(p, t)
+                decoded.append(d)
+                resized.append(r)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -165,27 +212,52 @@ def sample_frames(
     media: DataFrame, frame_size: int = 16, every_n: int = 4
 ) -> DataFrame:
     """Frame sampling over (doc_id, payload, media_type) — the video
-    frame-sample plumbing with the codec stubbed (BASELINE.json
-    multimodal surface; av/ffmpeg absent): stub payloads are treated
-    as consecutive ``frame_size``-byte frames and every ``every_n``-th
-    frame is emitted as its own row — the FAN-OUT mapInPandas shape
-    (rows out > rows in), which is what a real video decoder produces.
-    Real video types raise the clearly-marked NotImplementedError.
+    frame-sample surface (BASELINE.json multimodal): stub payloads are
+    treated as consecutive ``frame_size``-byte frames and every
+    ``every_n``-th frame is emitted as its own row — the FAN-OUT
+    mapInPandas shape (rows out > rows in), which is what a real video
+    decoder produces. ``image/gif`` goes through a per-worker PIL
+    import gate (real multi-frame decode when pillow is installed);
+    real video types raise the clearly-marked NotImplementedError
+    pending av/ffmpeg.
     Still a pure map stage: the fan-out happens inside the partition,
     no shuffle; downstream per-frame feature extraction composes as
     another map. Self-contained closure."""
     stub_types = frozenset(_STUB_TYPES)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _decode(payload: bytes, media_type: str) -> bytes | None:
+        def _decode(
+            payload: bytes, media_type: str
+        ) -> list[tuple[int, bytes]]:
+            """→ sampled (frame_idx, frame_bytes) pairs."""
             if payload is None:
-                return None  # missing media → zero frames, not a crash
+                return []  # missing media → zero frames, not a crash
             if media_type in stub_types:
-                return payload
+                n_frames = len(payload) // frame_size
+                return [
+                    (fi, payload[fi * frame_size : (fi + 1) * frame_size])
+                    for fi in range(0, n_frames, every_n)
+                ]
+            if media_type == "image/gif":
+                try:  # per-worker import gate: real frames iff PIL exists
+                    import io
+
+                    from PIL import Image, ImageSequence
+                except ImportError as e:
+                    raise NotImplementedError(
+                        f"frame extraction for {media_type!r} requires PIL "
+                        "(pillow), not installed on this worker"
+                    ) from e
+                with Image.open(io.BytesIO(payload)) as im:
+                    return [
+                        (fi, fr.convert("RGB").tobytes())
+                        for fi, fr in enumerate(ImageSequence.Iterator(im))
+                        if fi % every_n == 0
+                    ]
             raise NotImplementedError(
                 f"frame extraction for {media_type!r} requires a codec "
-                "library not present in this environment; plumbing real, "
-                "codec stubbed"
+                "library not present in this environment (av/ffmpeg); "
+                "plumbing real, codec stubbed"
             )
 
         for pdf in batches:
@@ -193,12 +265,7 @@ def sample_frames(
             for doc_id, payload, mtype in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]
             ):
-                raw = _decode(payload, mtype)
-                if raw is None:
-                    continue
-                n_frames = len(raw) // frame_size
-                for fi in range(0, n_frames, every_n):
-                    frame = raw[fi * frame_size : (fi + 1) * frame_size]
+                for fi, frame in _decode(payload, mtype):
                     ids.append(int(doc_id))
                     idxs.append(fi)
                     sizes.append(len(frame))

@@ -1605,6 +1605,76 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "window_rolling_distinct_hll",
+    oracle="""
+    WITH expanded AS (
+      SELECT DISTINCT CAST(ts AS DATE) + CAST(i AS INTEGER) AS window_end_day,
+        user_id
+      FROM events, (SELECT unnest(generate_series(0, 6)) AS i) t
+    )
+    SELECT strftime(window_end_day, '%Y-%m-%d') AS day,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau,
+      TRUE AS within_eps
+    FROM expanded
+    GROUP BY window_end_day
+    """,
+)
+def window_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planetary-scale form of window_rolling_distinct_users
+    (SURVEY.md §2.9 window family × §2.5 sketch family): rolling 7-day
+    WAU from MERGED per-day HLL sketches instead of exact
+    count(DISTINCT). One hll_sketch_agg pass builds a |days| row
+    sketch table; each day's sketch is fanned out to the 7 window-end
+    days it supports and hll_union_agg merges them — so the window
+    never touches raw events or the (day, user) matrix, and ANY window
+    length is the same cheap union over the persisted daily sketches.
+    Like sketch_hll_mergeable_rollup, the driver row carries the ε
+    bound (|merged estimate − exact WAU|/exact ≤ 0.05) plus the
+    deterministic exact count, so engine-specific sketch bytes never
+    enter the hash compare.
+
+    Scale: sketch table is |days| rows of fixed-size binary state; the
+    fan-out is 7×|days| rows regardless of user count — this is the
+    swap the window_rolling_distinct_users docstring promises for
+    planetary user counts. The exact side here is verification
+    scaffolding only, not the 100 TB plan."""
+    events = read_table(spark, sf_dir, "events")
+    daily_sk = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = (
+        daily_sk.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "sk"
+        )
+        .select(F.date_add(F.col("d"), F.col("i")).alias("wend"), "sk")
+        .groupBy("wend")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_wau"))
+    )
+    exact = (
+        events.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "d",
+            "user_id",
+        )
+        .select(F.date_add(F.col("d"), F.col("i")).alias("wend"), "user_id")
+        .distinct()
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_wau"))
+    )
+    return merged.join(exact, on="wend").select(
+        F.date_format("wend", "yyyy-MM-dd").alias("day"),
+        "exact_wau",
+        (
+            F.abs(F.col("approx_wau") - F.col("exact_wau"))
+            / F.col("exact_wau")
+            <= 0.05
+        ).alias("within_eps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Compliance: targeted-delete (right-to-be-forgotten) rewrite plan.
 # ---------------------------------------------------------------------------
