@@ -3820,14 +3820,22 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_DAMP = 0.85
+# the damping factor as an exact rational (85/100) for the all-integer
+# nano-unit iteration — no float ever enters the PR loop
+_PR_DAMP_NUM = 85
+_PR_DAMP_DEN = 100
 
 
 def _pr_iter_sql(prev: str) -> str:
+    # All-integer nano-unit iteration: (2a + b) // (2b) is EXACT
+    # round-half-up of a/b for positive BIGINTs, so every engine
+    # computes bit-identical ranks with no float anywhere in the loop.
     return f"""
       SELECT e.dst AS doc_id,
-        round((SELECT 0.15 / n FROM nn) + {_PR_DAMP} *
-          CAST(sum(CAST(round(p.pr / d.outdeg, 9) AS DECIMAL(28,9)))
-               AS DOUBLE), 9) AS pr
+        (SELECT (2 * 150000000 + n) // (2 * n) FROM nn)
+        + (2 * {_PR_DAMP_NUM} *
+             sum((2 * p.pr_nano + d.outdeg) // (2 * d.outdeg))
+           + {_PR_DAMP_DEN}) // (2 * {_PR_DAMP_DEN}) AS pr_nano
       FROM e
       JOIN {prev} p ON p.doc_id = e.src
       JOIN deg d ON d.src = e.src
@@ -3848,13 +3856,17 @@ def _pr_iter_sql(prev: str) -> str:
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
     deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
     pr0 AS (
-      SELECT doc_id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM nodes
+      SELECT doc_id,
+        (SELECT (2 * 1000000000 + n) // (2 * n) FROM nn) AS pr_nano
+      FROM nodes
     ),
     pr1 AS ({_pr_iter_sql('pr0')}),
     pr2 AS ({_pr_iter_sql('pr1')}),
     pr3 AS ({_pr_iter_sql('pr2')})
-    SELECT doc_id, round(pr, 6) AS pagerank,
-      CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, doc_id) AS BIGINT)
+    SELECT doc_id,
+      CAST((2 * pr_nano + 1000) // 2000 AS DOUBLE) / 1000000.0 AS pagerank,
+      CAST(row_number() OVER (
+        ORDER BY (2 * pr_nano + 1000) // 2000 DESC, doc_id) AS BIGINT)
         AS rank
     FROM pr3
     ORDER BY rank LIMIT 100
@@ -3870,12 +3882,15 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (oracle composed, not re-derived), symmetrized; 3 power
     iterations of PR ← 0.15/N + 0.85·Σ PR(in)/outdeg(in).
 
-    Determinism across engines AND partitionings: per-edge
-    contributions are rounded then summed as DECIMAL(28,9) — the
-    in-neighbor sum is exact whatever the shuffle order — and each
-    round's PR is re-rounded before the next, so floating error can't
-    compound differently per engine (same discipline as the k-means
-    decimal means). Scale: per round = one shuffle keyed on dst +
+    Determinism across engines AND partitionings: the whole iteration
+    runs in INTEGER nano-units — (2a + b) div (2b) is exact
+    round-half-up of a/b for positive BIGINTs, per-edge contributions
+    and the 85/100 damping are integer ops, and in-neighbor sums are
+    BIGINT (order-proof). No float exists anywhere in the loop, so
+    both engines produce bit-identical ranks by construction (stronger
+    than the earlier round-then-DECIMAL form, whose round(x, 9) calls
+    could split on decimal .5 boundaries the engines round
+    differently). Scale: per round = one shuffle keyed on dst +
     broadcast of the O(1) node-count scalar; lineage truncated per
     round with localCheckpoint exactly like dedup_cluster_components;
     3 fixed rounds (dup-cluster diameters are tiny — rank gap closes
@@ -3889,12 +3904,11 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "doc_id", F.round(F.lit(1.0) / F.col("n"), 9).alias("pr")
+        "doc_id",
+        F.expr("(2 * 1000000000 + n) div (2 * n)").alias("pr_nano"),
     )
     for _ in range(_PR_ITERS):
-        contrib = F.round(F.col("pr") / F.col("outdeg"), 9).cast(
-            "decimal(28,9)"
-        )
+        contrib = F.expr("(2 * pr_nano + outdeg) div (2 * outdeg)")
         pr = (
             e.join(pr.withColumnRenamed("doc_id", "src"), on="src")
             .join(deg, on="src")
@@ -3904,23 +3918,30 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(nn))
             .select(
                 "doc_id",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + _PR_DAMP * F.col("s").cast("double"),
-                    9,
-                ).alias("pr"),
+                F.expr(
+                    f"(2 * 150000000 + n) div (2 * n)"
+                    f" + (2 * {_PR_DAMP_NUM} * s + {_PR_DAMP_DEN})"
+                    f" div (2 * {_PR_DAMP_DEN})"
+                ).alias("pr_nano"),
             )
             .localCheckpoint(eager=False)
         )
     # TakeOrderedAndProject first (distributed top-k, no global sort),
     # THEN rank — the single-partition window sees only 100 rows.
+    micro = F.expr("(2 * pr_nano + 1000) div 2000")
     top = (
-        pr.select("doc_id", F.round("pr", 6).alias("pagerank"))
-        .orderBy(F.col("pagerank").desc(), F.col("doc_id"))
+        pr.select(
+            "doc_id",
+            micro.alias("pr_micro"),
+            (micro.cast("double") / 1000000.0).alias("pagerank"),
+        )
+        .orderBy(F.col("pr_micro").desc(), F.col("doc_id"))
         .limit(100)
     )
-    w = Window.orderBy(F.col("pagerank").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    w = Window.orderBy(F.col("pr_micro").desc(), F.col("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "pagerank", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -1223,13 +1223,13 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
               AS DOUBLE)
          - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
            * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))
-        / (count(*) - 1), 6) AS var_value,
+        / (count(*) - 1) * 1000000) / 1000000.0 AS var_value,
       round(sqrt(
         (CAST(sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)))
               AS DOUBLE)
          - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
            * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))
-        / (count(*) - 1)), 6) AS stddev_value
+        / (count(*) - 1)) * 1000000) / 1000000.0 AS stddev_value
     FROM events GROUP BY event_type
     """,
 )
@@ -1264,8 +1264,12 @@ def agg_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         (sx / n).alias("mean_value"),
-        F.round(var, 6).alias("var_value"),
-        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        # round(x*1e6)/1e6: both engines round the same double — var of
+        # short-decimal inputs is itself boundary-prone rational
+        (F.round(var * 1000000, 0) / 1000000.0).alias("var_value"),
+        (F.round(F.sqrt(var) * 1000000, 0) / 1000000.0).alias(
+            "stddev_value"
+        ),
     )
 
 
@@ -1354,7 +1358,7 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dev GROUP BY event_type
     )
     SELECT d.event_id, d.event_type, d.value,
-      round((d.value - d.med) / m.mad, 6) AS robust_z
+      round((d.value - d.med) / m.mad * 1000000) / 1000000.0 AS robust_z
     FROM dev d JOIN mad m USING (event_type)
     WHERE m.mad > 0 AND abs(d.value - d.med) > 5 * m.mad
     """,
@@ -1402,9 +1406,17 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round((F.col("value") - F.col("med")) / F.col("mad"), 6).alias(
-                "robust_z"
-            ),
+            # round(x*1e6)/1e6, not round(x, 6): both engines then
+            # round the SAME double product — round(x, 6) rounds
+            # different intermediates (Spark: exact binary; DuckDB: a
+            # float multiply) and splits on 7th-decimal .5 boundaries.
+            (
+                F.round(
+                    (F.col("value") - F.col("med")) / F.col("mad") * 1000000,
+                    0,
+                )
+                / 1000000.0
+            ).alias("robust_z"),
         )
     )
 
@@ -1509,8 +1521,8 @@ def path_common_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, user_id, total_value,
       CAST(rank() OVER w AS BIGINT) AS rnk,
       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-      round(percent_rank() OVER w, 6) AS prnk,
-      round(cume_dist() OVER w, 6) AS cdist,
+      round(percent_rank() OVER w * 1000000) / 1000000.0 AS prnk,
+      round(cume_dist() OVER w * 1000000) / 1000000.0 AS cdist,
       CAST(ntile(4) OVER w AS BIGINT) AS quartile
     FROM totals
     WINDOW w AS (PARTITION BY event_type
@@ -1547,8 +1559,14 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # round(x*1e6)/1e6: both engines round the same double — rank
+        # ratios are short-decimal rationals, the boundary-prone class
+        (F.round(F.percent_rank().over(w) * 1000000, 0) / 1000000.0).alias(
+            "prnk"
+        ),
+        (F.round(F.cume_dist().over(w) * 1000000, 0) / 1000000.0).alias(
+            "cdist"
+        ),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
@@ -1691,8 +1709,8 @@ def window_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM blocklist)
                THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
       round(CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM blocklist)
-                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-        AS affected_frac,
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000)
+        / 1000000.0 AS affected_frac,
       sum(CASE WHEN user_id IN (SELECT user_id FROM blocklist)
           THEN 1 ELSE 0 END) > 0 AS rewrite_needed
     FROM events
@@ -1730,8 +1748,11 @@ def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_rows"),
         F.sum(hit).cast("bigint").alias("n_affected"),
-        F.round(
-            F.sum(hit).cast("double") / F.count("*"), 6
+        # round(x*1e6)/1e6: both engines round the same double — count
+        # ratios are short-decimal rationals, the boundary-prone class
+        (
+            F.round(F.sum(hit).cast("double") / F.count("*") * 1000000, 0)
+            / 1000000.0
         ).alias("affected_frac"),
         (F.sum(hit) > 0).alias("rewrite_needed"),
     )
