@@ -395,3 +395,29 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     assert got.count() > 0
+
+    # Retry idempotence (the at-least-once worst case): replay EVERY
+    # batch with the signature store already fully populated — a fresh
+    # checkpoint forces full re-execution, mimicking a retry that runs
+    # after its own store/batch=N write landed. The store probe filters
+    # to strictly prior batches, so the re-run must reproduce the same
+    # pairs — in particular no self-pairs from a batch seeing its own
+    # (or later) signatures.
+    run_streaming_incremental_dedup(
+        spark,
+        src,
+        str(tmp_path / "ckpt_retry"),
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+    )
+    replayed = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("new_doc", "existing_doc")
+        .distinct()
+    )
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0
+    assert (
+        replayed.filter(F.col("new_doc") == F.col("existing_doc")).count()
+        == 0
+    )
