@@ -3574,10 +3574,10 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ann_pq_adc",
-    oracle=f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+# The ADC scoring chain as a reusable CTE block — shared verbatim by
+# the sim_ann_pq_adc oracle and the rerank oracle in pipeline_ops (the
+# rerank pool cut differs, the scoring spec must not).
+_PQ_ADC_CTES = f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     sub AS (
       SELECT vec_id, s, ve[s*{_PQ_SUBDIM}+1 : s*{_PQ_SUBDIM}+{_PQ_SUBDIM}] AS sv
       FROM emb, (SELECT unnest([0, 1, 2, 3]) AS s) t
@@ -3605,7 +3605,13 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
       WHERE codes.vec_id <> dt.query_id
       GROUP BY dt.query_id, codes.vec_id
-    )
+    )"""
+
+
+@query(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH {_PQ_ADC_CTES}
     SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
       SELECT query_id, vec_id, adc_dist,
         row_number() OVER (PARTITION BY query_id
@@ -3631,6 +3637,19 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, vec). The top-k window partitions by query_id — |Q|
     partitions of candidate rows, the standard reranker shape; recall
     tuning (m, k, rerank-with-raw) sits above this operator."""
+    adc = pq_adc_distances(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+def pq_adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_dist) — the unranked ADC scoring core of
+    ``sim_ann_pq_adc``, shared with the rerank pipeline
+    (``pipeline_ops.sim_ann_pq_rerank``), which needs a wider
+    candidate pool than the ADC query's own top-k cut."""
     from wiki_data_pipeline_spark.functions.vectors import sq_dist
 
     emb = read_table(spark, sf_dir, "embeddings").select(
@@ -3680,11 +3699,7 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("q.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
         .agg(F.sum("dd").cast("double").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _TOPK)
-    )
+    return adc
 
 
 # ---------------------------------------------------------------------------

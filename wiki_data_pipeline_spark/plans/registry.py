@@ -45,6 +45,7 @@ def _load_all() -> None:
     # Import side-effect: plan modules register their queries.
     from wiki_data_pipeline_spark.plans import (  # noqa: F401
         llm_ops,
+        pipeline_ops,
         reference_ops,
         star_schema,
         streaming_ops,
