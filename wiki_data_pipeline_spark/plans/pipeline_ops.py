@@ -520,3 +520,551 @@ def emb_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.round(frac * 1000000, 0) / 1000000.0).alias("head_energy_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling: minute grid + forward fill over gaps.
+# ---------------------------------------------------------------------------
+
+_GRID_DAY = "2024-01-15"
+
+
+@query(
+    "ts_minute_gap_fill",
+    oracle=f"""
+    WITH day_ev AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '{_GRID_DAY} 00:00:00'
+        AND ts < TIMESTAMP '{_GRID_DAY} 00:00:00' + INTERVAL 1 DAY
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('minute', ts) AS m,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM day_ev GROUP BY event_type, date_trunc('minute', ts)
+    ),
+    grid AS (
+      SELECT t.event_type, unnest(generate_series(
+        TIMESTAMP '{_GRID_DAY} 00:00:00',
+        TIMESTAMP '{_GRID_DAY} 23:59:00', INTERVAL 1 MINUTE)) AS m
+      FROM (SELECT DISTINCT event_type FROM day_ev) t
+    )
+    SELECT event_type, strftime(m, '%Y-%m-%d %H:%M') AS minute,
+      CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+      coalesce(
+        last_value(total_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        0.0) AS filled_value,
+      CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM grid LEFT JOIN agg USING (event_type, m)
+    """,
+)
+def ts_minute_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a dense minute grid with forward fill
+    — the gap-filling operator every downstream window/EWMA/anomaly
+    model needs before it can assume regular spacing (Spark has no
+    native gap-fill; this is the declarative composition: generate the
+    grid with ``sequence``/``explode``, left-join the sparse
+    aggregates, forward-fill with ``last(..., ignorenulls=True)`` over
+    an unbounded-preceding window). Per-minute value totals use the
+    exact DECIMAL-sum discipline, so the filled values are
+    partitioning-independent.
+
+    Scale: the grid is |keys|·minutes rows generated distributively
+    (one sequence per key row, exploded on executors — no driver
+    loop); the fill window partitions by series key, so state is one
+    running value per key. For multi-day spans, partition the window
+    by (key, day) and seed each day with the previous day's closing
+    value (the OHLC pattern) to keep partitions bounded."""
+    from wiki_data_pipeline_spark.plans.star_schema import dsum
+
+    events = read_table(spark, sf_dir, "events")
+    day_ev = events.filter(
+        (F.col("ts") >= F.lit(f"{_GRID_DAY} 00:00:00").cast("timestamp"))
+        & (
+            F.col("ts")
+            < F.lit(f"{_GRID_DAY} 00:00:00").cast("timestamp")
+            + F.expr("INTERVAL 1 DAY")
+        )
+    )
+    agg = day_ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+    grid = (
+        day_ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(f"{_GRID_DAY} 00:00:00").cast("timestamp"),
+                    F.lit(f"{_GRID_DAY} 23:59:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("m"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, on=["event_type", "m"], how="left")
+        .select(
+            "event_type",
+            F.date_format("m", "yyyy-MM-dd HH:mm").alias("minute"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                F.last("total_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_value"),
+            F.isnull("n_events").cast("bigint").alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over daily counts — exact integer arithmetic (alpha = 1/2).
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8  # window of days folded into the average
+
+
+@query(
+    "ts_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        count(*) AS n_events
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    win AS (
+      SELECT event_type, day, n_events,
+        list(n_events) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN {_EWMA_LAGS - 1} PRECEDING AND CURRENT ROW) AS lags
+      FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+      CAST((2 * 1000000 * CAST(list_aggregate(list_transform(
+              generate_series(1, len(lags)),
+              i -> lags[i] * (1::BIGINT << (i - 1))), 'sum') AS BIGINT)
+            + ((1::BIGINT << len(lags)) - 1))
+           // (2 * ((1::BIGINT << len(lags)) - 1)) AS BIGINT) AS ewma_micro
+    FROM win
+    """,
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    with half-life 1 day (alpha = 1/2) — the smoothing baseline for
+    trend/alerting. alpha = 1/2 makes every weight a power of two, so
+    the whole EWMA runs in EXACT integer arithmetic: the window's day
+    counts [c_oldest..c_now] weight as 2^i, numerator and denominator
+    are bit-shifts and sums of BIGINTs, and the result is one exact
+    half-up division in micro units — no float anywhere, so both
+    engines agree bitwise by construction (the integer nano-unit
+    PageRank discipline, applied to smoothing).
+
+    Scale: one (type, day) hash aggregate, then a per-key ordered
+    window carrying at most 8 lag values — bounded state per series,
+    the same shape transformWithState keeps for the streaming twin."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_EWMA_LAGS - 1), Window.currentRow)
+    )
+    lags = F.collect_list("n_events").over(w)
+    win = daily.withColumn("lags", lags)
+    # Left fold with a doubling-weight accumulator: oldest lag gets
+    # weight 2^0, newest 2^(n-1) — mirrors the oracle's lags[i]·2^(i-1).
+    num = F.expr(
+        "aggregate(lags,"
+        " struct(cast(0 as bigint) as s, cast(1 as bigint) as w),"
+        " (acc, c) -> struct(acc.s + c * acc.w, acc.w * 2),"
+        " acc -> acc.s)"
+    )
+    den = F.expr("shiftleft(cast(1 as bigint), size(lags)) - 1")
+    return (
+        win.withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.expr("(2 * 1000000 * num + den) div (2 * den)")
+            .cast("bigint")
+            .alias("ewma_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone maps: per-file min/max stats + skipping estimate.
+# ---------------------------------------------------------------------------
+
+_ZONE_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query(
+    "layout_zone_map_stats",
+    oracle=f"""
+    WITH filed AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 4
+             + event_id % 4 AS file_id, ts, value
+      FROM events
+    )
+    SELECT file_id,
+      count(*) AS n_rows,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_min,
+      strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_max,
+      min(value) AS value_min,
+      max(value) AS value_max,
+      CAST(CASE WHEN max(ts) < TIMESTAMP '{_ZONE_CUTOFF}' THEN 1 ELSE 0 END
+           AS BIGINT) AS prunable
+    FROM filed GROUP BY file_id
+    """,
+)
+def layout_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-skipping) statistics — the min/max-per-file
+    manifest a lakehouse table format keeps so scans can prune files
+    without opening them. Files are modeled as the output of a
+    day-partitioned 4-way-parallel write (file = (ingest day, writer
+    task)) — the layout ``layout_compaction_plan`` and
+    ``layout_zorder_files`` optimize; this query builds the stats
+    those decisions and the scan planner consume, plus a concrete
+    skip estimate: ``prunable`` marks files whose ts_max falls wholly
+    before a point-in-time predicate, i.e. files a
+    ``WHERE ts >= '{_ZONE_CUTOFF}'`` scan never reads.
+
+    Scale: one hash aggregate keyed by file id (in production this
+    reads the parquet footers / commit manifest, not the data — same
+    schema, ~zero cost); min/max are exact order-independent
+    aggregates, so the manifest is partitioning-stable."""
+    from wiki_data_pipeline_spark.plans.streaming_ops import TS_US_SPARK
+
+    events = read_table(spark, sf_dir, "events")
+    file_id = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) * 4
+        + F.col("event_id") % 4
+    )
+    return (
+        events.select(file_id.cast("bigint").alias("file_id"), "ts", "value")
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.date_format(F.min("ts"), TS_US_SPARK).alias("ts_min"),
+            F.date_format(F.max("ts"), TS_US_SPARK).alias("ts_max"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            (F.max("ts") < F.lit(_ZONE_CUTOFF).cast("timestamp"))
+            .cast("bigint")
+            .alias("prunable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioner planning: exact split bounds + bucket occupancy.
+# ---------------------------------------------------------------------------
+
+_RANGE_BUCKETS = 8
+
+
+@query(
+    "range_partition_plan",
+    oracle=f"""
+    WITH b AS (
+      SELECT [{', '.join(f'quantile_disc(o_totalprice, {i}/{_RANGE_BUCKETS}.0)'
+                         for i in range(1, _RANGE_BUCKETS))}] AS bounds,
+        count(*) AS total
+      FROM orders
+    ),
+    assigned AS (
+      SELECT len(list_filter(b.bounds, x -> o.o_totalprice > x)) AS bucket,
+        b.total
+      FROM orders o CROSS JOIN b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      count(*) AS n_rows,
+      CAST((2 * 1000000 * count(*) + any_value(total))
+           // (2 * any_value(total)) AS BIGINT) AS row_frac_micro,
+      CASE WHEN bucket > 0 THEN any_value((SELECT bounds FROM b))[bucket]
+           ELSE NULL END AS bound_lo,
+      CASE WHEN bucket < {_RANGE_BUCKETS - 1}
+           THEN any_value((SELECT bounds FROM b))[bucket + 1]
+           ELSE NULL END AS bound_hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner planning — the exact-quantile version of what
+    ``repartitionByRange`` does by sampling: split bounds at k/8
+    quantiles of the sort key, then per-bucket occupancy and row
+    fraction, the evidence for whether a range-partitioned write (or a
+    sorted bucketing layout) will balance. percentile_disc picks
+    actual data values (the agg_value_percentiles cross-engine
+    discipline); fractions are exact half-up micro division.
+
+    Scale: one exact-percentile aggregate (swap approx_percentile at
+    planetary group sizes — the sketch_quantile_rank_check pattern
+    bounds its error), then a broadcast of the 7-value bounds row and
+    a map-side bucket assignment + hash count. This is also the
+    skew-detection pre-pass: a bucket fraction ≫ 1/8 means heavy keys
+    that need salting (``skew_salted_join``'s input)."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_rp_orders")
+    pct = ", ".join(
+        f"percentile_disc({i}/{_RANGE_BUCKETS}.0)"
+        f" WITHIN GROUP (ORDER BY o_totalprice)"
+        for i in range(1, _RANGE_BUCKETS)
+    )
+    b = spark.sql(
+        f"SELECT array({pct}) AS bounds, count(*) AS total FROM _rp_orders"
+    )
+    assigned = orders.crossJoin(F.broadcast(b)).select(
+        F.size(
+            F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)
+        ).alias("bucket"),
+        "total",
+        "bounds",
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.any_value("total").alias("_total"),
+            F.any_value("bounds").alias("_bounds"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_rows",
+            F.expr("(2 * 1000000 * n_rows + _total) div (2 * _total)")
+            .cast("bigint")
+            .alias("row_frac_micro"),
+            F.when(
+                F.col("bucket") > 0, F.element_at("_bounds", F.col("bucket"))
+            ).alias("bound_lo"),
+            F.when(
+                F.col("bucket") < _RANGE_BUCKETS - 1,
+                F.element_at("_bounds", F.col("bucket") + 1),
+            ).alias("bound_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data mixture: per-domain sampling rates under a token budget.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_token_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 AS h_micro
+      FROM documents
+    ),
+    stats AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM stats),
+    rates AS (
+      SELECT s.source, s.n_docs, s.n_tokens,
+        CAST(t.total // 40 AS BIGINT) AS budget_tokens,
+        CAST(least(1000000,
+          (2 * 1000000 * (t.total // 40) + s.n_tokens) // (2 * s.n_tokens))
+          AS BIGINT) AS rate_micro
+      FROM stats s CROSS JOIN tot t
+    )
+    SELECT r.source, r.n_docs, r.n_tokens, r.budget_tokens, r.rate_micro,
+      CAST(coalesce(sum(CASE WHEN k.h_micro < r.rate_micro THEN 1 END), 0)
+           AS BIGINT) AS n_sampled,
+      CAST(coalesce(sum(CASE WHEN k.h_micro < r.rate_micro THEN k.n_tok END), 0)
+           AS BIGINT) AS n_tokens_sampled
+    FROM rates r LEFT JOIN toks k ON k.source = r.source
+    GROUP BY r.source, r.n_docs, r.n_tokens, r.budget_tokens, r.rate_micro
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction under a token budget — the operator
+    that turns "train on 50% of the corpus, spread equally across
+    domains" into per-domain keep rates (The Pile / temperature-
+    sampling family; complements ``sample_domain_temperature``, which
+    reweights by popularity — this one enforces an absolute token
+    budget per domain). Each domain's rate = min(1, budget/tokens) in
+    exact half-up micro units; membership is stable-hash sampling
+    (md5(doc_id) < rate — deterministic, reproducible, re-runnable),
+    and the output reconciles achieved vs. target tokens per domain.
+
+    Scale: token counting is one narrow map + hash agg; the 20-row
+    rates table broadcasts back over the corpus for the sampling pass.
+    The same two-pass shape holds at 100 TB — the only global state is
+    the per-domain aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 1000000
+        ).alias("h_micro"),
+    )
+    stats = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    tot = stats.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("budget_tokens", F.expr("total div 40").cast("bigint"))
+        .withColumn(
+            "rate_micro",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr(
+                    "(2 * 1000000 * (total div 40) + n_tokens)"
+                    " div (2 * n_tokens)"
+                ),
+            ).cast("bigint"),
+        )
+        .drop("total")
+    )
+    kept = F.col("h_micro") < F.col("rate_micro")
+    return (
+        toks.join(F.broadcast(rates), on="source")
+        .groupBy("source", "n_docs", "n_tokens", "budget_tokens", "rate_micro")
+        .agg(
+            F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality model: integer-micro features → score → bucket.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_linear_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        (2 * 1000000 * len(list_filter(toks, t -> t IN ('a', 'the')))
+         + len(toks)) // (2 * len(toks)) AS stop_micro,
+        (2 * 1000000 * len(list_distinct(toks)) + len(toks))
+          // (2 * len(toks)) AS uniq_micro,
+        least(len(toks), 200) * 5000 AS len_micro
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+      )
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(stop_micro AS BIGINT) AS stop_micro,
+      CAST(uniq_micro AS BIGINT) AS uniq_micro,
+      CAST((2 * (3 * uniq_micro + 2 * (1000000 - stop_micro) + len_micro) + 6)
+           // 12 AS BIGINT) AS score_micro,
+      CAST(((2 * (3 * uniq_micro + 2 * (1000000 - stop_micro) + len_micro) + 6)
+           // 12) // 100000 AS BIGINT) AS bucket
+    FROM feats
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring — the shape of fastText/
+    logistic quality filters (CCNet, GPT-3's quality model) reduced to
+    a fixed linear model over cheap text features: stopword density,
+    type/token ratio, length saturation. Every feature is an exact
+    half-up micro-unit ratio and the score a weighted integer mean, so
+    scoring is pure BIGINT arithmetic end to end — bitwise identical
+    across engines and partitionings, and the decile ``bucket`` is a
+    stable training-data routing key (keep top-k buckets, re-weight
+    the middle, drop the tail).
+
+    Scale: map-only, shuffle-free — the model weights are literals in
+    the plan (a real classifier broadcasts its weight vector and dots
+    it the same way); thresholding downstream is a filter pushed to
+    the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    feats = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.expr(
+            "(2 * 1000000 * size(filter(toks, t -> t IN ('a', 'the')))"
+            " + size(toks)) div (2 * size(toks))"
+        ).alias("stop_micro"),
+        F.expr(
+            "(2 * 1000000 * size(array_distinct(toks)) + size(toks))"
+            " div (2 * size(toks))"
+        ).alias("uniq_micro"),
+        (F.least(F.size(toks), F.lit(200)) * 5000).alias("len_micro"),
+    )
+    score = (
+        "(2 * (3 * uniq_micro + 2 * (1000000 - stop_micro) + len_micro) + 6)"
+        " div 12"
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("stop_micro").cast("bigint").alias("stop_micro"),
+        F.col("uniq_micro").cast("bigint").alias("uniq_micro"),
+        F.expr(score).cast("bigint").alias("score_micro"),
+        F.expr(f"({score}) div 100000").cast("bigint").alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: the cube/rollup sibling with explicit set lists.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(grouping(lang) AS BIGINT) AS g_lang,
+      CAST(grouping(source) AS BIGINT) AS g_source
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation — the explicit-set sibling of the
+    registered cube/rollup queries (SURVEY.md §2.5 extensions):
+    per-language totals, per-source totals, and the grand total in ONE
+    pass, with grouping() flags disambiguating real NULLs from
+    subtotal rows. Catalyst expands the sets into a single Expand +
+    hash aggregate — one scan, one shuffle, instead of three unioned
+    queries; at 100 TB that 3× scan saving is the point."""
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_gs_documents")
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(grouping(lang) AS BIGINT) AS g_lang,
+          CAST(grouping(source) AS BIGINT) AS g_source
+        FROM _gs_documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
