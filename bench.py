@@ -81,6 +81,10 @@ HEADLINE = [
     "path_common_triples",
     "window_rolling_distinct_users",
     "sketch_hll_mergeable_rollup",
+    "sim_ann_pq_rerank",
+    "dedup_paragraph_chunks",
+    "ts_minute_gap_fill",
+    "quality_linear_score",
 ]
 
 # Previous round's per-query timings: the regression gate. Path

@@ -269,7 +269,8 @@ def _bloom_bits_sql(texpr: str) -> str:
 def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup-on-ingest probe (Bloom 1970; the standard
     way a new batch checks membership against a petabyte-scale
-    historical corpus WITHOUT joining it): the "seen" corpus's content
+    historical corpus WITHOUT joining it; engine extension of SURVEY.md
+    §2.3 F9's dedup-on-insert seen-set): the "seen" corpus's content
     digests set k=3 bits each in an m=4096-bit filter (bit positions =
     three disjoint 8-hex slices of one md5 — Kirsch-Mitzenmacher's k-
     hashes-from-one trick, same double-hashing family the MinHash
@@ -397,7 +398,8 @@ _GRAPH_CTES = f"""{_MINHASH_CTES},
 )
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the MinHash
-    near-dup pair graph — the topology audit that tells a dedup
+    near-dup pair graph (engine extension per SURVEY.md §2.10's
+    iterative/graph surface) — the topology audit that tells a dedup
     pipeline whether its candidate graph is clique-like (true dup
     clusters close their triangles → safe to keep one doc per
     component) or chain-like (transitive merging over low-closure
@@ -461,7 +463,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution of the near-dup pair graph — the skew
+    """Degree distribution of the near-dup pair graph (SURVEY.md §2.10
+    graph-surface extension) — the skew
     instrument for dedup at scale: a heavy-tailed histogram means hub
     documents (boilerplate, templates) whose components will snowball
     under transitive merging, and whose LSH buckets need the
@@ -500,7 +503,8 @@ _MRL_DIM = 16  # truncation prefix length audited (of 64 stored dims)
 def emb_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit (Kusupati et al. 2022: MRL-trained
     embeddings pack most signal into a prefix, so serving can truncate
-    64→16 dims and renormalize for 4× cheaper ANN): per-vector
+    64→16 dims and renormalize for 4× cheaper ANN; SURVEY.md §2
+    similarity-family extension): per-vector
     fraction of squared-norm energy retained by the first 16 dims —
     the measurement that decides whether a corpus's embeddings are
     truncation-safe (MRL-trained ⇒ frac ≫ dim-fraction; isotropic ⇒
@@ -563,8 +567,8 @@ _GRID_DAY = "2024-01-15"
 def ts_minute_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling to a dense minute grid with forward fill
     — the gap-filling operator every downstream window/EWMA/anomaly
-    model needs before it can assume regular spacing (Spark has no
-    native gap-fill; this is the declarative composition: generate the
+    model needs before it can assume regular spacing (SURVEY.md §2.5/§2.9
+    windowed-aggregation extension; Spark has no native gap-fill — this is the declarative composition: generate the
     grid with ``sequence``/``explode``, left-join the sparse
     aggregates, forward-fill with ``last(..., ignorenulls=True)`` over
     an unbounded-preceding window). Per-minute value totals use the
@@ -657,7 +661,7 @@ _EWMA_LAGS = 8  # window of days folded into the average
 def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event volume
     with half-life 1 day (alpha = 1/2) — the smoothing baseline for
-    trend/alerting. alpha = 1/2 makes every weight a power of two, so
+    trend/alerting (SURVEY.md §2.5 aggregation-family extension). alpha = 1/2 makes every weight a power of two, so
     the whole EWMA runs in EXACT integer arithmetic: the window's day
     counts [c_oldest..c_now] weight as 2^i, numerator and denominator
     are bit-shifts and sums of BIGINTs, and the result is one exact
@@ -729,7 +733,8 @@ _ZONE_CUTOFF = "2024-01-20 00:00:00"
     """,
 )
 def layout_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map (file-skipping) statistics — the min/max-per-file
+    """Zone-map (file-skipping) statistics (SURVEY.md §2.1 layout/sink
+    extension) — the min/max-per-file
     manifest a lakehouse table format keeps so scans can prune files
     without opening them. Files are modeled as the output of a
     day-partitioned 4-way-parallel write (file = (ingest day, writer
@@ -801,7 +806,8 @@ _RANGE_BUCKETS = 8
     """,
 )
 def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-partitioner planning — the exact-quantile version of what
+    """Range-partitioner planning (SURVEY.md §2.6 ordering/partitioning
+    extension) — the exact-quantile version of what
     ``repartitionByRange`` does by sampling: split bounds at k/8
     quantiles of the sort key, then per-bucket occupancy and row
     fraction, the evidence for whether a range-partitioned write (or a
@@ -895,7 +901,8 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture construction under a token budget — the operator
+    """Data-mixture construction under a token budget (SURVEY.md §2
+    sampling-family extension) — the operator
     that turns "train on 50% of the corpus, spread equally across
     domains" into per-domain keep rates (The Pile / temperature-
     sampling family; complements ``sample_domain_temperature``, which
@@ -987,7 +994,8 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear quality-classifier scoring — the shape of fastText/
+    """Linear quality-classifier scoring (SURVEY.md §2.8 scalar-function
+    / text-quality extension) — the shape of fastText/
     logistic quality filters (CCNet, GPT-3's quality model) reduced to
     a fixed linear model over cheap text features: stopword density,
     type/token ratio, length saturation. Every feature is an exact
