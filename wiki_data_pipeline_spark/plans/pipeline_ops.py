@@ -1076,3 +1076,548 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang), (source), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign random projection (64 → 8 dims).
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 8
+_JL_IN = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5 — the projection matrix is a FIXED
+    literal derived offline (both engines receive identical constants;
+    no RNG state anywhere)."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+
+_JL_MATRIX = [
+    [_jl_sign(i, j) for i in range(_JL_IN)] for j in range(_JL_OUT)
+]
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT vec_id, j, round(raw / sqrt({_JL_OUT}.0) * 1000000) / 1000000.0
+      AS proj_value
+    FROM (
+      SELECT vec_id, unnest([{', '.join(str(j) for j in range(_JL_OUT))}]) AS j,
+        unnest([{', '.join(
+            'list_dot_product(ve, ['
+            + ', '.join(f'{s}.0' for s in row) + '])'
+            for row in _JL_MATRIX)}]) AS raw
+      FROM emb
+    )
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64 → 8 dims
+    (Achlioptas 2003: ±1 entries preserve pairwise distances within
+    (1±ε) whp — the cheapest dimensionality reduction for dedup
+    blocking and coarse ANN; SURVEY.md §2 similarity-family
+    extension). The projection matrix is a fixed md5-derived ±1
+    literal baked into the plan, so both engines fold the identical
+    dot products in identical order; outputs are quantized through the
+    same double (round(x·1e6)/1e6).
+
+    Scale: map-only, shuffle-free — 8 zip_with/aggregate folds per
+    row, all JVM-side; the 64×8 sign matrix is a plan literal (a
+    learned projection would broadcast the same way). The projected
+    table is what the sign-LSH (``sim_ann_lsh``) and embedding-cosine
+    blocking stages consume at 8× lower cost."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve")
+    )
+    outs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                dot(
+                    F.col("ve"),
+                    F.array(*[F.lit(float(s)) for s in _JL_MATRIX[j]]),
+                ).alias("raw"),
+            )
+            for j in range(_JL_OUT)
+        ]
+    )
+    return (
+        emb.select("vec_id", F.explode(outs).alias("o"))
+        .select(
+            "vec_id",
+            F.col("o.j").alias("j"),
+            (
+                F.round(F.col("o.raw") / F.sqrt(F.lit(float(_JL_OUT))) * 1000000, 0)
+                / 1000000.0
+            ).alias("proj_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention: expiry plan over the synthetic commit log.
+# ---------------------------------------------------------------------------
+
+_SNAP_KEEP_LAST = 3
+_SNAP_KEEP_DAYS = 7
+
+
+@query(
+    "snapshot_expiry_plan",
+    oracle=f"""
+    WITH snaps AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS snap_day,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS commit_ts,
+        count(DISTINCT event_id % 4) AS n_files,
+        count(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    latest AS (SELECT max(snap_day) AS latest_day FROM snaps),
+    ranked AS (
+      SELECT s.*, l.latest_day,
+        row_number() OVER (ORDER BY snap_day DESC) AS recency
+      FROM snaps s CROSS JOIN latest l
+    )
+    SELECT CAST(snap_day AS BIGINT) AS snap_day, commit_ts,
+      CAST(n_files AS BIGINT) AS n_files, n_rows,
+      CASE
+        WHEN snap_day > latest_day - {_SNAP_KEEP_DAYS} THEN 'retain_recent'
+        WHEN recency <= {_SNAP_KEEP_LAST} THEN 'retain_last{_SNAP_KEEP_LAST}'
+        ELSE 'expire'
+      END AS action
+    FROM ranked
+    """,
+)
+def snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry planning (SURVEY.md §2.1 sink/layout extension)
+    — the VACUUM/expire-snapshots pre-pass of a lakehouse table:
+    each ingest day is one commit producing its 4 writer-task files
+    (the ``layout_zone_map_stats`` file model); the plan marks every
+    snapshot retain-by-recency-window, retain-by-last-N, or
+    expirable — the deletion list a GC job then intersects with live
+    manifests (time travel keeps last-N even past the window, hence
+    both rules).
+
+    Scale: the commit log is #snapshots rows (read from the table
+    metadata in production, not the data); one aggregate + a window
+    over that tiny table. The expensive part at 100 TB — deleting
+    unreferenced files — is embarrassingly parallel downstream of this
+    plan."""
+    events = read_table(spark, sf_dir, "events")
+    from wiki_data_pipeline_spark.plans.streaming_ops import TS_US_SPARK
+
+    snaps = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("snap_day")
+    ).agg(
+        F.date_format(F.max("ts"), TS_US_SPARK).alias("commit_ts"),
+        F.countDistinct(F.col("event_id") % 4).alias("n_files"),
+        F.count("*").alias("n_rows"),
+    )
+    latest = snaps.agg(F.max("snap_day").alias("latest_day"))
+    w = Window.orderBy(F.col("snap_day").desc())
+    return (
+        snaps.crossJoin(F.broadcast(latest))
+        .withColumn("recency", F.row_number().over(w))
+        .select(
+            F.col("snap_day").cast("bigint").alias("snap_day"),
+            "commit_ts",
+            F.col("n_files").cast("bigint").alias("n_files"),
+            "n_rows",
+            F.when(
+                F.col("snap_day") > F.col("latest_day") - _SNAP_KEEP_DAYS,
+                F.lit("retain_recent"),
+            )
+            .when(
+                F.col("recency") <= _SNAP_KEEP_LAST,
+                F.lit(f"retain_last{_SNAP_KEEP_LAST}"),
+            )
+            .otherwise(F.lit("expire"))
+            .alias("action"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: sessions × maintenance windows.
+# ---------------------------------------------------------------------------
+
+_MAINT_WINDOWS = [
+    (1, "2024-01-05 02:00:00", "2024-01-05 08:00:00"),
+    (2, "2024-01-12 00:00:00", "2024-01-12 23:59:59"),
+    (3, "2024-01-18 12:00:00", "2024-01-19 12:00:00"),
+    (4, "2024-01-25 06:00:00", "2024-01-25 07:00:00"),
+]
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               > INTERVAL 30 MINUTE
+        THEN 1 ELSE 0 END AS is_new,
+        event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+        ts
+      FROM g
+    ),
+    iv AS (
+      SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    ),
+    win AS (
+      SELECT * FROM (VALUES {', '.join(
+        f"({wid}, TIMESTAMP '{ws}', TIMESTAMP '{we}')"
+        for wid, ws, we in _MAINT_WINDOWS)}) w(window_id, w_start, w_end)
+    )
+    SELECT CAST(w.window_id AS BIGINT) AS window_id,
+      count(*) AS n_sessions,
+      CAST(count(DISTINCT iv.user_id) AS BIGINT) AS n_users,
+      CAST(sum(epoch_ms(least(iv.s_end, w.w_end))
+               - epoch_ms(greatest(iv.s_start, w.w_start))) AS BIGINT)
+        AS overlap_ms
+    FROM iv JOIN win w
+      ON iv.s_start <= w.w_end AND iv.s_end >= w.w_start
+    GROUP BY w.window_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (SURVEY.md §2.4 join-family extension) —
+    sessions (the registered ``sessionize_events`` 30-minute-gap rule,
+    SURVEY.md §2.9) × maintenance
+    windows, reporting affected sessions/users and total overlap
+    milliseconds per window: the impact-analysis query behind "which
+    users did the outage touch". Overlap is the classic
+    s_start ≤ w_end ∧ s_end ≥ w_start predicate; durations use
+    epoch-millisecond integers (truncating identically on both
+    engines) so the sums are pure BIGINT.
+
+    Scale: windows are few → broadcast-join with the range predicate
+    evaluated map-side (no shuffle of the big side). For interval ×
+    interval at scale (both sides large), pre-bucket both relations by
+    day and equi-join on the bucket before the overlap filter — the
+    ``join_range_bucketed`` pattern this query deliberately shares its
+    predicate with."""
+    events = read_table(spark, sf_dir, "events")
+    w_gap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.lag("ts").over(w_gap).isNull()
+        | (
+            F.col("ts").cast("long") - F.lag("ts").over(w_gap).cast("long")
+            > 30 * 60
+        )
+    ).cast("int")
+    sess = events.select(
+        "user_id", "ts", "event_id", is_new.alias("is_new")
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w_gap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    win = F.broadcast(
+        read_table(spark, sf_dir, "events")
+        .sparkSession.createDataFrame(
+            [(wid, ws, we) for wid, ws, we in _MAINT_WINDOWS],
+            "window_id INT, w_start STRING, w_end STRING",
+        )
+        .select(
+            "window_id",
+            F.col("w_start").cast("timestamp").alias("w_start"),
+            F.col("w_end").cast("timestamp").alias("w_end"),
+        )
+    )
+    joined = iv.join(
+        win,
+        (F.col("s_start") <= F.col("w_end")) & (F.col("s_end") >= F.col("w_start")),
+    )
+    overlap_ms = F.unix_millis(
+        F.least(F.col("s_end"), F.col("w_end"))
+    ) - F.unix_millis(F.greatest(F.col("s_start"), F.col("w_start")))
+    return joined.groupBy(
+        F.col("window_id").cast("bigint").alias("window_id")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(overlap_ms).cast("bigint").alias("overlap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-level entropy: the compressibility/quality signal.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(text)), i -> substr(text, i, 1))) AS c
+      FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+    tot AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM cc GROUP BY doc_id
+    )
+    SELECT cc.doc_id,
+      any_value(t.n) AS n_chars,
+      CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      CAST(sum(CAST(round(CAST(cnt AS DOUBLE) / t.n
+               * -ln(CAST(cnt AS DOUBLE) / t.n) * 1000000) AS BIGINT))
+           AS BIGINT) AS entropy_micro
+    FROM cc JOIN tot t USING (doc_id)
+    GROUP BY cc.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) —
+    the compressibility signal quality pipelines use to catch
+    gibberish (too-high entropy) and boilerplate/repetition (too-low;
+    complements ``text_repetition_metrics``' n-gram view with a
+    character-level one, per the Gopher rules' spirit). Per-char
+    -p·ln(p) terms are quantized to integer micro-units through the
+    SAME double on both engines (the surprisal discipline: identical
+    integer inputs → identical double division/ln/product → identical
+    rounding), then summed as BIGINT — partitioning-independent.
+
+    Scale: the char explode is narrow; the (doc, char) aggregate
+    collapses map-side to ≤ |alphabet| rows per doc before its
+    shuffle, and the per-doc rollup shuffles tiny count rows. No
+    Python anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    ch = _spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    tot = cc.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    term_micro = F.round(p * -F.log(p) * 1000000, 0).cast("bigint")
+    return (
+        cc.join(tot, on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct_chars"),
+            F.sum(term_micro).cast("bigint").alias("entropy_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime filter: dim-key membership pre-filter on the fact scan.
+# ---------------------------------------------------------------------------
+
+_RF_BITS = 65536
+_RF_K = 3
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle=f"""
+    WITH dim AS (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    dim_bits AS (
+      SELECT DISTINCT unnest([{', '.join(
+        f"('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), {1 + 8 * j}, 8))"
+        f"::BIGINT % {_RF_BITS}" for j in range(_RF_K))}]) AS bit
+      FROM dim
+    ),
+    fact AS (
+      SELECT l_orderkey,
+        [{', '.join(
+        f"('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), {1 + 8 * j}, 8))"
+        f"::BIGINT % {_RF_BITS}" for j in range(_RF_K))}] AS bits
+      FROM lineitem
+    ),
+    probe AS (
+      SELECT f.l_orderkey,
+        CAST(min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS pass_bloom
+      FROM (SELECT l_orderkey, unnest(list_distinct(bits)) AS bit, row_number()
+              OVER (ORDER BY (SELECT NULL)) AS rid
+            FROM fact) f
+      LEFT JOIN dim_bits b USING (bit)
+      GROUP BY f.l_orderkey, f.rid
+    ),
+    truth AS (SELECT DISTINCT o_orderkey FROM dim)
+    SELECT
+      count(*) AS n_fact_rows,
+      CAST(sum(pass_bloom) AS BIGINT) AS n_pass_bloom,
+      CAST(sum(CASE WHEN t.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_true_match,
+      CAST(sum(CASE WHEN pass_bloom = 1 AND t.o_orderkey IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pass,
+      CAST((2 * 1000000 * sum(pass_bloom) + count(*)) // (2 * count(*))
+           AS BIGINT) AS pass_frac_micro
+    FROM probe p LEFT JOIN truth t ON t.o_orderkey = p.l_orderkey
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime filter for a selective star join (J1-family
+    extension; the hand-rolled, measurable version of what Spark's
+    runtime row-group filtering / DPP does): the filtered dimension's
+    join keys set k=3 bits in an m=64k-bit filter; every fact row is
+    pre-screened against the broadcast bits BEFORE any shuffle or join,
+    and the summary reconciles bloom passes vs exact matches — the
+    false-pass count is exactly the wasted shuffle volume the filter
+    failed to eliminate, and pass_frac is the scan-reduction factor a
+    planner would bank.
+
+    Scale: the whole point — at 100 TB the fact table never shuffles
+    on the join key until after a map-side membership test whose state
+    is m bits broadcast to every executor (vs broadcasting the key SET,
+    which grows with the dim). Per-row cost is one md5; the follow-up
+    exact join (``j1``/``q4``) then runs on the surviving fraction."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+
+    def _bits(key: str):
+        h = F.md5(F.col(key).cast("string"))
+        return F.array(
+            *[
+                (
+                    F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+                    % _RF_BITS
+                )
+                for j in range(_RF_K)
+            ]
+        )
+
+    dim_bits = dim.select(F.explode(_bits("o_orderkey")).alias("bit")).distinct()
+    fact = lineitem.select(
+        "l_orderkey",
+        F.monotonically_increasing_id().alias("rid"),
+        F.array_distinct(_bits("l_orderkey")).alias("bits"),
+    )
+    probe = (
+        fact.select("l_orderkey", "rid", F.explode("bits").alias("bit"))
+        .join(
+            F.broadcast(dim_bits.select("bit", F.lit(1).alias("present"))),
+            on="bit",
+            how="left",
+        )
+        .groupBy("l_orderkey", "rid")
+        .agg(
+            F.min(F.coalesce(F.col("present"), F.lit(0)))
+            .cast("bigint")
+            .alias("pass_bloom")
+        )
+    )
+    truth = dim.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    return (
+        probe.join(
+            F.broadcast(truth.withColumn("is_match", F.lit(1))),
+            on="l_orderkey",
+            how="left",
+        )
+        .agg(
+            F.count("*").alias("n_fact_rows"),
+            F.sum("pass_bloom").cast("bigint").alias("n_pass_bloom"),
+            F.sum(F.coalesce(F.col("is_match"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_true_match"),
+            F.sum(
+                F.when(
+                    (F.col("pass_bloom") == 1) & F.col("is_match").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pass"),
+        )
+        .withColumn(
+            "pass_frac_micro",
+            F.expr(
+                "(2 * 1000000 * n_pass_bloom + n_fact_rows)"
+                " div (2 * n_fact_rows)"
+            ).cast("bigint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-user event volume: the skew metric.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_gini_coefficient",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per_user
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx,
+        CAST(sum(i * x) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n AS n_users, sx AS total_events,
+      CAST((2 * 1000000 * (2 * six - (n + 1) * sx) + n * sx)
+           // (2 * n * sx) AS BIGINT) AS gini_micro
+    FROM sums
+    """,
+)
+def skew_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the single-number
+    skew instrument that complements ``skew_heavy_hitters``' top-k
+    view (Gini ≈ 0 → uniform keys, safe hash partitioning; → 1 → a
+    few hub keys own the table and joins need salting/AQE skew
+    handling). Computed by the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over counts sorted ascending —
+    every term an exact BIGINT (ties contribute identically under any
+    tie-break, so the id tie-break is for determinism only), and the
+    final ratio one exact half-up micro division.
+
+    Scale: one hash aggregate to per-key counts, one sort of the
+    (much smaller) key-count table for ranks — swap the global
+    row_number for the L3 two-pass partition-offset pattern when the
+    key table itself is huge; the three sums are a single reduce."""
+    events = read_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("sx").alias("total_events"),
+            F.expr(
+                "(2 * 1000000 * (2 * six - (n + 1) * sx) + n * sx)"
+                " div (2 * n * sx)"
+            ).cast("bigint")
+            .alias("gini_micro"),
+        )
+    )
