@@ -173,13 +173,12 @@ _MINHASH_CTES = f"""corpus AS ({_CORPUS_SQL}),
     )"""
 
 
-def _minhash_bands(corpus: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, sig) LSH band table for a (doc_id, text)
-    corpus — the narrow signature stage shared by the full-corpus pair
-    expansion (``minhash_lsh_pairs``) and the cross-batch incremental
-    probe (``dedup_incremental_minhash``). At scale this is the table
-    a production pipeline PERSISTS (bucketed by (band_idx, sig)) so
-    ingest batches never recompute the corpus side."""
+def _minhash_sigs(corpus: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) MinHash signature table for a (doc_id, text)
+    corpus — the narrow per-doc stage under ``_minhash_bands``, also
+    consumed directly by the estimator-calibration eval
+    (``pipeline_ops.dedup_minhash_calibration``), which compares
+    signature-agreement Jaccard estimates against exact set Jaccard."""
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.array_distinct(
         F.transform(
@@ -216,6 +215,17 @@ def _minhash_bands(corpus: DataFrame) -> DataFrame:
             ],
         )
     )
+    return sig
+
+
+def _minhash_bands(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, sig) LSH band table for a (doc_id, text)
+    corpus — the narrow signature stage shared by the full-corpus pair
+    expansion (``minhash_lsh_pairs``) and the cross-batch incremental
+    probe (``dedup_incremental_minhash``). At scale this is the table
+    a production pipeline PERSISTS (bucketed by (band_idx, sig)) so
+    ingest batches never recompute the corpus side."""
+    sig = _minhash_sigs(corpus)
     band_arr = F.array(
         *[
             F.concat_ws(

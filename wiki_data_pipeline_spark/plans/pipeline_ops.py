@@ -23,9 +23,11 @@ from wiki_data_pipeline_spark.plans.llm_ops import (
     _MINHASH_CTES,
     _N_QUERIES,
     _PQ_ADC_CTES,
+    _SHINGLE_SQL,
     _TOPK,
     _cos_sql,
     _dedup_corpus,
+    _shingles,
     _spread,
     dedup_minhash_lsh,
     pq_adc_distances,
@@ -1619,5 +1621,365 @@ def skew_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (2 * n * sx)"
             ).cast("bigint")
             .alias("gini_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: target-vs-raw unigram LM log-ratios.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_dsir_importance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+    raw_lm AS (SELECT t, count(*) AS c_raw FROM tok GROUP BY t),
+    tgt_lm AS (
+      SELECT t, count(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY t
+    ),
+    consts AS (
+      SELECT (SELECT count(*) FROM tok) AS n_raw,
+        (SELECT count(*) FROM tok WHERE lang = 'en') AS n_tgt,
+        (SELECT count(*) FROM raw_lm) AS v
+    ),
+    w AS (
+      SELECT r.t,
+        CAST(round((ln(CAST(coalesce(g.c_tgt, 0) + 1 AS DOUBLE)
+                       / (c.n_tgt + c.v))
+                    - ln(CAST(r.c_raw + 1 AS DOUBLE) / (c.n_raw + c.v)))
+                   * 1000000) AS BIGINT) AS w_micro
+      FROM raw_lm r LEFT JOIN tgt_lm g USING (t) CROSS JOIN consts c
+    )
+    SELECT dt.doc_id,
+      CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+      CAST(sum(dt.cnt * w.w_micro) AS BIGINT) AS logratio_micro,
+      CAST((2 * sum(dt.cnt * w.w_micro) + sum(dt.cnt))
+           // (2 * sum(dt.cnt)) AS BIGINT) AS per_token_micro
+    FROM dt JOIN w USING (t)
+    GROUP BY dt.doc_id
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling; SURVEY.md §2 sampling-family extension):
+    score every raw document by how much more likely its tokens are
+    under the TARGET distribution (here lang='en' — "select web text
+    that looks like English wiki") than under the raw corpus —
+    log p_target(doc)/p_raw(doc) under add-1-smoothed unigram LMs
+    over the shared vocabulary. Docs with high weights are what
+    importance resampling keeps. Per-token log-ratios are quantized
+    to integer micro-units through the same double on both engines
+    (the surprisal discipline), then the per-doc sum and per-token
+    mean are pure BIGINT.
+
+    Scale: two vocab-keyed count aggregates (raw LM, target LM — the
+    target pass is a filtered re-aggregation of the same shuffle
+    key), one token-keyed join of doc term counts against the weight
+    table — the ``score_unigram_surprisal`` shape with a two-LM
+    ratio. Weight tables are vocab-sized; doc scoring never shuffles
+    the corpus except on token keys."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = _spread(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    dt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
+    raw_lm = tok.groupBy("t").agg(F.count("*").alias("c_raw"))
+    tgt_lm = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("t")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    consts = (
+        tok.agg(
+            F.count("*").alias("n_raw"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_tgt"),
+        )
+        .crossJoin(F.broadcast(raw_lm.agg(F.count("*").alias("v"))))
+    )
+    w = (
+        raw_lm.join(tgt_lm, on="t", how="left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "t",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("n_tgt") + F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("c_raw") + 1).cast("double")
+                        / (F.col("n_raw") + F.col("v"))
+                    )
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        dt.join(w, on="t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("w_micro"))
+            .cast("bigint")
+            .alias("logratio_micro"),
+        )
+        .withColumn(
+            "per_token_micro",
+            F.expr("(2 * logratio_micro + n_tokens) div (2 * n_tokens)")
+            .cast("bigint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: signature estimate vs exact Jaccard.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+        ({' + '.join(
+            f'CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END'
+            for s in range(8))}) * 125000 AS est_micro
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+      CAST(e.est_micro AS BIGINT) AS est_micro,
+      CAST((2 * 1000000 * coalesce(c.c, 0)
+            + (sa.n + sb.n - coalesce(c.c, 0)))
+           // (2 * (sa.n + sb.n - coalesce(c.c, 0))) AS BIGINT)
+        AS true_micro,
+      CAST(abs(e.est_micro
+               - (2 * 1000000 * coalesce(c.c, 0)
+                  + (sa.n + sb.n - coalesce(c.c, 0)))
+                 // (2 * (sa.n + sb.n - coalesce(c.c, 0)))) AS BIGINT)
+        AS err_micro
+    FROM est e
+    LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (SURVEY.md §2.3 dedup-family
+    eval, the ``sim_ann_recall_eval`` pattern applied to dedup): for
+    every LSH candidate pair, the signature-agreement Jaccard estimate
+    (matching minhashes / 8 — each an exact 125000-micro step) is laid
+    against the EXACT shingle-set Jaccard, giving the per-pair
+    estimator error that justifies (or indicts) the banding
+    parameters. est is the unbiased MinHash estimator; err_micro is
+    what you histogram to pick _N_HASHES before a 100 TB run.
+
+    Scale: signatures and sizes are per-doc rows joined only for
+    candidate pairs (never all-pairs); the exact-intersection stage is
+    the candidate-restricted ``dedup_minhash_verified`` shape. The
+    whole eval rides tables the dedup pipeline already materializes."""
+    from wiki_data_pipeline_spark.plans.llm_ops import _minhash_sigs
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sig = _minhash_sigs(corpus)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(8)],
+    )
+    n_eq = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("long") for s in range(8)
+    )
+    est = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", (n_eq * 125000).alias("est_micro"))
+    )
+    from wiki_data_pipeline_spark.plans.llm_ops import _shingles
+
+    sh = _shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            on=["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        est.join(common, on=["doc_a", "doc_b"], how="left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), on="doc_b")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("est_micro").cast("bigint").alias("est_micro"),
+            F.expr("(2 * 1000000 * c + (na + nb - c)) div (2 * (na + nb - c))")
+            .cast("bigint")
+            .alias("true_micro"),
+            F.expr(
+                "abs(est_micro - (2 * 1000000 * c + (na + nb - c))"
+                " div (2 * (na + nb - c)))"
+            )
+            .cast("bigint")
+            .alias("err_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality baseline + deviation scoring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+        count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, hod,
+        CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS days
+      FROM hourly GROUP BY event_type, hod
+    )
+    SELECT h.event_type, strftime(h.day, '%Y-%m-%d') AS day, h.hod,
+      h.n AS n_events,
+      CAST((2 * 1000000 * b.tot + b.days) // (2 * b.days) AS BIGINT)
+        AS baseline_micro,
+      CAST(abs(1000000 * h.n - (2 * 1000000 * b.tot + b.days) // (2 * b.days))
+           AS BIGINT) AS abs_dev_micro
+    FROM hourly h JOIN base b USING (event_type, hod)
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality baseline (SURVEY.md §2.5 aggregation
+    extension; the grouped-baseline companion to the global
+    ``events_anomaly_mad``): per (type, hour-of-day) mean daily volume
+    as the seasonal expectation, and each (type, day, hour) cell's
+    absolute deviation from it — the residual a seasonal anomaly
+    detector thresholds (dividing by a robust spread, per the MAD
+    query, is the next stage). Baseline means are exact half-up micro
+    divisions of integer counts — pure BIGINT end to end.
+
+    Scale: two hash aggregates over the same (type, day, hour) keys
+    (the second collapses day out — strictly smaller), one broadcast-
+    able 24·|types|-row baseline join back. No sorts, no windows."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("days"),
+    )
+    joined = hourly.join(F.broadcast(base), on=["event_type", "hod"])
+    baseline = "(2 * 1000000 * tot + days) div (2 * days)"
+    return joined.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hod",
+        F.col("n").alias("n_events"),
+        F.expr(baseline).cast("bigint").alias("baseline_micro"),
+        F.expr(f"abs(1000000 * n - ({baseline}))")
+        .cast("bigint")
+        .alias("abs_dev_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty: how much does each doc add that earlier docs lack?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_shingle_novelty",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_SHINGLE_SQL},
+    firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+      count(*) AS n_shingles,
+      CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel,
+      CAST((2 * 1000000 * sum(CASE WHEN f.first_doc = sh.doc_id
+                              THEN 1 ELSE 0 END) + count(*))
+           // (2 * count(*)) AS BIGINT) AS novelty_micro
+    FROM sh JOIN firsts f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty scoring — per document, the fraction of its
+    word-3-gram shingles whose FIRST occurrence (min doc_id = ingest
+    order) is this document: the marginal-contribution measure data
+    curation uses to rank what a doc adds to the corpus (near-zero
+    novelty ⇒ the doc is assembled from already-seen text — the
+    soft, scoring-flavored complement to ``dedup_ngram_containment``).
+
+    Scale: one shingle explode (narrow), one shuffle on shingle for
+    the min-aggregate, one shuffle back to attribute — exactly the
+    inverted-index cost the n-gram dedup family already pays; the
+    firsts table is vocabulary-sized. Min-by-ingest-order is an
+    associative aggregate, so incremental batches fold in without
+    recomputing history."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingles(docs)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_micro",
+            F.expr("(2 * 1000000 * n_novel + n_shingles) div (2 * n_shingles)")
+            .cast("bigint"),
         )
     )
