@@ -421,3 +421,33 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
         replayed.filter(F.col("new_doc") == F.col("existing_doc")).count()
         == 0
     )
+
+
+def test_streaming_daily_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """Stream ≡ batch for the exact-integer EWMA: the stateful
+    streaming twin's FINAL emission per (type, day) must equal the
+    registered ts_ewma_daily batch rows bitwise (same BIGINT
+    arithmetic on both paths)."""
+    from wiki_data_pipeline_spark.plans.registry import get
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        run_streaming_daily_ewma,
+        stage_events_as_stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    run_streaming_daily_ewma(
+        spark, src, str(tmp_path / "ckpt"), query_name="t_daily_ewma"
+    )
+    final = spark.sql(
+        """
+        SELECT event_type, day, n_events, ewma_micro FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type, day ORDER BY n_total DESC) rn
+          FROM t_daily_ewma) WHERE rn = 1
+        """
+    )
+    batch = get("ts_ewma_daily").fn(spark, sf_dir)
+    f = {(r.event_type, r.day): (r.n_events, r.ewma_micro) for r in final.collect()}
+    b = {(r.event_type, r.day): (r.n_events, r.ewma_micro) for r in batch.collect()}
+    assert f == b

@@ -33,6 +33,13 @@ PROBED = [
     "dedup_substring_spans",
     "sim_ann_pq_adc",
     "graph_pagerank_dedup",
+    # round-5 additions (documents/embeddings family)
+    "sim_ann_pq_rerank",
+    "dedup_paragraph_chunks",
+    "dedup_minhash_calibration",
+    "sample_dsir_importance",
+    "text_shingle_novelty",
+    "text_char_entropy",
 ]
 SCALES = [1, 3, 10]
 

@@ -581,3 +581,89 @@ def run_streaming_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+EWMA_OUT_SCHEMA = (
+    "event_type string, day string, n_events bigint, ewma_micro bigint,"
+    " n_total bigint"
+)
+
+
+def run_streaming_daily_ewma(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_daily_ewma",
+    lags: int = 8,
+) -> None:
+    """Streaming twin of the batch ``ts_ewma_daily`` query (§2.9 +
+    §2.10 stateful-UDAF surface): per event_type, GroupState holds the
+    (day → count) vector across micro-batches; every batch merges its
+    arrivals and re-emits the exact-integer EWMA series (alpha = 1/2 →
+    power-of-two weights, the same pure-BIGINT half-up arithmetic as
+    the batch plan, so stream ≡ batch is bitwise, not approximate).
+
+    State is bounded by the retention horizon (|days| per key — a
+    production job would evict days older than the EWMA window plus
+    watermark; kept whole here because re-emission of corrected
+    history is the point of the twin). Each emission carries n_total
+    (monotone per key) so readers of the update-mode sink can select
+    the final emission per (type, day)."""
+    events = read_event_stream(spark, source_dir)
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        days, counts = ([], []) if not state.exists else [
+            list(x) for x in state.get
+        ]
+        acc = dict(zip(days, counts))
+        for pdf in pdfs:
+            per_day = (
+                pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d").value_counts()
+            )
+            for day, cnt in per_day.items():
+                acc[day] = acc.get(day, 0) + int(cnt)
+        ordered = sorted(acc.items())
+        state.update((
+            [d for d, _ in ordered],
+            [c for _, c in ordered],
+        ))
+        n_total = sum(acc.values())
+        rows = []
+        for i, (day, cnt) in enumerate(ordered):
+            window = [c for _, c in ordered[max(0, i - (lags - 1)): i + 1]]
+            num = sum(c << p for p, c in enumerate(window))
+            den = (1 << len(window)) - 1
+            rows.append(
+                (
+                    key[0],
+                    day,
+                    cnt,
+                    (2 * 1_000_000 * num + den) // (2 * den),
+                    n_total,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "day", "n_events", "ewma_micro", "n_total"],
+        )
+
+    result = events.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType="days array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
