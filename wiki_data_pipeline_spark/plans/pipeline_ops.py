@@ -1983,3 +1983,298 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema inference: key presence / type drift audit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_props_schema_audit",
+    oracle="""
+    WITH payload AS (
+      SELECT event_id,
+        CASE event_id % 3
+          WHEN 0 THEN props
+          WHEN 1 THEN json_merge_patch(props,
+            '{"extra": "tag", "v2": true}')::VARCHAR
+          ELSE '{"renamed_k": ' || json_extract(props, '$.k')::VARCHAR || '}'
+        END AS p
+      FROM events
+    ),
+    total AS (SELECT count(*) AS n FROM payload),
+    kv AS (
+      SELECT event_id, unnest(json_keys(p)) AS key, p FROM payload
+    )
+    SELECT kv.key,
+      count(*) AS n_present,
+      CAST((2 * 1000000 * count(*) + any_value(t.n)) // (2 * any_value(t.n))
+           AS BIGINT) AS present_frac_micro,
+      CAST(sum(CASE WHEN try_cast(json_extract_string(kv.p, '$.' || kv.key)
+                         AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_bigint_castable,
+      CASE WHEN sum(CASE WHEN try_cast(json_extract_string(kv.p, '$.' || kv.key)
+                         AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+           THEN 'bigint' ELSE 'string' END AS inferred_type
+    FROM kv CROSS JOIN total t
+    GROUP BY kv.key
+    """,
+)
+def st_props_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift audit (S8/§2.10 schema-on-read
+    family, the inference side of ``st_props_variant_extract``): over a
+    heterogeneous JSON payload (synthesized here by evolving the
+    fixture's uniform ``props`` across three writer generations —
+    added keys, renamed keys — because the fixture itself is
+    single-key), report per-key presence counts, presence fraction
+    (exact half-up micro), and an inferred type from castability —
+    the evidence a schema registry needs before widening a table or
+    flagging a producer.
+
+    Scale: one pass — key explode via json_keys (JVM-side), hash agg
+    on key; the key space is schema-sized, so the aggregate output is
+    tiny regardless of input volume."""
+    events = read_table(spark, sf_dir, "events")
+    payload = events.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("props")
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.regexp_replace(
+                F.col("props"), r"\}$", ', "extra": "tag", "v2": true}'
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"renamed_k": '),
+                F.get_json_object(F.col("props"), "$.k"),
+                F.lit("}"),
+            )
+        )
+        .alias("p"),
+    )
+    total = payload.agg(F.count("*").alias("n"))
+    # explode to (key, value) pairs via a map parse — the value arrives
+    # as its JSON-textual form, matching json_extract_string's output.
+    kv = payload.select(
+        "event_id",
+        F.explode(F.from_json("p", "map<string,string>")).alias("key", "value"),
+    )
+    castable = F.sum(
+        F.expr("try_cast(value AS BIGINT)").isNotNull().cast("long")
+    )
+    return (
+        kv.crossJoin(F.broadcast(total))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.any_value("n").alias("_n"),
+            castable.cast("bigint").alias("n_bigint_castable"),
+        )
+        .select(
+            "key",
+            "n_present",
+            F.expr("(2 * 1000000 * n_present + _n) div (2 * _n)")
+            .cast("bigint")
+            .alias("present_frac_micro"),
+            "n_bigint_castable",
+            F.when(
+                F.col("n_bigint_castable") == F.col("n_present"), F.lit("bigint")
+            )
+            .otherwise(F.lit("string"))
+            .alias("inferred_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: heuristic LID vs gold labels.
+# ---------------------------------------------------------------------------
+
+from wiki_data_pipeline_spark.plans.registry import _REGISTRY as _PREG  # noqa: E402
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH lid AS ({_PREG['text_lang_id'].oracle}),
+    total AS (SELECT count(*) AS n FROM lid)
+    SELECT lang, guessed_lang,
+      count(*) AS n_docs,
+      CAST((2 * 1000000 * count(*) + any_value(t.n)) // (2 * any_value(t.n))
+           AS BIGINT) AS cell_frac_micro,
+      CAST(CASE WHEN (lang = 'en') = (guessed_lang = 'en') THEN 1 ELSE 0 END
+           AS BIGINT) AS is_correct
+    FROM lid CROSS JOIN total t
+    GROUP BY lang, guessed_lang
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the evaluation layer over the
+    registered ``text_lang_id`` heuristic (the ``sim_ann_recall_eval``
+    pattern applied to LID, per SURVEY.md §2.8's text-quality family):
+    gold label × prediction cell counts and fractions, with the
+    en-vs-other correctness flag per cell. A pipeline gates LID model
+    upgrades on exactly this table (precision on 'en' decides how much
+    non-English leaks into an English-only training mix).
+
+    Scale: rides the LID scoring pass (map-only) plus one tiny
+    |langs|² aggregate; the oracle composes the REGISTERED text_lang_id
+    oracle so the eval always scores the shipped definition."""
+    lid = _PREG["text_lang_id"].fn(spark, sf_dir)
+    total = lid.agg(F.count("*").alias("n"))
+    return (
+        lid.crossJoin(F.broadcast(total))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"), F.any_value("n").alias("_n"))
+        .select(
+            "lang",
+            "guessed_lang",
+            "n_docs",
+            F.expr("(2 * 1000000 * n_docs + _n) div (2 * _n)")
+            .cast("bigint")
+            .alias("cell_frac_micro"),
+            ((F.col("lang") == "en") == (F.col("guessed_lang") == "en"))
+            .cast("bigint")
+            .alias("is_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE-upsert planning: classify a delta batch against current state.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_merge_plan",
+    oracle="""
+    WITH cutoff AS (SELECT CAST(max(event_id) * 0.8 AS BIGINT) AS c FROM events),
+    hist_state AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events CROSS JOIN cutoff WHERE event_id <= c
+      ) WHERE rn = 1
+    ),
+    delta_latest AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events CROSS JOIN cutoff WHERE event_id > c
+      ) WHERE rn = 1
+    )
+    SELECT action, count(*) AS n_users FROM (
+      SELECT CASE
+        WHEN h.user_id IS NULL THEN 'insert'
+        WHEN (d.ts > h.ts) OR (d.ts = h.ts AND d.event_id > h.event_id)
+          THEN 'update'
+        ELSE 'stale_skip'
+      END AS action
+      FROM delta_latest d LEFT JOIN hist_state h USING (user_id)
+    ) GROUP BY action
+    """,
+)
+def cdc_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO planning — classify a CDC delta batch against the
+    compacted current state (K3/ST2 + ``cdc_latest_state``'s §2.11
+    family): per target key the delta's latest row is an ``insert``
+    (key unseen), an ``update`` (newer by the (ts, event_id) version
+    order), or a ``stale_skip`` (out-of-order replay older than
+    current state — the case naive upserts corrupt). The count-per-
+    action table is both the dry-run audit and the shuffle-size
+    estimate a MERGE job plans its file rewrites from.
+
+    Scale: both sides compact map-side via max_by before a key-equi
+    join of two ≤|keys| tables (never event×event); delta is id-
+    bounded (high-watermark resume). The version tie-break is total
+    (event_id unique), so both engines classify identically."""
+    events = read_table(spark, sf_dir, "events")
+    cutoff = events.agg(
+        (F.max("event_id") * 0.8).cast("bigint").alias("c")
+    )
+    ec = events.crossJoin(F.broadcast(cutoff))
+    ver = F.struct(F.col("ts"), F.col("event_id"))
+
+    def latest(df):
+        return df.groupBy("user_id").agg(F.max(ver).alias("v"))
+
+    hist = latest(ec.filter(F.col("event_id") <= F.col("c"))).select(
+        "user_id", F.col("v").alias("hv")
+    )
+    delta = latest(ec.filter(F.col("event_id") > F.col("c"))).select(
+        "user_id", F.col("v").alias("dv")
+    )
+    return (
+        delta.join(hist, on="user_id", how="left")
+        .select(
+            F.when(F.col("hv").isNull(), F.lit("insert"))
+            .when(F.col("dv") > F.col("hv"), F.lit("update"))
+            .otherwise(F.lit("stale_skip"))
+            .alias("action")
+        )
+        .groupBy("action")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-method dedup impact report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_impact_report",
+    oracle=f"""
+    WITH lsh AS ({_PREG['dedup_minhash_lsh'].oracle}),
+    jac AS ({_PREG['dedup_ngram_jaccard'].oracle}),
+    cont AS ({_PREG['dedup_ngram_containment'].oracle})
+    SELECT 'minhash_lsh' AS method, count(*) AS n_pairs,
+      CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+        AS n_doc_slots
+    FROM lsh
+    UNION ALL
+    SELECT 'ngram_jaccard', count(*),
+      CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+    FROM jac
+    UNION ALL
+    SELECT 'ngram_containment', count(*),
+      CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+    FROM cont
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup impact report (§2.3 dedup-family roll-up):
+    one row per candidate-generation method — banded MinHash-LSH,
+    exact n-gram Jaccard, asymmetric containment — with its pair
+    volume and affected-document slots, composed from the REGISTERED
+    queries/oracles so the report always reflects the shipped
+    definitions (the recall_eval composition pattern). This is the
+    table a dedup rollout reviews before picking thresholds: LSH pair
+    volume bounds cluster-stage cost, the Jaccard/containment deltas
+    show what each refinement drops.
+
+    Scale: each branch is the already-audited plan of its method; the
+    roll-up adds three O(1)-row aggregates and a union."""
+    branches = []
+    for method, qname in [
+        ("minhash_lsh", "dedup_minhash_lsh"),
+        ("ngram_jaccard", "dedup_ngram_jaccard"),
+        ("ngram_containment", "dedup_ngram_containment"),
+    ]:
+        pairs = _PREG[qname].fn(spark, sf_dir)
+        branches.append(
+            pairs.agg(
+                F.count("*").alias("n_pairs"),
+                (
+                    F.countDistinct("doc_a") + F.countDistinct("doc_b")
+                ).cast("bigint").alias("n_doc_slots"),
+            ).select(F.lit(method).alias("method"), "n_pairs", "n_doc_slots")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
