@@ -209,14 +209,14 @@ _BLOOM_BITS = 4096
 _BLOOM_K = 3
 
 
-def _bloom_bits_sql(texpr: str) -> str:
+def _bloom_bits_sql(texpr: str, m: int = _BLOOM_BITS) -> str:
     """k=3 bit positions from disjoint 8-hex slices of one md5 — the
     Kirsch-Mitzenmacher trick (k hashes from one computation)."""
     return (
         "["
         + ", ".join(
             f"('0x' || substr(md5({texpr}), {1 + 8 * j}, 8))::BIGINT"
-            f" % {_BLOOM_BITS}"
+            f" % {m}"
             for j in range(_BLOOM_K)
         )
         + "]"
@@ -2273,6 +2273,372 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.countDistinct("doc_a") + F.countDistinct("doc_b")
                 ).cast("bigint").alias("n_doc_slots"),
             ).select(F.lit(method).alias("method"), "n_pairs", "n_doc_slots")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF posting-list balance audit.
+# ---------------------------------------------------------------------------
+
+from wiki_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
+    _N_CENTROIDS_MOD,
+)
+
+
+@query(
+    "sim_ivf_cell_stats",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % {_N_CENTROIDS_MOD} = 0),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_cos_sql('v.embedding', 'c.ce')} DESC, c.cid) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    cells AS (SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid),
+    tot AS (
+      SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+        CAST(count(*) AS BIGINT) AS k
+      FROM cells
+    )
+    SELECT c.cid, c.n_vectors,
+      CAST((2 * 1000000 * c.n_vectors + t.total) // (2 * t.total) AS BIGINT)
+        AS share_micro,
+      CAST((2 * 1000000 * c.n_vectors * t.k + t.total) // (2 * t.total)
+           AS BIGINT) AS imbalance_micro
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF posting-list balance audit (SURVEY.md §2 similarity-family
+    eval; the serving-health companion to ``sim_ann_recall_eval``):
+    per-cell vector counts, corpus share, and imbalance vs the ideal
+    1/k share (imbalance_micro = n·k/total in exact micro units). A
+    hot cell (imbalance ≫ 1e6) means probe latency spikes and argues
+    for re-training centroids or splitting the cell — the same
+    decision loop ``skew_heavy_hitters`` drives for join keys, applied
+    to the ANN index.
+
+    Scale: one broadcast assignment pass (the registered sim_ann_ivf
+    stage) + a k-row aggregate — the audit rides the index build."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
+    )
+    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    score = F.round(cosine(F.col("ve"), F.col("ce")), 6)
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", score.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
+    )
+    cells = assign.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    tot = cells.agg(
+        F.sum("n_vectors").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vectors",
+            F.expr("(2 * 1000000 * n_vectors + total) div (2 * total)")
+            .cast("bigint")
+            .alias("share_micro"),
+            F.expr("(2 * 1000000 * n_vectors * k + total) div (2 * total)")
+            .cast("bigint")
+            .alias("imbalance_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "path_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    row_tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY src)
+    SELECT t.src, t.dst, t.n AS n_transitions,
+      CAST((2 * 1000000 * t.n + r.tot) // (2 * r.tot) AS BIGINT) AS prob_micro
+    FROM trans t JOIN row_tot r USING (src)
+    """,
+)
+def path_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (§2.9 path-mining family — the normalized-probability
+    complement to ``path_common_triples``' raw top-k): P(next event |
+    current event) as exact half-up micro fractions of row totals.
+    This matrix is what funnel simulation, next-event prediction
+    baselines, and anomaly scoring of improbable paths consume.
+
+    Scale: one (user)-partitioned sort shared with the sessionize
+    lineage for the lead(), then map-side-collapsing counts onto a
+    ≤|types|² key space — the aggregate output is schema-sized no
+    matter the input volume."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    row_tot = trans.groupBy("src").agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        trans.join(F.broadcast(row_tot), on="src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").alias("n_transitions"),
+            F.expr("(2 * 1000000 * n + tot) div (2 * tot)")
+            .cast("bigint")
+            .alias("prob_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS trend slope over daily volumes (exact rational + micro).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_moving_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, x, y,
+        count(*) OVER w AS n,
+        CAST(sum(x) OVER w AS BIGINT) AS sx,
+        CAST(sum(y) OVER w AS BIGINT) AS sy,
+        CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(x AS BIGINT) AS day_idx, y AS n_events,
+      CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) * 1000000) / 1000000.0
+      END AS slope
+    FROM win
+    """,
+)
+def window_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend slope of daily event volume (SURVEY.md
+    §2.5/§2.6 window-family extension; the trend detector behind
+    "volume is drifting down 3%/day"): every term of the closed-form
+    slope (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx) is an integer window sum, so
+    the numerator/denominator columns are EXACT BIGINTs (signed — the
+    one place the half-up ``div`` trick doesn't apply, hence the
+    rational is exported exactly and the double is quantized through
+    the same division on both engines). First row of each series has
+    a zero denominator → NULL slope on both engines.
+
+    Scale: one (type)-partitioned ordered window carrying five
+    running sums — bounded state, single shuffle on the series key."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return win.select(
+        "event_type",
+        F.col("x").cast("bigint").alias("day_idx"),
+        F.col("y").alias("n_events"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den * 1000000, 0) / 1000000.0,
+        ).alias("slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive-rate curve: measured fp vs filter size.
+# ---------------------------------------------------------------------------
+
+_FPP_SIZES = [512, 4096, 32768]
+
+
+def _bloom_probe_branch_sql(m: int) -> str:
+    return f"""
+      SELECT {m} AS m_bits, {_BLOOM_K} AS k_hashes,
+        count(*) AS n_probe,
+        CAST(count(*) - sum(true_dup) AS BIGINT) AS n_true_neg,
+        CAST(sum(CASE WHEN bloom_hit = 1 AND true_dup = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+        CAST((2 * 1000000 * sum(CASE WHEN bloom_hit = 1 AND true_dup = 0
+                                THEN 1 ELSE 0 END)
+              + (count(*) - sum(true_dup)))
+             // (2 * (count(*) - sum(true_dup))) AS BIGINT) AS fp_micro
+      FROM (
+        SELECT p.doc_id,
+          CAST(min(CASE WHEN sb.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS bloom_hit,
+          CAST(max(CASE WHEN sd.digest IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS true_dup
+        FROM (
+          SELECT doc_id, digest, unnest(list_distinct(bits)) AS bit FROM (
+            SELECT doc_id, md5(text) AS digest,
+              {_bloom_bits_sql('text', m)} AS bits
+            FROM corpus WHERE doc_id >= 100000
+          )
+        ) p
+        LEFT JOIN (
+          SELECT DISTINCT unnest(bits) AS bit FROM (
+            SELECT {_bloom_bits_sql('text', m)} AS bits
+            FROM corpus WHERE doc_id < 100000
+          )
+        ) sb USING (bit)
+        LEFT JOIN (
+          SELECT DISTINCT md5(text) AS digest FROM corpus
+          WHERE doc_id < 100000
+        ) sd ON sd.digest = p.digest
+        GROUP BY p.doc_id, p.digest
+      )
+    """
+
+
+@query(
+    "sketch_bloom_fpp_curve",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    {' UNION ALL '.join(_bloom_probe_branch_sql(m) for m in _FPP_SIZES)}
+    """,
+)
+def sketch_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom false-positive-rate curve — the capacity-planning sweep
+    over filter size (§2 sketch-family eval, the measured counterpart
+    of the m ≈ n·k/ln2 sizing rule): the same seen/probe split as
+    ``bloom_filter_probe`` evaluated at m ∈ {{512, 4096, 32768}} bits,
+    reporting measured fp rate per size. The knee of this curve is
+    where a deployment sizes its dedup-on-ingest filter; an fp rate
+    that does NOT fall as m grows would indict the bit derivation.
+
+    Scale: three passes over the same tiny bit sets (all broadcast);
+    at real scale the sweep runs on a SAMPLE of the corpus — the fp
+    estimate needs only enough probes for a stable rate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    digest = F.md5("text")
+    branches = []
+    for m in _FPP_SIZES:
+        bits = F.array(
+            *[
+                (
+                    F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast(
+                        "long"
+                    )
+                    % m
+                )
+                for j in range(_BLOOM_K)
+            ]
+        )
+        hashed = corpus.select(
+            "doc_id", digest.alias("digest"), bits.alias("bits")
+        )
+        seen = hashed.filter(F.col("doc_id") < 100000)
+        seen_bits = seen.select(F.explode("bits").alias("bit")).distinct()
+        seen_digests = seen.select("digest").distinct()
+        probe = hashed.filter(F.col("doc_id") >= 100000).select(
+            "doc_id", "digest", F.explode(F.array_distinct("bits")).alias("bit")
+        )
+        per_doc = (
+            probe.join(
+                F.broadcast(seen_bits.select("bit", F.lit(1).alias("present"))),
+                on="bit",
+                how="left",
+            )
+            .join(
+                F.broadcast(
+                    seen_digests.select("digest", F.lit(1).alias("known"))
+                ),
+                on="digest",
+                how="left",
+            )
+            .groupBy("doc_id", "digest")
+            .agg(
+                F.min(F.coalesce(F.col("present"), F.lit(0)))
+                .cast("bigint")
+                .alias("bloom_hit"),
+                F.max(F.coalesce(F.col("known"), F.lit(0)))
+                .cast("bigint")
+                .alias("true_dup"),
+            )
+        )
+        fp = F.sum(
+            ((F.col("bloom_hit") == 1) & (F.col("true_dup") == 0)).cast("long")
+        )
+        branches.append(
+            per_doc.agg(
+                F.count("*").alias("n_probe"),
+                (F.count("*") - F.sum("true_dup"))
+                .cast("bigint")
+                .alias("n_true_neg"),
+                fp.cast("bigint").alias("n_false_pos"),
+            )
+            .select(
+                F.lit(m).alias("m_bits"),
+                F.lit(_BLOOM_K).alias("k_hashes"),
+                "n_probe",
+                "n_true_neg",
+                "n_false_pos",
+                F.expr(
+                    "(2 * 1000000 * n_false_pos + n_true_neg)"
+                    " div (2 * n_true_neg)"
+                ).cast("bigint").alias("fp_micro"),
+            )
         )
     out = branches[0]
     for b in branches[1:]:
