@@ -2644,3 +2644,127 @@ def sketch_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionAll(b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency eval.
+# ---------------------------------------------------------------------------
+
+from wiki_data_pipeline_spark.plans.llm_ops import _PACK_BUDGET as _PACK_TARGET  # noqa: E402
+
+
+@query(
+    "pack_efficiency_eval",
+    oracle=f"""
+    WITH packed AS ({_PREG['pack_training_sequences'].oracle})
+    SELECT lang,
+      count(*) AS n_sequences,
+      CAST(sum(total_tokens) AS BIGINT) AS n_tokens,
+      CAST(min(total_tokens) AS BIGINT) AS min_fill,
+      CAST((2 * 1000000 * sum(total_tokens)
+            + count(*) * {_PACK_TARGET})
+           // (2 * count(*) * {_PACK_TARGET}) AS BIGINT)
+        AS utilization_micro,
+      CAST(sum(CASE WHEN total_tokens > {_PACK_TARGET} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_overflow
+    FROM packed GROUP BY lang
+    """,
+)
+def pack_efficiency_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency eval (§2.6 batching-family eval,
+    composed from the REGISTERED ``pack_training_sequences`` — the
+    recall_eval pattern): per language, sequence counts, mean bin
+    utilization vs the 512-token budget (exact half-up micro), the
+    worst-filled bin, and an overflow invariant (n_overflow must be 0
+    for any doc ≤ budget — a nonzero count means the packer's
+    greedy-accumulate rule broke). Utilization is THE number that
+    decides whether packing earns its shuffle: at <70% you switch to
+    first-fit-decreasing or concat-and-split
+    (``pack_sequences_concat``).
+
+    Scale: rides the packing plan + a |langs|-row aggregate."""
+    packed = _PREG["pack_training_sequences"].fn(spark, sf_dir)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sequences"),
+            F.sum("total_tokens").cast("bigint").alias("n_tokens"),
+            F.min("total_tokens").cast("bigint").alias("min_fill"),
+            F.sum((F.col("total_tokens") > _PACK_TARGET).cast("long"))
+            .cast("bigint")
+            .alias("n_overflow"),
+        )
+        .select(
+            "lang",
+            "n_sequences",
+            "n_tokens",
+            "min_fill",
+            F.expr(
+                f"(2 * 1000000 * n_tokens + n_sequences * {_PACK_TARGET})"
+                f" div (2 * n_sequences * {_PACK_TARGET})"
+            ).cast("bigint").alias("utilization_micro"),
+            "n_overflow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination apply: the cleaned corpus, reconciled.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_apply_clean",
+    oracle=f"""
+    WITH flagged AS ({_PREG['contamination_ngram_overlap'].oracle}),
+    contaminated AS (SELECT doc_id FROM flagged WHERE contaminated = 1)
+    SELECT d.lang,
+      count(*) AS n_docs,
+      CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dropped,
+      CAST((2 * 1000000 * sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            + count(*)) // (2 * count(*)) AS BIGINT) AS drop_frac_micro
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def contamination_apply_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY step (§2.3/F9 anti-join family, composed
+    from the REGISTERED ``contamination_ngram_overlap`` flags): the
+    per-language reconciliation of dropping benchmark-overlapping docs
+    — kept/dropped counts and drop fractions, the audit row a training
+    run records next to its data recipe. The actual clean corpus is
+    the same anti-join minus the aggregate; this query IS the receipt.
+
+    Scale: the flag set is contamination-rate-sized → broadcast
+    anti-join against the corpus (never a shuffle of the corpus on
+    doc_id), then a |langs|-row aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    flagged = _PREG["contamination_ngram_overlap"].fn(spark, sf_dir)
+    contaminated = flagged.filter(
+        F.col("contaminated").cast("int") == 1
+    ).select("doc_id")
+    return (
+        docs.join(
+            F.broadcast(contaminated.withColumn("hit", F.lit(1))),
+            on="doc_id",
+            how="left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("hit").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.col("hit").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .withColumn(
+            "drop_frac_micro",
+            F.expr("(2 * 1000000 * n_dropped + n_docs) div (2 * n_docs)")
+            .cast("bigint"),
+        )
+    )
