@@ -2768,3 +2768,255 @@ def contamination_apply_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: per-group top-k without a window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-nation top-2 customers by
+    balance expressed as a correlated inner query instead of a window
+    (SURVEY.md §2.4/§2.6 SQL-surface extension; the form ANSI
+    tooling generates and Spark 3.2+ decorrelates): Catalyst rewrites
+    the LATERAL into a ranked join, so the declarative form pays the
+    same single shuffle as the ``topk_per_nation`` window — this query
+    pins that the decorrelation surface exists and agrees with the
+    oracle bit-for-bit (deterministic (acctbal, custkey) order).
+
+    Scale: after decorrelation this is one hash shuffle on nationkey
+    with per-group limits pushed into the sort (WindowGroupLimit) —
+    never a per-nation re-scan of customer."""
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM _lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM _lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: hierarchy ancestry rollup (Spark 4 WITH RECURSIVE).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc(doc_id, cur, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT doc_id, cur // 2, depth + 1 FROM anc WHERE cur > 1
+    )
+    SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth,
+      CAST(min(cur) AS BIGINT) AS root_id,
+      CAST(count(*) AS BIGINT) AS n_ancestors
+    FROM anc GROUP BY doc_id
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE ancestry rollup (SURVEY.md §2.10 iterative
+    surface, now DECLARATIVE — Spark 4 ships WITH RECURSIVE, so the
+    hierarchy walks that ``dedup_cluster_components`` had to hand-roll
+    as iterative DataFrame rounds can be written as SQL): each doc is
+    placed in the implicit binary hierarchy parent = id div 2 (the
+    stand-in for a category/BOM tree, which the fixture lacks) and the
+    recursion walks to the root, emitting depth, root, and ancestor
+    counts. The step is strictly decreasing (cur div 2 with a cur > 1
+    guard), so UNION ALL recursion terminates — the cycle-safe UNION
+    form is not yet in Spark (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+    which is exactly why the components query keeps its iterative
+    min-label implementation; this query pins the surface that DOES
+    exist.
+
+    Scale: each recursion level is one self-join of the frontier —
+    log₂(max id) rounds; the frontier shrinks as walks terminate."""
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_rec_documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, cur, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM _rec_documents
+          UNION ALL
+          SELECT doc_id, cur div 2, depth + 1 FROM anc WHERE cur > 1
+        )
+        SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth,
+          CAST(min(cur) AS BIGINT) AS root_id,
+          CAST(count(*) AS BIGINT) AS n_ancestors
+        FROM anc GROUP BY doc_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map as-of alignment: purchases ↔ most recent view.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_cogrouped_asof",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    best AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+        max(struct_pack(ts := v.ts, event_id := v.event_id)) AS bv
+      FROM p JOIN v ON v.user_id = p.user_id
+        AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))
+      GROUP BY p.user_id, p.event_id
+    )
+    SELECT b.user_id, b.purchase_id,
+      CAST(b.bv.event_id AS BIGINT) AS view_id,
+      CAST(epoch_us(p.ts) - epoch_us(b.bv.ts) AS BIGINT) AS lag_us
+    FROM best b JOIN p ON p.user_id = b.user_id AND p.event_id = b.purchase_id
+    """,
+)
+def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map as-of alignment (SURVEY.md §2.10 — the one Arrow
+    UDF surface the engine had not yet exercised:
+    ``groupBy().cogroup().applyInPandas``): per user, each purchase is
+    aligned to its most recent preceding view with pandas
+    ``merge_asof`` inside the cogrouped function — the two streams
+    arrive as separate per-key pandas frames, Spark shuffles both
+    sides ONCE on user_id and hands co-partitioned groups to Arrow.
+    Lag is exported in exact epoch microseconds; ties on ts resolve to
+    the larger view event_id (merge_asof takes the last sorted row —
+    the (ts, event_id) sort makes that the SQL max(struct) row, so the
+    pandas path hash-matches the relational oracle).
+
+    Scale: one co-shuffle on the key, bounded per-group pandas work —
+    the distributed form of the point-in-time-correct feature joins
+    (``join_asof``'s composed-DataFrame twin, here as the UDF
+    escape hatch for semantics built-ins can't express)."""
+    events = read_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def _align(pdfs, vdfs):
+        import pandas as pd
+
+        p = pdfs.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = vdfs.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if p.empty:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "view_id", "lag_us"]
+            )
+        merged = pd.merge_asof(
+            p,
+            v.rename(columns={"ts": "v_ts", "event_id": "view_id"}).drop(
+                columns=["user_id"]
+            ),
+            left_on="ts",
+            right_on="v_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        merged = merged.dropna(subset=["view_id"])
+        out = pd.DataFrame(
+            {
+                "user_id": merged["user_id"].astype("int64"),
+                "purchase_id": merged["event_id"].astype("int64"),
+                "view_id": merged["view_id"].astype("int64"),
+                "lag_us": (
+                    merged["ts"].astype("int64")
+                    - merged["v_ts"].astype("int64")
+                ) // 1000,
+            }
+        )
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            _align,
+            schema="user_id bigint, purchase_id bigint, view_id bigint,"
+            " lag_us bigint",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame window: event-time interval aggregation per key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value FROM events
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+      CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+      CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        AS value_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — per user, the trailing ONE-HOUR
+    event-time aggregate at every event (SURVEY.md §2.6 window-family
+    extension: a RANGE frame bounds by ORDER-BY VALUE distance, not
+    row count — the semantics rows-frames like ``window_moving_value``
+    cannot express when events are irregularly spaced). Ordering is
+    epoch seconds — DuckDB's epoch_us // 1e6 floor matches Spark's
+    cast-to-long truncation (epoch()::BIGINT would ROUND and shift
+    frame boundaries); a
+    RANGE frame's output is per-frame identical for ties, so the
+    tie-safe sum uses the exact DECIMAL discipline and the result is
+    deterministic without an id tie-break.
+
+    Scale: one shuffle + sort per user partition; the frame is a
+    sliding pointer pair over the sorted run (O(n) per key), state
+    bounded by the hour's event count — the batch mirror of the
+    streaming sliding window."""
+    events = read_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("ts").cast("long").alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_last_hour"),
+    )
