@@ -85,6 +85,10 @@ HEADLINE = [
     "dedup_paragraph_chunks",
     "ts_minute_gap_fill",
     "quality_linear_score",
+    "sample_dsir_importance",
+    "join_cogrouped_asof",
+    "window_range_interval",
+    "text_shingle_novelty",
 ]
 
 # Previous round's per-query timings: the regression gate. Path

@@ -3020,3 +3020,103 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ reconstruction-error eval.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_pq_reconstruction_eval",
+    oracle=f"""
+    WITH codes AS ({_PREG['ann_pq_codes'].oracle})
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+      count(*) AS n_vectors,
+      CAST(sum(CAST(round(sq_err * 1000000) AS BIGINT)) AS BIGINT)
+        AS total_err_micro,
+      CAST((2 * sum(CAST(round(sq_err * 1000000) AS BIGINT)) + count(*))
+           // (2 * count(*)) AS BIGINT) AS mean_err_micro
+    FROM codes GROUP BY subspace
+    """,
+)
+def ann_pq_reconstruction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error eval (§2 similarity-family eval,
+    composed from the REGISTERED ``ann_pq_codes``): per-subspace total
+    and mean quantization residual — the number that tunes m (more
+    subspaces) vs k (bigger codebooks) before committing a 100 TB
+    corpus to a code layout, and the drift alarm when embeddings shift
+    under a frozen codebook. Residuals are micro-quantized through the
+    same double (they are already 6-dp rounded upstream) and summed /
+    averaged in exact BIGINT.
+
+    Scale: rides the encode pass + an m-row aggregate."""
+    codes = _PREG["ann_pq_codes"].fn(spark, sf_dir)
+    return (
+        codes.groupBy(F.col("subspace").cast("bigint").alias("subspace"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.round(F.col("sq_err") * 1000000, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_err_micro"),
+        )
+        .withColumn(
+            "mean_err_micro",
+            F.expr("(2 * total_err_micro + n_vectors) div (2 * n_vectors)")
+            .cast("bigint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label purity of near-dup cosine blocks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_label_purity",
+    oracle=f"""
+    WITH pairs AS ({_PREG['dedup_embedding_cosine'].oracle})
+    SELECT
+      count(*) AS n_pairs,
+      CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_same_label,
+      CAST((2 * 1000000 * sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+            + count(*)) // (2 * count(*)) AS BIGINT) AS purity_micro
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.vec_a
+    JOIN embeddings b ON b.vec_id = p.vec_b
+    """,
+)
+def sim_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the sign-LSH cosine near-dup blocks (§2
+    similarity-family eval, composed from the REGISTERED
+    ``dedup_embedding_cosine`` pairs): the fraction of candidate pairs
+    whose members share a label — the external-validation number for
+    an unsupervised blocking stage (high purity ⇒ blocks respect the
+    label structure and semantic dedup won't merge across classes;
+    purity ≈ label-prior ⇒ the embeddings carry no class signal, as
+    ``sim_ann_recall_eval`` documents for this fixture's isotropic
+    vectors — the eval exposes that honestly rather than hiding it).
+
+    Scale: two point joins of the pair list against the label column
+    + one O(1)-row aggregate; rides the dedup pass."""
+    pairs = _PREG["dedup_embedding_cosine"].fn(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"))
+    return (
+        pairs.join(a, on="vec_a")
+        .join(b, on="vec_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("la") == F.col("lb")).cast("long"))
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .withColumn(
+            "purity_micro",
+            F.expr("(2 * 1000000 * n_same_label + n_pairs) div (2 * n_pairs)")
+            .cast("bigint"),
+        )
+    )
