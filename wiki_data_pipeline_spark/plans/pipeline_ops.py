@@ -3120,3 +3120,84 @@ def sim_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end quality gate: the composed keep/drop decision.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_quality_gate",
+    oracle=f"""
+    WITH gopher AS ({_PREG['quality_gopher_filters'].oracle}),
+    rep AS ({_PREG['text_repetition_metrics'].oracle}),
+    lin AS ({_PREG['quality_linear_score'].oracle})
+    SELECT g.doc_id,
+      CAST(g.passes AS BIGINT) AS gopher_pass,
+      CAST(CASE WHEN r.distinct_token_ratio >= 0.3 THEN 1 ELSE 0 END
+           AS BIGINT) AS repetition_pass,
+      CAST(CASE WHEN l.bucket >= 3 THEN 1 ELSE 0 END AS BIGINT) AS score_pass,
+      CAST(CASE WHEN g.passes = 1 AND r.distinct_token_ratio >= 0.3
+                 AND l.bucket >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      CAST(g.passes * 1
+           + CASE WHEN r.distinct_token_ratio >= 0.3 THEN 2 ELSE 0 END
+           + CASE WHEN l.bucket >= 3 THEN 4 ELSE 0 END AS BIGINT)
+        AS reason_mask
+    FROM gopher g
+    JOIN rep r USING (doc_id)
+    JOIN lin l USING (doc_id)
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality gate — the composed keep/drop decision a
+    cleaning pipeline actually applies (§2.3 filter-family
+    composition, built from the REGISTERED Gopher rules, repetition
+    metrics, and linear quality score so the gate always reflects the
+    shipped filter definitions): per doc, each sub-filter's verdict,
+    the conjunctive keep flag, and a reason bitmask (gopher=1,
+    repetition=2, score=4) — the provenance column that lets a
+    curator audit WHY a document fell out, and re-admit a class of
+    drops without re-running anything.
+
+    Scale: three already-audited map-heavy scoring passes joined on
+    doc_id; each sub-filter is its own column so the gate is one
+    conjunctive filter pushed wherever the corpus is scanned next.
+    The float threshold compares (ratio ≥ 0.3) operate on doubles
+    both engines derive from identical integer divisions — safe."""
+    g = _PREG["quality_gopher_filters"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("bigint").alias("gopher_pass")
+    )
+    r = _PREG["text_repetition_metrics"].fn(spark, sf_dir).select(
+        "doc_id",
+        (F.col("distinct_token_ratio") >= 0.3)
+        .cast("bigint")
+        .alias("repetition_pass"),
+    )
+    lin = _PREG["quality_linear_score"].fn(spark, sf_dir).select(
+        "doc_id", (F.col("bucket") >= 3).cast("bigint").alias("score_pass")
+    )
+    return (
+        g.join(r, on="doc_id")
+        .join(lin, on="doc_id")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "repetition_pass",
+            "score_pass",
+            (
+                (F.col("gopher_pass") == 1)
+                & (F.col("repetition_pass") == 1)
+                & (F.col("score_pass") == 1)
+            )
+            .cast("bigint")
+            .alias("keep"),
+            (
+                F.col("gopher_pass") * 1
+                + F.col("repetition_pass") * 2
+                + F.col("score_pass") * 4
+            )
+            .cast("bigint")
+            .alias("reason_mask"),
+        )
+    )
