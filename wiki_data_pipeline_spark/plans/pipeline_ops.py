@@ -3212,3 +3212,207 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reason_mask"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness profile: how late do events actually arrive?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_lateness_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts, event_id,
+        event_id + CASE WHEN event_id % 10 = 0 THEN 500 ELSE 0 END AS arr_seq
+      FROM events
+    ),
+    arr AS (
+      SELECT event_type, ts,
+        max(ts) OVER (PARTITION BY event_type ORDER BY arr_seq, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM seq
+    ),
+    lat AS (
+      SELECT event_type,
+        CASE WHEN hwm IS NULL OR ts >= hwm THEN 'on_time'
+          WHEN epoch_us(hwm) - epoch_us(ts) < 60000000 THEN 'late_lt_1m'
+          WHEN epoch_us(hwm) - epoch_us(ts) < 600000000 THEN 'late_lt_10m'
+          WHEN epoch_us(hwm) - epoch_us(ts) < 3600000000 THEN 'late_lt_1h'
+          ELSE 'late_ge_1h' END AS bucket
+      FROM arr
+    )
+    SELECT event_type, bucket, count(*) AS n_events
+    FROM lat GROUP BY event_type, bucket
+    """,
+)
+def streaming_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness profile (§2.9 streaming-family planning
+    query): the fixture's ingest order IS its event-time order, so a
+    deterministic delayed-arrival perturbation (every 10th event
+    arrives 500 positions late) models the out-of-order ingest a
+    watermark exists for; each event's lateness
+    is how far its event-time sits behind the per-type high-water mark
+    of everything that arrived before it — bucketed into the delay
+    bands a watermark policy chooses between. This table IS the
+    evidence for `withWatermark("ts", X)`: the mass in `late_ge_1h`
+    is exactly what a 1-hour watermark would drop (the
+    `test_watermark_drops_late_rows_across_restarts` semantics,
+    quantified before deployment instead of discovered after).
+
+    Scale: one per-type ordered window for the running max (arrival
+    order is a monotone id — the same sort the ingest already has),
+    one schema-sized aggregate. Lateness math in exact epoch
+    microseconds."""
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "arr_seq",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 10 == 0, 500).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max("ts").over(w)
+    late_us = F.unix_micros(hwm) - F.unix_micros(F.col("ts"))
+    bucket = (
+        F.when(hwm.isNull() | (F.col("ts") >= hwm), "on_time")
+        .when(late_us < 60_000_000, "late_lt_1m")
+        .when(late_us < 600_000_000, "late_lt_10m")
+        .when(late_us < 3_600_000_000, "late_lt_1h")
+        .otherwise("late_ge_1h")
+    )
+    return (
+        events.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users: the growth curve.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+      CAST(n_new AS BIGINT) AS n_new_users,
+      CAST(sum(n_new) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_cumulative_users
+    FROM daily
+    """,
+)
+def window_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve (§2.5/§2.6
+    extension; the CUMULATIVE cousin of the rolling-window WAU
+    queries). Running distinct is not a decomposable aggregate, but
+    first-touch attribution makes it one: min(first day) per user, new
+    users per day, then a running SUM — turning an O(days·users)
+    distinct into one user-keyed aggregate plus a |days|-row window.
+
+    Scale: the user-keyed min is the only real shuffle; the cumulative
+    window runs over #days rows. The same first-touch trick is how
+    `retention_cohorts` anchors its cohorts — shared lineage in a real
+    pipeline."""
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("n_cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: per-doc OOV rate against a top-K vocab.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+@query(
+    "text_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+        FROM tok GROUP BY t
+      ) WHERE rnk <= {_VOCAB_K}
+    )
+    SELECT tok.doc_id,
+      count(*) AS n_tokens,
+      CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST((2 * 1000000 * sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+            + count(*)) // (2 * count(*)) AS BIGINT) AS oov_frac_micro
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY tok.doc_id
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage — per-doc out-of-vocabulary rate
+    against the corpus top-{_VOCAB_K} token vocabulary (§2.8
+    text-family extension; the fertility/coverage check run before
+    committing a tokenizer: high OOV docs either get dropped or argue
+    for a bigger vocab, and a coverage drift over time means the
+    corpus moved under a frozen tokenizer — the text twin of
+    ``ann_pq_reconstruction_eval``'s codebook-drift alarm).
+    Deterministic vocab cut: rank by (count DESC, token) — total
+    order, no sampling.
+
+    Scale: one token-keyed count aggregate for the vocab (vocab-sized
+    output), broadcast of the K-row vocab back over the token stream,
+    one doc-keyed aggregate. The vocab table is exactly what
+    ``bpe_pair_counts`` would grow into merges."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="t", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac_micro",
+            F.expr("(2 * 1000000 * n_oov + n_tokens) div (2 * n_tokens)")
+            .cast("bigint"),
+        )
+    )
