@@ -3416,3 +3416,132 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve design table: P(candidate | similarity) in exact fixed-point.
+# ---------------------------------------------------------------------------
+
+from wiki_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
+    _BAND_SIZE,
+    _N_HASHES,
+)
+
+_LSH_BANDS = _N_HASHES // _BAND_SIZE
+
+
+@query(
+    "dedup_lsh_scurve",
+    oracle=f"""
+    WITH grid AS (
+      SELECT unnest(generate_series(1, 19)) * 50000 AS s_micro
+    ),
+    pband AS (
+      SELECT s_micro,
+        (2 * s_micro * s_micro + 1000000) // 2000000 AS p_band_micro
+      FROM grid
+    ),
+    q1 AS (SELECT *, 1000000 - p_band_micro AS q FROM pband),
+    q2 AS (SELECT *, (2 * q * q + 1000000) // 2000000 AS qq FROM q1),
+    q4 AS (SELECT *, (2 * qq * qq + 1000000) // 2000000 AS qqqq FROM q2)
+    SELECT CAST(s_micro AS BIGINT) AS s_micro,
+      CAST(p_band_micro AS BIGINT) AS p_band_micro,
+      CAST(1000000 - qqqq AS BIGINT) AS p_candidate_micro
+    FROM q4
+    """,
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve design table (§2.3 dedup-family planning; the
+    analytic companion to ``dedup_minhash_calibration``'s measured
+    errors): for Jaccard similarity s on a 0.05 grid, the band-match
+    probability s^r and the candidate probability 1-(1-s^r)^b for the
+    engine's actual banding (r={_BAND_SIZE}, b={_LSH_BANDS}). This
+    curve is how banding parameters are CHOSEN — the s where
+    p_candidate crosses ~0.5 is the effective dedup threshold, and
+    the low-s tail is the expected false-candidate load. Every step is
+    exact half-up fixed-point in micro units (squarings and
+    complements in pure BIGINT), so the table is bitwise identical
+    across engines — no pow(), no floats.
+
+    Scale: 19 rows of integer arithmetic — the point is the shared
+    DETERMINISTIC spec both the planner and the docs can cite."""
+    grid = spark.range(1, 20).select((F.col("id") * 50000).alias("s_micro"))
+    sq = lambda c: F.expr(f"(2 * {c} * {c} + 1000000) div 2000000")  # noqa: E731
+    return (
+        grid.withColumn("p_band_micro", sq("s_micro"))
+        .withColumn("q", F.lit(1000000) - F.col("p_band_micro"))
+        .withColumn("qq", sq("q"))
+        .withColumn("qqqq", sq("qq"))
+        .select(
+            F.col("s_micro").cast("bigint").alias("s_micro"),
+            F.col("p_band_micro").cast("bigint").alias("p_band_micro"),
+            (F.lit(1000000) - F.col("qqqq")).cast("bigint").alias(
+                "p_candidate_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: each event aligned to the NEXT click.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH r AS (SELECT user_id, ts, value AS click_value FROM events
+               WHERE event_type = 'click'),
+         l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'click')
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%dT%H:%M:%S') AS event_ts,
+      r.click_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each non-click event aligned to the next
+    upcoming click (§2.4 extension; the direction ``join_asof``'s
+    backward formulation cannot express, and the shape of
+    time-to-next-conversion features). Same scalable composition,
+    mirrored: union both sides, left rows sort BEFORE right rows at
+    equal ts (so `l.ts <= r.ts` ties match, DuckDB forward-ASOF
+    semantics), and `first(value, ignorenulls)` over the FOLLOWING
+    window picks the nearest upcoming click — one shuffle on user_id,
+    no range probe.
+
+    Scale: identical to the backward twin — partitioned window,
+    salting story for skewed keys."""
+    events = read_table(spark, sf_dir, "events")
+    right = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("sort_side"),
+    )
+    left = events.filter(F.col("event_type") != "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        F.lit(0).alias("sort_side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "sort_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("next_click", F.first("click_value", ignorenulls=True).over(w))
+        .filter(F.col("sort_side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_ts"),
+            F.col("next_click").alias("click_value"),
+        )
+    )
