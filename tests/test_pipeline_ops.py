@@ -202,3 +202,29 @@ def test_range_partition_buckets_cover_all_rows(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == total
     bounds = [r.bound_hi for r in rows if r.bound_hi is not None]
     assert bounds == sorted(bounds)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min's one-sided guarantee: est ≥ true for every probed
+    heavy hitter."""
+    rows = get("sketch_count_min_heavy_hitters").fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.est_count >= r.true_count for r in rows)
+
+
+def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
+    """§2.1 sink-format breadth: events survive an ORC write/read
+    bit-for-bit (columnar sibling of the parquet path; ORC ships in
+    Spark, no extra package)."""
+    from wiki_data_pipeline_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_orc")
+    events.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
+    a = {r.event_id: (r.user_id, r.event_type, r.value) for r in events.collect()}
+    b = {r.event_id: (r.user_id, r.event_type, r.value) for r in back.collect()}
+    assert a == b

@@ -3545,3 +3545,202 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_click").alias("click_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: heavy-hitter estimates with the overestimate bound.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3      # hash rows
+_CMS_W = 1024   # buckets per row
+
+
+def _cms_bucket_sql(expr: str, row: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR) || '#{row}'), 1, 8))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+@query(
+    "sketch_count_min_heavy_hitters",
+    oracle=f"""
+    WITH truth AS (
+      SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, true_count FROM (
+        SELECT *, row_number() OVER (ORDER BY true_count DESC, user_id) AS rn
+        FROM truth
+      ) WHERE rn <= 20
+    ),
+    cms AS (
+      {' UNION ALL '.join(
+        f"SELECT {r} AS row_id, {_cms_bucket_sql('user_id', r)} AS bucket,"
+        f" count(*) AS cnt FROM events GROUP BY 1, 2"
+        for r in range(_CMS_D))}
+    ),
+    est AS (
+      SELECT t.user_id, t.true_count,
+        min(c.cnt) AS est_count
+      FROM top t
+      JOIN cms c ON (
+        {' OR '.join(
+          f"(c.row_id = {r} AND c.bucket = {_cms_bucket_sql('t.user_id', r)})"
+          for r in range(_CMS_D))})
+      GROUP BY t.user_id, t.true_count
+    )
+    SELECT user_id, CAST(true_count AS BIGINT) AS true_count,
+      CAST(est_count AS BIGINT) AS est_count,
+      CAST(est_count - true_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def sketch_count_min_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min sketch heavy-hitter estimation (Cormode &
+    Muthukrishnan 2005; §2 sketch-family extension alongside the HLL
+    and GK queries): a d={_CMS_D} × w={_CMS_W} counter matrix built in
+    ONE aggregation pass (md5-salted buckets — fully deterministic
+    integers, so unlike HLL the sketch itself hash-matches DuckDB),
+    then the top-20 true heavy hitters are estimated by the min over
+    their d buckets. ``overestimate`` carries CMS's one-sided
+    guarantee — est ≥ true ALWAYS (the unit test pins it), with the
+    excess bounded by collision mass ≈ N·d/w.
+
+    Scale: the sketch is d·w integers regardless of key cardinality —
+    THE mergeable shape for distributed heavy-hitter monitoring
+    (per-partition sketches sum elementwise; the same monoid argument
+    as the HLL rollup). The truth join here is the eval harness, not
+    the serving path."""
+    events = read_table(spark, sf_dir, "events")
+
+    def bucket(expr, r):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(expr.cast("string"), F.lit(f"#{r}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cms = None
+    for r in range(_CMS_D):
+        branch = events.groupBy(
+            F.lit(r).alias("row_id"),
+            bucket(F.col("user_id"), r).alias("bucket"),
+        ).agg(F.count("*").alias("cnt"))
+        cms = branch if cms is None else cms.unionAll(branch)
+    truth = events.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    w = Window.orderBy(F.desc("true_count"), F.asc("user_id"))
+    top = (
+        truth.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    probes = None
+    for r in range(_CMS_D):
+        b = top.select(
+            "user_id",
+            "true_count",
+            F.lit(r).alias("row_id"),
+            bucket(F.col("user_id"), r).alias("bucket"),
+        )
+        probes = b if probes is None else probes.unionAll(b)
+    return (
+        probes.join(F.broadcast(cms), on=["row_id", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").cast("bigint").alias("est_count"))
+        .select(
+            "user_id",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            "est_count",
+            (F.col("est_count") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT v.user_id, v.v_ts, min(e.ts) AS p_ts
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+        AND e.ts > v.v_ts
+      GROUP BY v.user_id, v.v_ts
+    ),
+    lag AS (
+      SELECT epoch_us(p_ts) - epoch_us(v_ts) AS ttc_us FROM p
+    )
+    SELECT
+      count(*) AS n_converted,
+      CAST(quantile_disc(ttc_us, 0.5) AS BIGINT) AS p50_us,
+      CAST(quantile_disc(ttc_us, 0.9) AS BIGINT) AS p90_us,
+      CAST(min(ttc_us) AS BIGINT) AS min_us,
+      CAST(max(ttc_us) AS BIGINT) AS max_us
+    FROM lag
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert distribution (§2.5 extension; the
+    latency view of ``funnel_view_click_purchase``'s counts): for
+    every user whose first view leads to a later purchase, the
+    view→purchase lag in exact epoch microseconds, summarized by
+    discrete percentiles (actual data values — the
+    agg_value_percentiles cross-engine discipline). p50/p90 here are
+    what attribution windows and re-marketing delays get tuned
+    against.
+
+    Scale: two user-keyed min-aggregates + one per-user join — the
+    funnel's own plan, plus an exact percentile over the converted
+    subset (swap GK + rank-check beyond sortable sizes)."""
+    events = read_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        v.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts"
+            ),
+            on="user_id",
+        )
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lag = p.select(
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("ttc_us")
+    )
+    lag.createOrReplaceTempView("_ttc_lag")
+    return lag.sparkSession.sql(
+        """
+        SELECT
+          count(*) AS n_converted,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ttc_us) AS BIGINT)
+            AS p50_us,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY ttc_us) AS BIGINT)
+            AS p90_us,
+          CAST(min(ttc_us) AS BIGINT) AS min_us,
+          CAST(max(ttc_us) AS BIGINT) AS max_us
+        FROM _ttc_lag
+        """
+    )
