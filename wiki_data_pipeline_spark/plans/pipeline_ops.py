@@ -3744,3 +3744,155 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _ttc_lag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method agreement matrix.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_family_agreement",
+    oracle=f"""
+    WITH lsh AS ({_PREG['dedup_minhash_lsh'].oracle}),
+    jac AS ({_PREG['dedup_ngram_jaccard'].oracle}),
+    cont AS ({_PREG['dedup_ngram_containment'].oracle}),
+    l AS (SELECT doc_a, doc_b FROM lsh),
+    j AS (SELECT doc_a, doc_b FROM jac),
+    c AS (SELECT doc_a, doc_b FROM cont),
+    pairs AS (
+      SELECT 'lsh_vs_jaccard' AS methods,
+        (SELECT count(*) FROM l JOIN j USING (doc_a, doc_b)) AS n_both,
+        (SELECT count(*) FROM l) AS n_a, (SELECT count(*) FROM j) AS n_b
+      UNION ALL
+      SELECT 'lsh_vs_containment',
+        (SELECT count(*) FROM l JOIN c USING (doc_a, doc_b)),
+        (SELECT count(*) FROM l), (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 'jaccard_vs_containment',
+        (SELECT count(*) FROM j JOIN c USING (doc_a, doc_b)),
+        (SELECT count(*) FROM j), (SELECT count(*) FROM c)
+    )
+    SELECT methods, CAST(n_both AS BIGINT) AS n_both,
+      CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      CAST((2 * 1000000 * n_both + (n_a + n_b - n_both))
+           // (2 * (n_a + n_b - n_both)) AS BIGINT) AS agreement_micro
+    FROM pairs
+    """,
+)
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement matrix (§2.3 dedup-family eval; the
+    pairwise complement to ``dedup_impact_report``'s volumes): Jaccard
+    agreement between the pair-sets of each method pair — LSH vs exact
+    n-gram Jaccard vs asymmetric containment, all composed from the
+    REGISTERED definitions. High LSH↔Jaccard agreement validates the
+    banding recall; the containment deltas are specifically the
+    short-in-long copies the symmetric measures miss — if THAT
+    agreement is high too, the expensive containment pass is
+    redundant on this corpus.
+
+    Scale: pair-set joins on (doc_a, doc_b) — candidate-sized inputs,
+    three O(1)-row aggregates."""
+    sets = {
+        "lsh": _PREG["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b"),
+        "jaccard": _PREG["dedup_ngram_jaccard"].fn(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+        "containment": _PREG["dedup_ngram_containment"].fn(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+    }
+    combos = [
+        ("lsh_vs_jaccard", "lsh", "jaccard"),
+        ("lsh_vs_containment", "lsh", "containment"),
+        ("jaccard_vs_containment", "jaccard", "containment"),
+    ]
+    out = None
+    for name, a, b in combos:
+        both = sets[a].join(sets[b], on=["doc_a", "doc_b"]).agg(
+            F.count("*").alias("n_both")
+        )
+        na = sets[a].agg(F.count("*").alias("n_a"))
+        nb = sets[b].agg(F.count("*").alias("n_b"))
+        row = (
+            both.crossJoin(na)
+            .crossJoin(nb)
+            .select(
+                F.lit(name).alias("methods"),
+                F.col("n_both").cast("bigint").alias("n_both"),
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+                F.expr(
+                    "(2 * 1000000 * n_both + (n_a + n_b - n_both))"
+                    " div (2 * (n_a + n_b - n_both))"
+                ).cast("bigint").alias("agreement_micro"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Order-backlog aging report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS as_of FROM orders),
+    open_orders AS (
+      SELECT o.o_orderpriority,
+        date_diff('day', o.o_orderdate, m.as_of) AS age_days,
+        o.o_totalprice
+      FROM orders o CROSS JOIN mx m
+      WHERE o.o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority,
+      CASE WHEN age_days < 30 THEN 'lt_30d'
+        WHEN age_days < 90 THEN 'lt_90d'
+        WHEN age_days < 365 THEN 'lt_1y'
+        ELSE 'ge_1y' END AS age_bucket,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        AS backlog_value
+    FROM open_orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging (SURVEY.md §2.5 reporting extension;
+    the ops-review table behind TPC-H's order-status narratives): open
+    orders bucketed by age against the latest order date, with
+    priority breakdown and decimal-exact backlog value per cell —
+    the receivables/fulfillment-risk view. Age buckets are integer
+    day arithmetic; values use the standard exact-DECIMAL sum.
+
+    Scale: one scan with the status filter pushed down, an O(1)
+    as-of scalar broadcast, one schema-sized aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    from wiki_data_pipeline_spark.plans.star_schema import dsum
+
+    mx = orders.agg(F.max("o_orderdate").alias("as_of"))
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("as_of"), F.col("o_orderdate")).alias("age_days"),
+            "o_totalprice",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, "lt_30d")
+        .when(F.col("age_days") < 90, "lt_90d")
+        .when(F.col("age_days") < 365, "lt_1y")
+        .otherwise("ge_1y")
+    )
+    return (
+        open_orders.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "backlog_value"),
+        )
+    )
