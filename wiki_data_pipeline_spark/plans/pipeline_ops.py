@@ -3896,3 +3896,48 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "backlog_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide metric columns → long (metric, value) rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type,
+        count(*) AS n_events,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(max(event_id) AS BIGINT) AS max_event_id
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, metric, CAST(value AS BIGINT) AS value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_events, n_users, max_event_id))
+    """,
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (SURVEY.md §2.5's inverse-of-pivot surface,
+    completing the reshape pair with ``agg_pivot_event_types``): a
+    wide per-type metrics row melts into long (metric, value) rows —
+    the shape metric stores, alerting rules, and generic dashboards
+    ingest. Spark's native ``unpivot`` (= SQL stack()) is a map-only
+    Expand over the aggregate output; no shuffle beyond the
+    aggregation itself.
+
+    Scale: the melt multiplies only the aggregate's schema-sized
+    output (|types| × |metrics| rows), never the input."""
+    events = read_table(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["n_events", "n_users", "max_event_id"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("event_type", "metric", F.col("value").cast("bigint").alias("value"))
