@@ -89,6 +89,8 @@ HEADLINE = [
     "join_cogrouped_asof",
     "window_range_interval",
     "text_shingle_novelty",
+    "sketch_count_min_heavy_hitters",
+    "streaming_lateness_profile",
 ]
 
 # Previous round's per-query timings: the regression gate. Path
