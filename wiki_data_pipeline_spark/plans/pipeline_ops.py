@@ -3941,3 +3941,62 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).select("event_type", "metric", F.col("value").cast("bigint").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance histogram over LSH candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash_hamming_histogram",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+    ),
+    sh64 AS ({_PREG['dedup_simhash'].oracle})
+    SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+        AS hamming_distance,
+      count(*) AS n_pairs
+    FROM pairs p
+    JOIN sh64 sa ON sa.doc_id = p.doc_a
+    JOIN sh64 sb ON sb.doc_id = p.doc_b
+    GROUP BY 1
+    """,
+)
+def dedup_simhash_hamming_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash Hamming-distance histogram over the MinHash-LSH
+    candidate pairs (§2.3 dedup-family eval — the threshold-tuning
+    view for the OTHER signature family: where
+    ``dedup_minhash_calibration`` calibrates Jaccard estimates, this
+    shows how the 32-bit SimHash separates the SAME candidate
+    population). A bimodal histogram (near-0 for true dups, ~16 for
+    unrelated) is what justifies a Hamming cut-off k; mass in the
+    valley is exactly the gray zone an exact-verify stage must
+    arbitrate. Composed from the REGISTERED simhash and LSH
+    definitions; distance = bit_count(xor) — pure integer, identical
+    both engines.
+
+    Scale: two point joins of the candidate list against the per-doc
+    signature table + a ≤33-row aggregate; rides passes the dedup
+    pipeline already runs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh64 = _PREG["dedup_simhash"].fn(spark, sf_dir)
+    sa = sh64.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sh64.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .groupBy(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint")
+            .alias("hamming_distance")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
