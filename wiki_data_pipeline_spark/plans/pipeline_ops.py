@@ -1,7 +1,24 @@
-"""Training-data pipeline extensions, wave 2 (round 5): two-stage ANN
-serving (PQ rerank), paragraph-granularity dedup, Bloom-filter ingest
-probing, dup-graph topology (triangles / degree histogram), and
-Matryoshka embedding-truncation auditing.
+"""Round-5 operator surface: the training-data-pipeline, serving, and
+engine-surface extensions added on top of ``llm_ops``/``star_schema``/
+``streaming_ops``.
+
+Families in this module:
+- ANN serving/eval: PQ rerank, reconstruction eval, IVF cell balance,
+  label purity, JL projection, Matryoshka energy audit
+- Dedup: paragraph-chunk (CCNet), Bloom probe + FPP curve, MinHash
+  calibration, LSH S-curve, SimHash Hamming histogram, graph topology
+  (triangles/degrees), impact report, agreement matrix, shingle novelty
+- Data selection/quality: DSIR importance, mixture token budgets,
+  linear quality score, char entropy, vocab OOV, composed quality gate,
+  decontamination receipt, LID confusion, packing efficiency
+- Time series/events: minute gap fill, integer EWMA (+ streaming twin in
+  streaming/jobs.py), hourly seasonality, rolling OLS slope, RANGE-frame
+  window, Markov transitions, lateness profile, cumulative user curve,
+  interval-overlap join, Gini skew, time-to-convert, CMS heavy hitters
+- Lakehouse/ops: zone maps, snapshot expiry, range-partition planning,
+  MERGE dry-run, schema-drift audit, Bloom runtime filter, backlog aging
+- SQL/UDF surfaces: GROUPING SETS, UNPIVOT, LATERAL, WITH RECURSIVE,
+  cogrouped-map applyInPandas, forward as-of join
 
 Same determinism discipline as ``llm_ops``: md5 for every hash
 (identical hex both engines), hex→int via Spark ``conv`` ≡ DuckDB
