@@ -451,3 +451,36 @@ def test_streaming_daily_ewma_matches_batch(spark, sf_dir, tmp_path):
     f = {(r.event_type, r.day): (r.n_events, r.ewma_micro) for r in final.collect()}
     b = {(r.event_type, r.day): (r.n_events, r.ewma_micro) for r in batch.collect()}
     assert f == b
+
+
+def test_streaming_cms_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeable-sketch proof: per-micro-batch partial Count-Min
+    sketches, summed elementwise at read time, reproduce the
+    registered batch heavy-hitter estimates exactly."""
+    from wiki_data_pipeline_spark.plans.registry import get
+    from wiki_data_pipeline_spark.streaming.jobs import (
+        read_merged_cms,
+        run_streaming_cms_maintenance,
+        stage_events_as_stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    stage_events_as_stream_source(spark, sf_dir, src, n_files=3)
+    run_streaming_cms_maintenance(
+        spark, src, str(tmp_path / "ckpt"), store, query_name="t_cms"
+    )
+    merged = read_merged_cms(spark, store)
+
+    batch_rows = get("sketch_count_min_heavy_hitters").fn(spark, sf_dir).collect()
+    sketch = {(r.row_id, r.bucket): r.cnt for r in merged.collect()}
+
+    import hashlib
+
+    def bucket(uid, r):
+        h = hashlib.md5(f"{uid}#{r}".encode()).hexdigest()
+        return int(h[:8], 16) % 1024
+
+    for r in batch_rows:
+        est = min(sketch[(d, bucket(r.user_id, d))] for d in range(3))
+        assert est == r.est_count, (r.user_id, est, r.est_count)

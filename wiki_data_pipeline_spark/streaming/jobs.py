@@ -667,3 +667,71 @@ def run_streaming_daily_ewma(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_cms_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    query_name: str = "stream_cms",
+) -> None:
+    """Incremental Count-Min sketch maintenance (§2.9 + the sketch
+    family's mergeability claim, PROVEN in streaming form): each
+    micro-batch aggregates its own d×w partial sketch and writes it as
+    ``store_dir/batch=N`` (idempotent per-batch overwrite — the
+    incremental-dedup store discipline); the full sketch is the
+    elementwise SUM over batch partitions at read time (merge-on-read,
+    exactly the counter-matrix monoid the batch query's docstring
+    promises). The stream ≡ batch test recomputes heavy-hitter
+    estimates from the merged store and matches the registered
+    ``sketch_count_min_heavy_hitters`` output row-for-row."""
+    from pyspark.sql.functions import concat, conv, count, lit, substring
+
+    events = read_event_stream(spark, source_dir)
+
+    def _bucket(col, r: int):
+        return (
+            conv(
+                substring(
+                    F.md5(concat(col.cast("string"), lit(f"#{r}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        partial = None
+        for r in range(3):
+            b = batch_df.groupBy(
+                lit(r).alias("row_id"),
+                _bucket(F.col("user_id"), r).alias("bucket"),
+            ).agg(count("*").alias("cnt"))
+            partial = b if partial is None else partial.unionAll(b)
+        (
+            partial.write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"batch={batch_id}")
+            )
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_merged_cms(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read of the per-batch partial sketches: elementwise sum
+    over the batch partitions → the same (row_id, bucket, cnt) matrix a
+    single-pass batch build produces (counter monoid)."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
