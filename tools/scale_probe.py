@@ -40,6 +40,12 @@ PROBED = [
     "sample_dsir_importance",
     "text_shingle_novelty",
     "text_char_entropy",
+    # round-5 event-family additions (events scaled with offset users)
+    "join_cogrouped_asof",
+    "window_range_interval",
+    "sessionize_events",
+    "path_markov_transitions",
+    "streaming_lateness_profile",
 ]
 SCALES = [1, 3, 10]
 
@@ -107,6 +113,24 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
     )
     scaled_emb.write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
+    )
+    # events: replicate with offset user/event ids (decorrelated users —
+    # per-user session/sequence structure is preserved within a replica
+    # and users never collide across replicas, so per-key costs are
+    # constant and totals scale linearly by construction)
+    events = read_table(spark, SRC, "events")
+    max_user = events.agg(F.max("user_id")).first()[0] + 1
+    max_event = events.agg(F.max("event_id")).first()[0] + 1
+    scaled_events = events.crossJoin(reps).select(
+        (F.col("event_id") + F.col("k") * max_event).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("k") * max_user).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    scaled_events.write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     open(done, "w").close()
     return out
