@@ -4017,3 +4017,149 @@ def dedup_simhash_hamming_histogram(
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew salting plan: per-key salt factors from heavy-hitter evidence.
+# ---------------------------------------------------------------------------
+
+_SALT_TARGET_ROWS = 60  # rows per (key, salt) slice the plan aims for
+
+
+@query(
+    "skew_salting_plan",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    hot AS (
+      SELECT user_id, n_rows,
+        CAST((n_rows + {_SALT_TARGET_ROWS} - 1) // {_SALT_TARGET_ROWS}
+             AS BIGINT) AS salt_factor
+      FROM per_key WHERE n_rows > {_SALT_TARGET_ROWS}
+    )
+    SELECT user_id, n_rows, salt_factor,
+      CAST((2 * n_rows + salt_factor) // (2 * salt_factor) AS BIGINT)
+        AS rows_per_slice
+    FROM hot
+    """,
+)
+def skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew SALTING PLAN (SURVEY.md §2.4 join-family scale tooling) —
+    the actionable output connecting the skew
+    diagnostics (``skew_heavy_hitters``, ``skew_gini_coefficient``) to
+    the salted executions (``skew_salted_join`` / ``_distinct``):
+    every key whose row count exceeds the per-slice target gets an
+    explicit salt factor ceil(n/target) and its resulting
+    rows-per-slice — exactly the table a salted join broadcasts to
+    explode the dimension side and to modulate the fact-side salt.
+    Ceil via the integer identity (n + t - 1) div t; slice size by
+    exact half-up division.
+
+    Scale: one key-count aggregate + a hot-key filter — the plan table
+    is heavy-hitter-sized (tiny) and broadcastable by construction;
+    recomputed per batch, it adapts the salting to drift without
+    config changes."""
+    events = read_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    hot = per_key.filter(F.col("n_rows") > _SALT_TARGET_ROWS).withColumn(
+        "salt_factor",
+        F.expr(
+            f"(n_rows + {_SALT_TARGET_ROWS} - 1) div {_SALT_TARGET_ROWS}"
+        ).cast("bigint"),
+    )
+    return hot.select(
+        "user_id",
+        "n_rows",
+        "salt_factor",
+        F.expr("(2 * n_rows + salt_factor) div (2 * salt_factor)")
+        .cast("bigint")
+        .alias("rows_per_slice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session statistics: duration / size distribution of user sessions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_session_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               > INTERVAL 30 MINUTE
+        THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+        ts
+      FROM g
+    ),
+    iv AS (
+      SELECT user_id, session_seq, count(*) AS n_events,
+        epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT
+      count(*) AS n_sessions,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS p50_events,
+      CAST(quantile_disc(dur_us, 0.5) AS BIGINT) AS p50_dur_us,
+      CAST(quantile_disc(dur_us, 0.9) AS BIGINT) AS p90_dur_us,
+      CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bounce_sessions
+    FROM iv
+    """,
+)
+def sessionize_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level statistics over the 30-minute-gap sessionization
+    (§2.9 — the summary layer above ``sessionize_events`` /
+    ``join_interval_overlap``'s intervals): session counts, median
+    session size, p50/p90 duration in exact epoch microseconds
+    (percentile_disc discipline), and single-event "bounce" sessions —
+    the engagement dashboard row. Same gap rule, same tie-breaks, so
+    the stats describe exactly the sessions the other queries emit.
+
+    Scale: rides the one user-sorted window the sessionize family
+    shares, then a session-keyed aggregate and a global percentile
+    over session rows (≪ events; GK swap documented beyond that)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = events.select("user_id", "ts", "event_id").withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+    iv.createOrReplaceTempView("_sess_stats_iv")
+    return iv.sparkSession.sql(
+        """
+        SELECT
+          count(*) AS n_sessions,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)
+               AS BIGINT) AS p50_events,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_us)
+               AS BIGINT) AS p50_dur_us,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_us)
+               AS BIGINT) AS p90_dur_us,
+          CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounce_sessions
+        FROM _sess_stats_iv
+        """
+    )
