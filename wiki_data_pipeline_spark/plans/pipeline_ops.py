@@ -4163,3 +4163,147 @@ def sessionize_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _sess_stats_iv
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline yield report: docs/tokens surviving each cleaning stage.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_yield_report",
+    oracle=f"""
+    WITH gate AS ({_PREG['pipeline_quality_gate'].oracle}),
+    flagged AS ({_PREG['contamination_ngram_overlap'].oracle}),
+    toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    staged AS (
+      SELECT t.doc_id, t.n_tok,
+        g.keep AS pass_gate,
+        CASE WHEN g.keep = 1 AND coalesce(f.contaminated, 0) = 0
+          THEN 1 ELSE 0 END AS pass_decontam
+      FROM toks t
+      JOIN gate g USING (doc_id)
+      LEFT JOIN flagged f USING (doc_id)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS d0,
+        CAST(sum(n_tok) AS BIGINT) AS t0 FROM staged
+    )
+    SELECT stage, n_docs, n_tokens,
+      CAST((2 * 1000000 * n_docs + d0) // (2 * d0) AS BIGINT)
+        AS doc_retention_micro,
+      CAST((2 * 1000000 * n_tokens + t0) // (2 * t0) AS BIGINT)
+        AS token_retention_micro
+    FROM (
+      SELECT 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens, d0, t0
+      FROM tot
+      UNION ALL
+      SELECT 'quality_gate',
+        CAST(sum(pass_gate) AS BIGINT),
+        CAST(sum(pass_gate * n_tok) AS BIGINT), any_value(tot.d0),
+        any_value(tot.t0)
+      FROM staged CROSS JOIN tot
+      UNION ALL
+      SELECT 'decontaminated',
+        CAST(sum(pass_decontam) AS BIGINT),
+        CAST(sum(pass_decontam * n_tok) AS BIGINT), any_value(tot.d0),
+        any_value(tot.t0)
+      FROM staged CROSS JOIN tot
+    )
+    """,
+)
+def pipeline_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline YIELD report — the data-recipe receipt every training
+    run records (§2 composition capstone, built from the REGISTERED
+    quality gate and decontamination flags): documents and tokens
+    surviving each cleaning stage (raw → quality gate →
+    decontaminated), with exact micro retention fractions against the
+    raw corpus. This one table answers "how much data did the recipe
+    keep and where did it go" — the first question every dataset
+    review asks, reconciled against the exact same filter definitions
+    the pipeline ships.
+
+    Scale: one token-count pass joined to the two already-audited flag
+    tables, three O(1)-row aggregates. The stage list extends by
+    composition (dedup survivors, language cuts) without touching the
+    report shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    gate = _PREG["pipeline_quality_gate"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_gate")
+    )
+    flagged = _PREG["contamination_ngram_overlap"].fn(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+    )
+    staged = (
+        toks.join(gate, on="doc_id")
+        .join(flagged, on="doc_id", how="left")
+        .select(
+            "n_tok",
+            "pass_gate",
+            (
+                (F.col("pass_gate") == 1)
+                & (F.coalesce(F.col("contaminated"), F.lit(0)) == 0)
+            )
+            .cast("bigint")
+            .alias("pass_decontam"),
+        )
+    )
+    tot = staged.agg(
+        F.count("*").cast("bigint").alias("d0"),
+        F.sum("n_tok").cast("bigint").alias("t0"),
+    )
+    raw = tot.select(
+        F.lit("raw").alias("stage"),
+        F.col("d0").alias("n_docs"),
+        F.col("t0").alias("n_tokens"),
+        "d0",
+        "t0",
+    )
+    gate_row = (
+        staged.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum("pass_gate").cast("bigint").alias("n_docs"),
+            F.sum(F.col("pass_gate") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.any_value("d0").alias("d0"),
+            F.any_value("t0").alias("t0"),
+        )
+        .select(F.lit("quality_gate").alias("stage"), "n_docs", "n_tokens", "d0", "t0")
+    )
+    dec_row = (
+        staged.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum("pass_decontam").cast("bigint").alias("n_docs"),
+            F.sum(F.col("pass_decontam") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.any_value("d0").alias("d0"),
+            F.any_value("t0").alias("t0"),
+        )
+        .select(
+            F.lit("decontaminated").alias("stage"), "n_docs", "n_tokens", "d0", "t0"
+        )
+    )
+    return (
+        raw.unionAll(gate_row)
+        .unionAll(dec_row)
+        .select(
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.expr("(2 * 1000000 * n_docs + d0) div (2 * d0)")
+            .cast("bigint")
+            .alias("doc_retention_micro"),
+            F.expr("(2 * 1000000 * n_tokens + t0) div (2 * t0)")
+            .cast("bigint")
+            .alias("token_retention_micro"),
+        )
+    )
