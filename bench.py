@@ -93,10 +93,19 @@ HEADLINE = [
     "streaming_lateness_profile",
 ]
 
-# Previous round's per-query timings: the regression gate. Path
-# overridable for local experiments; queries not in the baseline
-# (new this round) are skipped by the gate.
-BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
+# Regression-gate baseline: a frozen snapshot covering ALL headline
+# queries (BENCH_BASELINE.json merges the r1 medians with first-seen
+# medians for queries added after r1), falling back to the raw r1
+# artifact if the snapshot is absent. Path overridable for local
+# experiments; queries in neither file are skipped by the gate.
+def _default_baseline() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    if os.path.exists(os.path.join(here, "BENCH_BASELINE.json")):
+        return "BENCH_BASELINE.json"
+    return "BENCH_r01.json"
+
+
+BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", _default_baseline())
 REGRESSION_FACTOR = 2.0
 
 
@@ -167,6 +176,16 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Spread goes to a sidecar file, NOT stdout: the driver captures a
+    # bounded tail of stdout and the r5 artifact became unparseable when
+    # 70 per-query [min,max] arrays pushed the JSON head past the
+    # capture window. stdout stays ONE compact JSON line.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    with open(sidecar, "w", encoding="utf-8") as f:
+        json.dump({"sf": sf, "spread": spread, "deltas": deltas}, f, indent=1)
+
     print(
         json.dumps(
             {
@@ -177,7 +196,6 @@ def main() -> None:
                 "sf": sf,
                 "trials": 3,
                 "stat": "median",
-                "spread": spread,
                 "baseline_bench": BASELINE_BENCH if baseline else None,
                 "regressions_over_2x": regressions,
             }

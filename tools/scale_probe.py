@@ -46,6 +46,12 @@ PROBED = [
     "sessionize_events",
     "path_markov_transitions",
     "streaming_lateness_profile",
+    # round-6: star-schema join family (lineitem/orders scaled with
+    # offset orderkeys, dims fixed — the shape real fact growth takes)
+    "q5_star_join_revenue",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_sole_blame_suppliers",
 ]
 SCALES = [1, 3, 10]
 
@@ -132,6 +138,27 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
     scaled_events.write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
+    # star-schema facts: lineitem + orders replicate with offset
+    # orderkeys (per-order line structure preserved within a replica,
+    # orderkeys never collide across replicas → totals linear by
+    # construction). Dims stay FIXED — that is what fact growth looks
+    # like in production: per-dim-key fan-in grows 10×, which is
+    # exactly the aggregation/join pressure the probe should measure.
+    orders = read_table(spark, SRC, "orders")
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    orders.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("k") * max_ok).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    lineitem = read_table(spark, SRC, "lineitem")
+    lineitem.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("k") * max_ok).alias("l_orderkey"),
+        *[c for c in lineitem.columns if c != "l_orderkey"],
+    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        link = os.path.join(out, f"{dim}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{dim}.parquet"), link)
     open(done, "w").close()
     return out
 

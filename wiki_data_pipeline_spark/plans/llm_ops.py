@@ -1034,13 +1034,23 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dlen", F.sum("tcnt").over(Window.partitionBy("doc_id"))
         )
     )
-    n_docs = tok.select("doc_id").distinct().count()
-    idf = tok.groupBy("token").agg(
-        F.round(
-            F.log(F.lit(n_docs) / F.countDistinct("doc_id")) * 1000000, 0
+    # n_docs folded into the plan as a broadcast 1-row aggregate (the
+    # sample_dsir_importance pattern) — no eager driver-side count, so
+    # documents is scanned/tokenized once per consumer, not twice.
+    n_docs_df = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "token",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("idf_micro"),
         )
-        .cast("long")
-        .alias("idf_micro")
     )
     tfidf = (
         F.expr("(2 * tcnt * idf_micro + dlen) div (2 * dlen)").cast("double")
