@@ -113,9 +113,18 @@ def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
     )
     docs.filter(F.col("doc_id") < 40).coalesce(1).write.mode("append").parquet(src)
 
-    run_pipeline_streaming(spark, src, out)
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    run_pipeline_streaming(spark, src, out, metrics_path=metrics_path)
     first = _json_files(out)
     assert len(first) == 40
+    # the optional progress emitter recorded the run's micro-batches
+    from wiki_data_pipeline_spark.streaming.progress import metrics_df
+
+    mrows = metrics_df(spark, metrics_path).filter(
+        "query_name = 'pipeline_streaming' AND num_input_rows > 0"
+    )
+    assert mrows.count() >= 1
+    assert mrows.agg({"num_input_rows": "sum"}).first()[0] == 40
     rec = json.loads(open(first[0], encoding="utf-8").read())
     assert rec["title"] == f"Doc {rec['doc_id']}"
     # path derives from doc_id, not arrival order

@@ -192,6 +192,7 @@ def run_pipeline_streaming(
     out_dir: str,
     max_files_per_trigger: int = 4,
     batch_size: int = 1000,
+    metrics_path: str | None = None,
 ) -> None:
     """Streaming twin of ``run_pipeline`` — ST1–ST4 composed as ONE
     Structured Streaming job: file-source micro-batches (ST1 ≡ the
@@ -207,7 +208,13 @@ def run_pipeline_streaming(
     commit) must overwrite the exact same files for the at-least-once
     + idempotent-sink contract (ST3) to hold; a global counter can't
     replay deterministically. ``availableNow`` drains pending input
-    then stops — batch-drain semantics for backfills."""
+    then stops — batch-drain semantics for backfills.
+
+    ``metrics_path``: when set, a per-batch progress row (batch_id,
+    input rows, rates, trigger duration — the reference's
+    ``log_progress`` surface, src/logging_manager.py:84-88) is appended
+    to this JSONL metrics table via ``streaming.progress`` for the
+    duration of the run."""
     schema = spark.read.parquet(source_dir).schema
     docs = (
         spark.readStream.schema(schema)
@@ -221,6 +228,11 @@ def run_pipeline_streaming(
     sink_root = out_dir
 
     def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        # Two consumers (ok sink + dead-letter sink) → without a cache
+        # each action re-scans the micro-batch from source (visible as
+        # numInputRows = 2× actual in the progress metrics). One-batch
+        # cache bounds memory; 2× read amplification matters at scale.
+        batch = batch.cache()
         ok = batch.filter(valid_pred).select(
             "doc_id",
             title.alias("title"),
@@ -268,11 +280,30 @@ def run_pipeline_streaming(
         dlq.write.mode("overwrite").parquet(
             os.path.join(dlq_dir, f"batch_id={batch_id}")
         )
+        batch.unpersist()
 
-    q = (
-        docs.writeStream.foreachBatch(_write_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    recorder = None
+    if metrics_path is not None:
+        from wiki_data_pipeline_spark.streaming.progress import ProgressRecorder
+
+        recorder = ProgressRecorder(metrics_path=metrics_path)
+        spark.streams.addListener(recorder)
+    try:
+        q = (
+            docs.writeStream.foreachBatch(_write_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(out_dir, "_stream_checkpoint"),
+            )
+            .queryName("pipeline_streaming")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if recorder is not None:
+            # listener delivery is async — drain pending batch events
+            # before detaching so the metrics table is complete
+            recorder.wait_for_rows(1, timeout=10.0)
+    finally:
+        if recorder is not None:
+            spark.streams.removeListener(recorder)

@@ -113,6 +113,10 @@ def run_dead_letter_split(
     events = read_event_stream(spark, source_dir)
 
     def _split(batch: DataFrame, batch_id: int) -> None:
+        # Two sink actions on one micro-batch: cache so the source is
+        # scanned once, not once per action (2× read amplification
+        # otherwise — visible as doubled numInputRows in progress).
+        batch = batch.cache()
         ok = batch.filter(F.col("value") >= min_value)
         dlq = batch.filter(F.col("value") < min_value).withColumn(
             "error",
@@ -122,6 +126,7 @@ def run_dead_letter_split(
         dlq.write.mode("overwrite").parquet(
             os.path.join(dlq_dir, f"batch_id={batch_id}")
         )
+        batch.unpersist()
 
     q = (
         events.writeStream.foreachBatch(_split)
@@ -538,8 +543,14 @@ def run_streaming_incremental_dedup(
 
     def _probe(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        bands = _minhash_bands(batch.select("doc_id", "text")).select(
-            "band_idx", "sig", "doc_id"
+        # Cache the computed signatures: both sink actions (pairs +
+        # store append) consume them, and without a cache each action
+        # re-scans the source AND re-computes the shingle→minhash
+        # stage — the most expensive part of the batch.
+        bands = (
+            _minhash_bands(batch.select("doc_id", "text"))
+            .select("band_idx", "sig", "doc_id")
+            .cache()
         )
         from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -573,6 +584,7 @@ def run_streaming_incremental_dedup(
             )
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
         bands.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+        bands.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_probe)
@@ -703,6 +715,9 @@ def run_streaming_cms_maintenance(
         )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # 3 hash-row branches union over the same micro-batch: cache so
+        # the source is scanned once, not once per union branch.
+        batch_df = batch_df.cache()
         partial = None
         for r in range(3):
             b = batch_df.groupBy(
@@ -715,6 +730,7 @@ def run_streaming_cms_maintenance(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
         )
+        batch_df.unpersist()
 
     q = (
         events.writeStream.foreachBatch(_sink)
