@@ -1009,12 +1009,14 @@ def text_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction via tf-idf — top-3 terms per doc
     (engine extension per SURVEY.md §2: the feature-extraction
-    composition of the vocabulary passes — tf from one grouped count
-    with a per-doc window total sharing the same shuffle key prefix,
-    idf from the document-frequency aggregate, joined back on the
-    token and ranked per doc). The idf side is vocabulary-sized →
-    broadcast; the per-doc rank is row_number ≤ 3, which Spark prunes
-    with WindowGroupLimit on both sides of the exchange. Determinism:
+    composition of the vocabulary passes). ONE scan + explode + grouped
+    count feeds the whole query: df and dlen are window aggregates over
+    that grouped count (no vocabulary self-join — (doc_id, token) is
+    unique post-aggregate, so count(*) over the token partition IS the
+    document frequency), and n_docs is a broadcast 1-row aggregate of
+    the un-exploded table. The per-doc rank is row_number ≤ 3, which
+    Spark prunes with WindowGroupLimit on both sides of the exchange.
+    Determinism:
     idf quantized to integer micros with round(ln * 1e6) (both engines
     round the same double — round(v, 6) of short-decimal PRODUCTS is
     not cross-engine-stable, the sf0.1 parity lesson); ranking is by
@@ -1027,29 +1029,44 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     )
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tcnt"))
-        .withColumn(
-            "dlen", F.sum("tcnt").over(Window.partitionBy("doc_id"))
-        )
+    # ONE scan+explode+shuffle feeds everything: tf, df, and n_docs all
+    # derive from the same (doc_id, token) grouped count — (doc_id,
+    # token) is unique in `base`, so df(token) = row count per token
+    # and n_docs = countDistinct(doc_id) over base. The three branches
+    # share an identical Exchange, which Spark collapses with
+    # ReuseExchange; n_docs is a broadcast 1-row aggregate (the
+    # sample_dsir_importance pattern), not an eager driver-side count —
+    # the old shape tokenized documents three times (+ one extra job).
+    base = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tcnt"))
+    # n_docs from the un-exploded table: every doc passing the
+    # length-filter contributes ≥1 token, so count(*) here equals
+    # countDistinct(doc_id) over tok — a cheap filter+count scan
+    # instead of a second explode+distinct pass, folded into the plan
+    # as a broadcast 1-row aggregate (no eager driver-side count).
+    n_docs_df = docs.filter(F.length(F.trim(F.col("text"))) >= 1).agg(
+        F.count("*").alias("n_docs")
     )
-    # n_docs folded into the plan as a broadcast 1-row aggregate (the
-    # sample_dsir_importance pattern) — no eager driver-side count, so
-    # documents is scanned/tokenized once per consumer, not twice.
-    n_docs_df = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
-    idf = (
-        tok.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # df and dlen as WINDOW aggregates over the one grouped count —
+    # (doc_id, token) is unique in base, so count(*) over the token
+    # partition IS the document frequency. One scan + one explode +
+    # one aggregate feed the whole query; the old groupBy-then-join
+    # shape tokenized documents once per branch (column pruning
+    # specializes each branch's exchange, so ReuseExchange never
+    # collapses them declaratively).
+    scored = (
+        base.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n_docs_df))
-        .select(
-            "token",
+        .withColumn(
+            "idf_micro",
             F.round(
                 F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000,
                 0,
-            )
-            .cast("long")
-            .alias("idf_micro"),
+            ).cast("long"),
+        )
+        .withColumn(
+            "dlen", F.sum("tcnt").over(Window.partitionBy("doc_id"))
         )
     )
     tfidf = (
@@ -1060,8 +1077,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tcnt") * F.col("idf_micro")).desc(), F.col("token")
     )
     return (
-        tf.join(F.broadcast(idf), on="token")
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", tfidf.alias("tfidf"))
     )
