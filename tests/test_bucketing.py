@@ -132,3 +132,17 @@ def test_column_profile_is_single_scan(spark, sf_dir):
     df = get("quality_column_profile").fn(spark, sf_dir)
     plan = _executed_plan(df)
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """text_tfidf_keywords must tokenize documents exactly ONCE: df and
+    dlen are window aggregates over the one grouped count, so the plan
+    has a single Generate (explode) and no vocabulary self-join. The
+    only other scan is the cheap un-exploded n_docs count."""
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    df = get("text_tfidf_keywords").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
