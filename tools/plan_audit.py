@@ -1,0 +1,110 @@
+"""Physical-plan audit over the whole registry: `python
+tools/plan_audit.py [sf_dir] [name ...]`.
+
+For every registered query, compiles the physical plan (no execution)
+and counts the structures that matter at 100 TB: parquet scans (and
+scans per distinct table — repeated scans of one table often mean a
+branch that ReuseExchange can't collapse, the round-6 tfidf finding),
+exchanges, single-partition exchanges, explodes, join strategies,
+cartesian products, and Python-eval nodes (Arrow-batched vs
+row-at-a-time). Prints one JSON line per query plus a summary of
+flagged queries.
+
+Flags are HEURISTICS for a human to read, not failures: a two-LM
+surprisal score legitimately scans its corpus twice, and the
+fixture-window L3/L4 forms legitimately use a single partition (their
+scale-safe twins are separate queries). The audit makes every such
+choice visible so it is a decision, not an accident.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit_plan(plan: str) -> dict:
+    tables = re.findall(r"Scan parquet\s*\S*\[?([a-z_]*)", plan)
+    scan_files = re.findall(r"Location:.*?/([a-z_]+)\.parquet", plan)
+    per_table: dict[str, int] = {}
+    for t in scan_files or tables:
+        if t:
+            per_table[t] = per_table.get(t, 0) + 1
+    return {
+        "scans": plan.count("Scan parquet"),
+        "scans_per_table": per_table,
+        "exchanges": plan.count("Exchange"),
+        "single_partition": plan.count("SinglePartition"),
+        "generates": plan.count("Generate"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "arrow_python": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("FlatMapCoGroupsInPandas"),
+        "row_python": plan.count("BatchEvalPython"),
+    }
+
+
+def flags_for(name: str, a: dict) -> list[str]:
+    out = []
+    if a["cartesian"]:
+        out.append("CARTESIAN")
+    if a["row_python"]:
+        out.append("ROW_PYTHON")
+    dup = {t: n for t, n in a["scans_per_table"].items() if n >= 3}
+    if dup:
+        out.append(f"SCANx3+:{dup}")
+    if a["single_partition"] >= 2:
+        out.append(f"SINGLE_PART x{a['single_partition']}")
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = (
+        args[0]
+        if args and os.path.isdir(args[0])
+        else "/root/testdata/sf0.001"
+    )
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    selected = names or list(queries)
+
+    flagged: dict[str, list[str]] = {}
+    for name in selected:
+        try:
+            df = queries[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"name": name, "error": str(e)[:200]}))
+            flagged[name] = ["COMPILE_ERROR"]
+            continue
+        a = audit_plan(plan)
+        fl = flags_for(name, a)
+        if fl:
+            flagged[name] = fl
+        print(json.dumps({"name": name, **a, "flags": fl}))
+
+    print(
+        json.dumps(
+            {"metric": "flagged", "n": len(flagged), "queries": flagged}
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

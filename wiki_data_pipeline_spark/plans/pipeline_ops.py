@@ -4227,9 +4227,9 @@ def pipeline_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipeline ships.
 
     Scale: one token-count pass joined to the two already-audited flag
-    tables, three O(1)-row aggregates. The stage list extends by
-    composition (dedup survivors, language cuts) without touching the
-    report shape."""
+    tables, ONE 1-row aggregate carrying every stage counter, unpivoted
+    with stack(). The stage list extends by composition (dedup
+    survivors, language cuts) without touching the report shape."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -4255,46 +4255,34 @@ def pipeline_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pass_decontam"),
         )
     )
-    tot = staged.agg(
+    # ALL stage rows from ONE pass over `staged`: the old three-branch
+    # union re-executed the gate + decontamination subtrees once per
+    # stage row (the plan showed 24 document scans — round-6 plan-audit
+    # finding). One 1-row aggregate carries every counter; stack()
+    # unpivots it into the three stage rows.
+    one = staged.agg(
         F.count("*").cast("bigint").alias("d0"),
         F.sum("n_tok").cast("bigint").alias("t0"),
-    )
-    raw = tot.select(
-        F.lit("raw").alias("stage"),
-        F.col("d0").alias("n_docs"),
-        F.col("t0").alias("n_tokens"),
-        "d0",
-        "t0",
-    )
-    gate_row = (
-        staged.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum("pass_gate").cast("bigint").alias("n_docs"),
-            F.sum(F.col("pass_gate") * F.col("n_tok"))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.any_value("d0").alias("d0"),
-            F.any_value("t0").alias("t0"),
-        )
-        .select(F.lit("quality_gate").alias("stage"), "n_docs", "n_tokens", "d0", "t0")
-    )
-    dec_row = (
-        staged.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum("pass_decontam").cast("bigint").alias("n_docs"),
-            F.sum(F.col("pass_decontam") * F.col("n_tok"))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.any_value("d0").alias("d0"),
-            F.any_value("t0").alias("t0"),
-        )
-        .select(
-            F.lit("decontaminated").alias("stage"), "n_docs", "n_tokens", "d0", "t0"
-        )
+        F.sum("pass_gate").cast("bigint").alias("g_docs"),
+        F.sum(F.col("pass_gate") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("g_toks"),
+        F.sum("pass_decontam").cast("bigint").alias("c_docs"),
+        F.sum(F.col("pass_decontam") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("c_toks"),
     )
     return (
-        raw.unionAll(gate_row)
-        .unionAll(dec_row)
+        one.select(
+            F.expr(
+                "stack(3, 'raw', d0, t0,"
+                " 'quality_gate', g_docs, g_toks,"
+                " 'decontaminated', c_docs, c_toks)"
+                " as (stage, n_docs, n_tokens)"
+            ),
+            "d0",
+            "t0",
+        )
         .select(
             "stage",
             "n_docs",
