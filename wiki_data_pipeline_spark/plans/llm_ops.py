@@ -530,6 +530,16 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     via array_intersect — per-pair work is O(|A|+|B|), total work is
     O(candidates), not O(Σ posting-list²). Exact integer counts → the
     double division is bitwise identical across engines."""
+    # NOTE (round-6 measurement): pairs is consumed three times
+    # (final pair join + both shingle-side semi-joins) and the static
+    # plan shows the LSH pipeline triplicated — but AQE's runtime
+    # query-stage reuse dedups the identical stages, and an explicit
+    # localCheckpoint measured no better (both ~5.2s median at sf0.1,
+    # inside host noise): the materialization barrier gives back what
+    # the sharing saves. Keep the declarative form — simpler, and at
+    # cluster scale a real two-stage deployment would persist the
+    # candidate PAIRS table between stages anyway (see ann_index for
+    # that pattern done as an explicit persisted artifact).
     pairs = dedup_minhash_lsh(spark, sf_dir)
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
