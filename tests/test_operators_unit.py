@@ -689,3 +689,61 @@ def test_mad_anomalies_are_extreme_tail(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) < 0.05 * n_total
     assert all(abs(r.robust_z) > 5 for r in rows)
+
+
+def test_top_bigram_fold_matches_counter(spark):
+    """The shuffle-free run-length fold in text_repetition_metrics must
+    agree with a direct counted reference (max count, lexicographic
+    tiebreak) on adversarial token sequences: repeated runs, ties,
+    single-bigram docs, tokens that sort before/after each other."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        "a b a b a b",          # alternating: 'a b' x3 vs 'b a' x2
+        "z z z a a a",          # tie 'z z' x2 vs 'a a' x2 -> lex 'a a'
+        "x y",                  # single bigram
+        "m m m m m",            # one run: 'm m' x4
+        "b a b a b a b",        # 'b a' x3 beats 'a b' x3? tie -> 'a b'
+        "c b a c b a c b a",    # three-way structure
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best_gram"),
+        F.lit(0).cast("long").alias("best_n"),
+    )
+
+    def _step(acc, g):
+        run = (
+            F.when(g == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        better = run > acc["best_n"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, g).otherwise(acc["best_gram"]).alias("best_gram"),
+            F.when(better, run).otherwise(acc["best_n"]).alias("best_n"),
+        )
+
+    got = {
+        r.doc_id: (r.top.best_gram, r.top.best_n)
+        for r in df.select(
+            "doc_id", F.aggregate(F.array_sort(grams), zero, _step).alias("top")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        ts = t.split()
+        c = Counter(" ".join(p) for p in zip(ts, ts[1:]))
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[i] == best, (t, got[i], best)
