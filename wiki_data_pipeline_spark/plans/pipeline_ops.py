@@ -3808,45 +3808,64 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement is high too, the expensive containment pass is
     redundant on this corpus.
 
-    Scale: pair-set joins on (doc_a, doc_b) — candidate-sized inputs,
-    three O(1)-row aggregates."""
-    sets = {
-        "lsh": _PREG["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b"),
-        "jaccard": _PREG["dedup_ngram_jaccard"].fn(spark, sf_dir).select(
-            "doc_a", "doc_b"
-        ),
-        "containment": _PREG["dedup_ngram_containment"].fn(spark, sf_dir).select(
-            "doc_a", "doc_b"
-        ),
-    }
-    combos = [
-        ("lsh_vs_jaccard", "lsh", "jaccard"),
-        ("lsh_vs_containment", "lsh", "containment"),
-        ("jaccard_vs_containment", "jaccard", "containment"),
-    ]
-    out = None
-    for name, a, b in combos:
-        both = sets[a].join(sets[b], on=["doc_a", "doc_b"]).agg(
-            F.count("*").alias("n_both")
+    Scale: each method pipeline executes ONCE — a 3-way full-outer
+    membership join on (doc_a, doc_b) (pair-sized inputs), then one
+    1-row aggregate carrying every set and intersection count,
+    unpivoted with stack(). The old per-combo union re-entered each
+    method pipeline ~3× (the pruned count branches canonicalize
+    differently from the join branches, so AQE stage reuse cannot
+    collapse them — round-6 plan-audit finding)."""
+
+    def _flag(name: str, col: str) -> DataFrame:
+        return (
+            _PREG[name].fn(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .withColumn(col, F.lit(1).cast("long"))
         )
-        na = sets[a].agg(F.count("*").alias("n_a"))
-        nb = sets[b].agg(F.count("*").alias("n_b"))
-        row = (
-            both.crossJoin(na)
-            .crossJoin(nb)
-            .select(
-                F.lit(name).alias("methods"),
-                F.col("n_both").cast("bigint").alias("n_both"),
-                F.col("n_a").cast("bigint").alias("n_a"),
-                F.col("n_b").cast("bigint").alias("n_b"),
-                F.expr(
-                    "(2 * 1000000 * n_both + (n_a + n_b - n_both))"
-                    " div (2 * (n_a + n_b - n_both))"
-                ).cast("bigint").alias("agreement_micro"),
-            )
+
+    member = (
+        _flag("dedup_minhash_lsh", "in_l")
+        .join(
+            _flag("dedup_ngram_jaccard", "in_j"),
+            on=["doc_a", "doc_b"],
+            how="full",
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        .join(
+            _flag("dedup_ngram_containment", "in_c"),
+            on=["doc_a", "doc_b"],
+            how="full",
+        )
+        .select(
+            F.coalesce("in_l", F.lit(0)).alias("l"),
+            F.coalesce("in_j", F.lit(0)).alias("j"),
+            F.coalesce("in_c", F.lit(0)).alias("c"),
+        )
+    )
+    one = member.agg(
+        F.sum("l").alias("n_l"),
+        F.sum("j").alias("n_j"),
+        F.sum("c").alias("n_c"),
+        F.sum(F.col("l") * F.col("j")).alias("n_lj"),
+        F.sum(F.col("l") * F.col("c")).alias("n_lc"),
+        F.sum(F.col("j") * F.col("c")).alias("n_jc"),
+    )
+    return one.select(
+        F.expr(
+            "stack(3, 'lsh_vs_jaccard', n_lj, n_l, n_j,"
+            " 'lsh_vs_containment', n_lc, n_l, n_c,"
+            " 'jaccard_vs_containment', n_jc, n_j, n_c)"
+            " as (methods, n_both, n_a, n_b)"
+        )
+    ).select(
+        "methods",
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            "(2 * 1000000 * n_both + (n_a + n_b - n_both))"
+            " div (2 * (n_a + n_b - n_both))"
+        ).cast("bigint").alias("agreement_micro"),
+    )
 
 
 # ---------------------------------------------------------------------------
