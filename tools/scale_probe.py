@@ -52,6 +52,10 @@ PROBED = [
     "q9_product_profit",
     "q18_large_orders",
     "q21_sole_blame_suppliers",
+    # round-6: rewritten this round (narrow fold / one-pass aggregate)
+    "text_repetition_metrics",
+    "pipeline_quality_gate",
+    "pipeline_yield_report",
 ]
 SCALES = [1, 3, 10]
 
