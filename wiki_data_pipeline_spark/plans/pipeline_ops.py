@@ -1821,8 +1821,13 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures and sizes are per-doc rows joined only for
     candidate pairs (never all-pairs); the exact-intersection stage is
-    the candidate-restricted ``dedup_minhash_verified`` shape. The
-    whole eval rides tables the dedup pipeline already materializes."""
+    a candidate-restricted shingle-level inverted join. (Round-6
+    measurement: rewriting it to ``dedup_minhash_verified``'s
+    array_intersect shape measured ~2x SLOWER here — this query also
+    needs the signature joins, so the array form's extra cand_ids
+    distinct + two more pair joins re-enter the LSH pipeline more
+    times than the shingle join costs. Both forms verified
+    value-identical at three scales; the inverted join stays.)"""
     from wiki_data_pipeline_spark.plans.llm_ops import _minhash_sigs
 
     corpus = _dedup_corpus(spark, sf_dir)
