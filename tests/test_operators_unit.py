@@ -747,3 +747,49 @@ def test_top_bigram_fold_matches_counter(spark):
         c = Counter(" ".join(p) for p in zip(ts, ts[1:]))
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[i] == best, (t, got[i], best)
+
+
+def test_plan_audit_counters():
+    """tools/plan_audit.py's counters and flags on synthetic plan text:
+    scans-per-table from Location lines, cartesian/row-python flags,
+    benign plans unflagged."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import audit_plan, flags_for
+
+    plan = (
+        "*(1) Project\n"
+        "+- CartesianProduct\n"
+        "   :- BatchEvalPython [f(x)]\n"
+        "   :  +- Scan parquet [doc_id]\n"
+        "   :     Location: InMemoryFileIndex[file:/x/documents.parquet]\n"
+        "   +- Scan parquet [doc_id]\n"
+        "      Location: InMemoryFileIndex[file:/x/documents.parquet]\n"
+        "   +- Scan parquet [vec_id]\n"
+        "      Location: InMemoryFileIndex[file:/x/documents.parquet]\n"
+    )
+    a = audit_plan(plan)
+    assert a["cartesian"] == 1 and a["row_python"] == 1
+    assert a["scans_per_table"] == {"documents": 3}
+    fl = flags_for("q", a)
+    assert "CARTESIAN" in fl and "ROW_PYTHON" in fl
+    assert any(f.startswith("SCANx3+") for f in fl)
+
+    benign = (
+        "*(1) HashAggregate\n"
+        "+- Exchange hashpartitioning(doc_id)\n"
+        "   +- ArrowEvalPython [g(x)]\n"
+        "      +- Scan parquet [doc_id]\n"
+        "         Location: InMemoryFileIndex[file:/x/events.parquet]\n"
+    )
+    b = audit_plan(benign)
+    assert b["arrow_python"] == 1 and b["row_python"] == 0
+    assert flags_for("q", b) == []
