@@ -793,3 +793,19 @@ def test_plan_audit_counters():
     b = audit_plan(benign)
     assert b["arrow_python"] == 1 and b["row_python"] == 0
     assert flags_for("q", b) == []
+
+    # Exchange counting is per node NAME: ReusedExchange (whose line
+    # embeds its child's "Exchange hashpartitioning" text) and
+    # BroadcastExchange must NOT inflate the shuffle-exchange counter.
+    mixed = (
+        "*(2) SortMergeJoin\n"
+        ":- Exchange hashpartitioning(a, 32)\n"
+        ":  +- Scan parquet [a]\n"
+        "+- ReusedExchange [a], Exchange hashpartitioning(a, 32)\n"
+        "+- BroadcastExchange HashedRelationBroadcastMode\n"
+        "   +- Exchange SinglePartition\n"
+    )
+    m = audit_plan(mixed)
+    assert m["exchanges"] == 2  # hashpartitioning + SinglePartition
+    assert m["broadcast_exchanges"] == 1
+    assert m["reused_exchanges"] == 1

@@ -27,6 +27,27 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _count_exchanges(plan: str) -> tuple[int, int, int]:
+    """(shuffle, broadcast, reused) Exchange node counts.
+
+    Counted per-line by node NAME, not by substring: a naive
+    ``plan.count("Exchange")`` also hits ``ReusedExchange`` and
+    ``BroadcastExchange``, and a ReusedExchange line embeds its child's
+    full description (including the literal ``Exchange hashpartitioning``
+    text), so even a regex over the whole string over-counts.
+    """
+    shuffle = broadcast = reused = 0
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-*()0123456789")
+        if node.startswith("ReusedExchange"):
+            reused += 1
+        elif node.startswith("BroadcastExchange"):
+            broadcast += 1
+        elif node.startswith("Exchange"):
+            shuffle += 1
+    return shuffle, broadcast, reused
+
+
 def audit_plan(plan: str) -> dict:
     tables = re.findall(r"Scan parquet\s*\S*\[?([a-z_]*)", plan)
     scan_files = re.findall(r"Location:.*?/([a-z_]+)\.parquet", plan)
@@ -34,10 +55,13 @@ def audit_plan(plan: str) -> dict:
     for t in scan_files or tables:
         if t:
             per_table[t] = per_table.get(t, 0) + 1
+    shuffle_ex, broadcast_ex, reused_ex = _count_exchanges(plan)
     return {
         "scans": plan.count("Scan parquet"),
         "scans_per_table": per_table,
-        "exchanges": plan.count("Exchange"),
+        "exchanges": shuffle_ex,
+        "broadcast_exchanges": broadcast_ex,
+        "reused_exchanges": reused_ex,
         "single_partition": plan.count("SinglePartition"),
         "generates": plan.count("Generate"),
         "bhj": plan.count("BroadcastHashJoin"),

@@ -59,13 +59,50 @@ PROBED = [
 ]
 SCALES = [1, 3, 10]
 
+# Deep probe (--deep): one more decade on the steepest 10x growers, to
+# confirm the near-linear asymptote holds beyond one decade and that
+# the 30x shuffle volumes survive 128 GiB (round-6 verdict item 5).
+PROBED_DEEP = [
+    "q18_large_orders",
+    "q21_sole_blame_suppliers",
+    "text_shingle_novelty",
+    "dedup_minhash_lsh",
+]
+SCALES_DEEP = [1, 30]
+
+# Every table build_scaled materializes (scaled copies + dim symlinks).
+# A workdir from an older probe version can carry a stale _DONE marker
+# while missing newer tables, so completeness is verified structurally
+# instead of trusting the marker alone.
+EXPECTED_TABLES = [
+    "documents",
+    "embeddings",
+    "events",
+    "orders",
+    "lineitem",
+    "customer",
+    "supplier",
+    "part",
+    "nation",
+    "region",
+]
+
+
+def _complete(out: str) -> bool:
+    # os.path.exists follows symlinks → False for a broken dim link
+    # (e.g. SRC moved/regenerated), which correctly forces a rebuild.
+    return all(
+        os.path.exists(os.path.join(out, f"{t}.parquet"))
+        for t in EXPECTED_TABLES
+    )
+
 
 def build_scaled(spark, workdir: str, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(workdir, f"x{mult}")
     done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    if os.path.exists(done) and _complete(out):
         return out
     from wiki_data_pipeline_spark.io import read_table
 
@@ -161,14 +198,21 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
     ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     for dim in ("customer", "supplier", "part", "nation", "region"):
         link = os.path.join(out, f"{dim}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(SRC, f"{dim}.parquet"), link)
+        # lexists, not exists: a BROKEN symlink (SRC moved) fails the
+        # exists() check but still blocks os.symlink → unlink first.
+        if os.path.lexists(link):
+            os.unlink(link)
+        os.symlink(os.path.join(SRC, f"{dim}.parquet"), link)
     open(done, "w").close()
     return out
 
 
 def main() -> None:
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe"
+    argv = [a for a in sys.argv[1:] if a != "--deep"]
+    deep = "--deep" in sys.argv[1:]
+    workdir = argv[0] if argv else "/tmp/scale_probe"
+    probed = PROBED_DEEP if deep else PROBED
+    scales = SCALES_DEEP if deep else SCALES
     from wiki_data_pipeline_spark.plans.registry import all_queries
     from wiki_data_pipeline_spark.session import get_spark
 
@@ -177,10 +221,10 @@ def main() -> None:
     queries = all_queries()
 
     results: dict[int, dict[str, float]] = {}
-    for mult in SCALES:
+    for mult in scales:
         sf_dir = build_scaled(spark, workdir, mult)
         timings: dict[str, float] = {}
-        for name in PROBED:
+        for name in probed:
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()  # warmup
@@ -192,17 +236,20 @@ def main() -> None:
         results[mult] = timings
         print(json.dumps({"scale": mult, "timings": timings}))
 
+    top = scales[-1]
     growth = {
-        name: round(results[SCALES[-1]][name] / results[SCALES[0]][name], 2)
-        for name in PROBED
+        name: round(results[top][name] / results[scales[0]][name], 2)
+        for name in probed
     }
     print(
         json.dumps(
             {
-                "metric": "wall_growth_at_10x",
+                "metric": f"wall_growth_at_{top}x",
                 "growth": growth,
+                # linear bound scales with the data multiplier (1.5x
+                # headroom for fixed costs + shuffle constant factors)
                 "linear_bound_ok": {
-                    n: g <= 15.0 for n, g in growth.items()
+                    n: g <= 1.5 * top for n, g in growth.items()
                 },
             }
         )

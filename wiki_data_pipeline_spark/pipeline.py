@@ -301,9 +301,11 @@ def run_pipeline_streaming(
         )
         q.awaitTermination()
         if recorder is not None:
-            # listener delivery is async — drain pending batch events
-            # before detaching so the metrics table is complete
-            recorder.wait_for_rows(1, timeout=10.0)
+            # listener delivery is async — the terminated event lands
+            # AFTER all progress events for this query, so waiting for
+            # it (not just the first row) guarantees the metrics table
+            # is complete even for multi-batch availableNow runs
+            recorder.wait_for_terminated(str(q.id), timeout=10.0)
     finally:
         if recorder is not None:
             spark.streams.removeListener(recorder)

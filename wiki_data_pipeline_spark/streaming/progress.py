@@ -97,6 +97,7 @@ class ProgressRecorder(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:
         with self._lock:
             self.lifecycle.append(("terminated", str(event.id)))
+        self._have_rows.set()
 
     # -- driver-side helpers -------------------------------------------
     def wait_for_rows(self, n: int = 1, timeout: float = 30.0) -> bool:
@@ -112,6 +113,29 @@ class ProgressRecorder(StreamingQueryListener):
             self._have_rows.clear()
         with self._lock:
             return len(self.rows) >= n
+
+    def wait_for_terminated(
+        self, query_id: str, timeout: float = 30.0
+    ) -> bool:
+        """Block until the terminated lifecycle event for ``query_id``
+        arrives. The listener bus delivers a query's events in order,
+        so terminated arriving guarantees every progress event for that
+        query was already recorded — the correct barrier before
+        detaching the listener. (``wait_for_rows(1)`` only proves the
+        FIRST micro-batch landed; an availableNow run over many source
+        files produces several, and later async events would be
+        silently dropped.)"""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._lock:
+                if ("terminated", query_id) in self.lifecycle:
+                    return True
+            self._have_rows.wait(0.2)
+            self._have_rows.clear()
+        with self._lock:
+            return ("terminated", query_id) in self.lifecycle
 
     def snapshot(self) -> list[dict[str, Any]]:
         with self._lock:
