@@ -128,10 +128,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # The regression GATE covers every registered query, not just the
+    # headline: round 6 proved non-headline queries can hide
+    # multi-second regressions (text_repetition_metrics sat at 6.3 s
+    # gated by nothing until a plan audit caught it). The headline set
+    # still defines the stdout metric for cross-round continuity.
+    gate_set = sorted(queries)
+
     # Warmup pass: JIT/codegen + parquet footer cache, so the timed
     # pass measures steady-state execution (what a long-running cluster
     # job actually sees), not first-compile latency.
-    for name in HEADLINE:
+    for name in gate_set:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Three timed passes, report the per-query MEDIAN: the fixture
@@ -140,15 +147,16 @@ def main() -> None:
     # (a single-run outlier burned round 3's gate) without letting a
     # lucky min hide a real slowdown. Per-query [min, max] spread ships
     # alongside so a noisy trial is visible, not averaged away.
-    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    trials: dict[str, list[float]] = {name: [] for name in gate_set}
     for _ in range(3):
-        for name in HEADLINE:
+        for name in gate_set:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials[name].append(round(time.perf_counter() - t0, 3))
 
-    timings = {name: sorted(ts)[1] for name, ts in trials.items()}
+    all_timings = {name: sorted(ts)[1] for name, ts in trials.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in trials.items()}
+    timings = {name: all_timings[name] for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
 
@@ -158,8 +166,8 @@ def main() -> None:
     # stdout stays ONE JSON line; flagged names also ship in the JSON.
     baseline = _load_baseline()
     deltas = {
-        name: round(timings[name] / baseline[name], 2)
-        for name in timings
+        name: round(all_timings[name] / baseline[name], 2)
+        for name in all_timings
         if baseline.get(name)
     }
     regressions = {n: d for n, d in deltas.items() if d > REGRESSION_FACTOR}
@@ -171,7 +179,7 @@ def main() -> None:
         for name in sorted(deltas, key=deltas.get, reverse=True):
             flag = "  << REGRESSION" if name in regressions else ""
             print(
-                f"   {name}: {timings[name]:.3f}s vs {baseline[name]:.3f}s "
+                f"   {name}: {all_timings[name]:.3f}s vs {baseline[name]:.3f}s "
                 f"= {deltas[name]:.2f}x{flag}",
                 file=sys.stderr,
             )
@@ -184,8 +192,21 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
     )
     with open(sidecar, "w", encoding="utf-8") as f:
-        json.dump({"sf": sf, "spread": spread, "deltas": deltas}, f, indent=1)
+        json.dump(
+            {
+                "sf": sf,
+                "all_timings": all_timings,
+                "spread": spread,
+                "deltas": deltas,
+            },
+            f,
+            indent=1,
+        )
 
+    # stdout stays headline-only: 200 per-query floats would push the
+    # JSON head past the driver's bounded stdout capture (the r5
+    # failure mode). The gate still ran over all registered queries —
+    # gated_queries says how many, the sidecar has the full table.
     print(
         json.dumps(
             {
@@ -197,6 +218,8 @@ def main() -> None:
                 "trials": 3,
                 "stat": "median",
                 "baseline_bench": BASELINE_BENCH if baseline else None,
+                "gated_queries": len(deltas),
+                "registered_queries": len(gate_set),
                 "regressions_over_2x": regressions,
             }
         )

@@ -213,6 +213,21 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert all(r.est_count >= r.true_count for r in rows)
 
 
+def test_cdc_merge_apply_equals_recompute(spark, sf_dir):
+    """MERGE ≡ RECOMPUTE (the incr_agg_merge discipline): applying the
+    delta batch onto the compacted historical state must produce the
+    EXACT table cdc_latest_state computes from scratch over the full
+    log — same keys, same winning row per key, byte-identical
+    formatted payload. An off-by-one in the version comparison (>= vs
+    >) or a dropped stale_skip branch breaks this immediately."""
+    merged = get("cdc_merge_apply").fn(spark, sf_dir)
+    recomputed = get("cdc_latest_state").fn(spark, sf_dir)
+    m = sorted(map(tuple, merged.collect()))
+    r = sorted(map(tuple, recomputed.collect()))
+    assert len(m) == len(r) > 0
+    assert m == r
+
+
 def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
     """§2.1 sink-format breadth: events survive an ORC write/read
     bit-for-bit (columnar sibling of the parquet path; ORC ships in

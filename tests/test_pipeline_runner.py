@@ -141,6 +141,88 @@ def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
     assert os.path.getmtime(first[0]) == mtime_before
 
 
+def test_pipeline_streaming_mid_batch_crash_replay(spark, tmp_path):
+    """ST3 exactly-once under a MID-BATCH crash, not just clean stops:
+    kill the job between the per-record sink write and the offset
+    commit (injected failure on batch 1), restart, and assert the
+    final output is byte-identical to what a never-crashed run
+    produces — no duplicate files, no missing files, replayed files
+    overwritten with identical content, committed batch-0 files never
+    rewritten, dead-letter exactly once."""
+    from pyspark.errors import StreamingQueryException
+
+    from wiki_data_pipeline_spark.pipeline import run_pipeline_streaming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rows = [
+        (i, None if i == 25 else f"document body {i}", "en", "api")
+        for i in range(60)
+    ]
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    # three source files, appended separately → with
+    # maxFilesPerTrigger=1 the run is three distinct micro-batches
+    for lo in (0, 20, 40):
+        spark.createDataFrame(rows[lo : lo + 20], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def crash_on_batch_1(batch_id: int) -> None:
+        if batch_id == 1:
+            raise RuntimeError("injected mid-batch crash")
+
+    try:
+        run_pipeline_streaming(
+            spark,
+            src,
+            out,
+            max_files_per_trigger=1,
+            fault_injector=crash_on_batch_1,
+        )
+        raise AssertionError("injected crash did not propagate")
+    except StreamingQueryException:
+        pass
+
+    # crash landed mid-batch: batch 0 committed, batch 1's per-record
+    # files already on disk with NO committed offset
+    pre_crash = {
+        f: open(f, encoding="utf-8").read() for f in _json_files(out)
+    }
+    assert 0 < len(pre_crash) < 59
+    pre_mtimes = {f: os.path.getmtime(f) for f in pre_crash}
+
+    # restart WITHOUT the injector: batch 1 replays (at-least-once),
+    # batches 1-2 drain, batch 0 must not be reprocessed
+    run_pipeline_streaming(spark, src, out, max_files_per_trigger=1)
+
+    final = _json_files(out)
+    # exactly one file per valid doc: no duplicates, none missing
+    assert len(final) == 59
+    ids = sorted(
+        json.loads(open(f, encoding="utf-8").read())["doc_id"]
+        for f in final
+    )
+    assert ids == [i for i in range(60) if i != 25]
+    # replayed files were overwritten byte-identically; nothing deleted
+    for f, content in pre_crash.items():
+        assert os.path.exists(f)
+        assert open(f, encoding="utf-8").read() == content
+    # committed batch-0 files (doc_id < 20) were NOT rewritten on
+    # restart — their offsets were already committed
+    batch0 = [
+        f
+        for f in pre_crash
+        if json.loads(pre_crash[f])["doc_id"] < 20
+    ]
+    assert batch0
+    for f in batch0:
+        assert os.path.getmtime(f) == pre_mtimes[f]
+    # the invalid doc dead-lettered exactly once across crash + replay
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    assert dlq.count() == 1
+    assert dlq.first().doc_id == 25
+
+
 def test_pipeline_cli(sf_dir, tmp_path):
     """The __main__ CLI mirrors src/main.py's argparse surface."""
     import subprocess

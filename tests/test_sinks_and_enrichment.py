@@ -92,6 +92,62 @@ def test_enrichment_rate_limit_floor(spark, sf_dir):
     assert elapsed >= (12 - 1) / 4.0 * 0.8
 
 
+def test_enrichment_injected_fetcher(spark, sf_dir):
+    """A caller-supplied title→content fetcher (the reference's
+    pluggable fetch interface, enhanced_production_mediawiki_client.py
+    :397-415) is cloudpickled into the mapInPandas closure and wrapped
+    by the same retry machinery: a transiently-failing fetcher recovers
+    with attempts=2; content and source column come from the caller."""
+
+    def flaky(title, _seen=set()):  # noqa: B006 - per-worker call memory
+        if title not in _seen:
+            _seen.add(title)
+            raise TimeoutError(f"transient for {title}")
+        return f"custom[{title.upper()}]"
+
+    out = fetch_enrich(
+        _stubs(spark, sf_dir, n=20).coalesce(1),
+        fetcher=flaky,
+        source_name="custom_api",
+        initial_delay=0.005,
+    ).collect()
+    assert len(out) == 20
+    assert all(r.error is None for r in out)
+    assert all(r.content == f"custom[{r.title.upper()}]" for r in out)
+    assert all(r.source == "custom_api" for r in out)
+    # every title failed exactly once (first call) then succeeded
+    assert all(r.attempts == 2 for r in out)
+
+
+def test_enrichment_injected_fetcher_dead_letter_under_qps(spark, sf_dir):
+    """An always-failing injected fetcher dead-letters every row after
+    max_retries (ST4), and the injected path still honors the QPS
+    floor: 8 docs × 2 tries in 1 partition at 8 QPS → ≥ ~1.9 s of
+    pacing (reference wall-clock-floor strategy,
+    test_enhanced_parallel_client.py:171-174)."""
+
+    def always_fail(title):
+        raise ConnectionError(f"hard failure for {title}")
+
+    stubs = _stubs(spark, sf_dir, n=8).coalesce(1)
+    t0 = time.monotonic()
+    out = fetch_enrich(
+        stubs,
+        fetcher=always_fail,
+        global_qps=8.0,
+        max_retries=1,
+        initial_delay=0.001,
+        max_delay=0.002,
+    ).collect()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 8
+    assert all(r.content is None and r.source is None for r in out)
+    assert all("hard failure" in r.error for r in out)
+    assert all(r.attempts == 2 for r in out)  # max_retries + 1 tries
+    # 16 paced calls at 8 QPS → ≥ 15/8 s floor (0.8 noise factor)
+    assert elapsed >= (8 * 2 - 1) / 8.0 * 0.8
+
+
 def test_s8_json_read_roundtrip(spark, sf_dir, tmp_path):
     """S8 blob JSON read (src/azure_manager.py:127-136): the K1 sink's
     per-record files read back with an explicit schema must reproduce

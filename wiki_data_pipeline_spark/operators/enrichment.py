@@ -19,7 +19,7 @@ wall-clock (test_enhanced_parallel_client.py:171-174)."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -37,6 +37,8 @@ def fetch_enrich(
     initial_delay: float = 0.05,
     max_delay: float = 1.0,
     fail_every: int = 0,
+    fetcher: Callable[[str], str] | None = None,
+    source_name: str = "fake_api",
 ) -> DataFrame:
     """Enrich a stub table (doc_id, title) with 'fetched' content.
 
@@ -45,7 +47,19 @@ def fetch_enrich(
     attempt (deterministic retry-path testing); retries use the
     reference's min(initial * 2^attempt, max_delay) backoff
     (src/mediawiki_client.py:46-51); exhausted retries dead-letter the
-    row with an error column instead of raising (ST4)."""
+    row with an error column instead of raising (ST4).
+
+    ``fetcher`` mirrors the reference's pluggable fetch interface (the
+    parallel client takes arbitrary article lists through one
+    title→content callable, src/enhanced_production_mediawiki_client.py
+    :397-415, src/mediawiki_client.py:114-171): pass any
+    ``title -> content`` function and it is cloudpickled into the
+    mapInPandas closure, wrapped by the same pacing / retry /
+    dead-letter machinery. Exceptions it raises are treated as
+    transient and retried up to ``max_retries`` times, then
+    dead-lettered. Default None keeps the deterministic hermetic
+    fetcher (tests, benchmarks). ``source_name`` labels the source
+    column for injected fetchers."""
     num_parts = max(1, stubs.rdd.getNumPartitions())
     part_qps = (global_qps / num_parts) if global_qps else None
 
@@ -74,6 +88,16 @@ def fetch_enrich(
             digest = hashlib.md5(f"{doc_id}:{title}".encode()).hexdigest()
             return f"content[{digest}]"
 
+        if fetcher is not None:
+            # injected title→content callable; attempt handling stays
+            # in the retry loop below, so the injected function keeps
+            # the reference's one-argument fetch signature
+            def _do_fetch(doc_id: int, title: str, attempt: int) -> str:
+                return fetcher(title)
+
+        else:
+            _do_fetch = _fake_fetch
+
         for pdf in batches:
             out = {
                 "doc_id": [],
@@ -88,7 +112,7 @@ def fetch_enrich(
                 while attempt <= max_retries:
                     _pace()
                     try:
-                        content = _fake_fetch(int(doc_id), str(title), attempt)
+                        content = _do_fetch(int(doc_id), str(title), attempt)
                         break
                     except Exception as exc:  # noqa: BLE001
                         err = str(exc)
@@ -99,7 +123,7 @@ def fetch_enrich(
                 out["doc_id"].append(int(doc_id))
                 out["title"].append(str(title))
                 out["content"].append(content if ok else None)
-                out["source"].append("fake_api" if ok else None)
+                out["source"].append(source_name if ok else None)
                 # success: `attempt` failed tries preceded the winning
                 # one → attempt + 1 total. exhaustion: the loop already
                 # post-incremented past the last try → attempt IS the

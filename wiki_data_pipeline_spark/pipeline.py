@@ -193,6 +193,7 @@ def run_pipeline_streaming(
     max_files_per_trigger: int = 4,
     batch_size: int = 1000,
     metrics_path: str | None = None,
+    fault_injector=None,
 ) -> None:
     """Streaming twin of ``run_pipeline`` — ST1–ST4 composed as ONE
     Structured Streaming job: file-source micro-batches (ST1 ≡ the
@@ -214,7 +215,14 @@ def run_pipeline_streaming(
     input rows, rates, trigger duration — the reference's
     ``log_progress`` surface, src/logging_manager.py:84-88) is appended
     to this JSONL metrics table via ``streaming.progress`` for the
-    duration of the run."""
+    duration of the run.
+
+    ``fault_injector``: test-only crash hook, called with the batch_id
+    AFTER the per-record sink write but BEFORE the dead-letter write /
+    offset commit — raising from it kills the query at the exact
+    mid-batch point the ST3 exactly-once claim must survive (sink
+    output on disk, offset uncommitted → the restart REPLAYS the
+    batch and must overwrite the same files byte-identically)."""
     schema = spark.read.parquet(source_dir).schema
     docs = (
         spark.readStream.schema(schema)
@@ -232,7 +240,15 @@ def run_pipeline_streaming(
         # each action re-scans the micro-batch from source (visible as
         # numInputRows = 2× actual in the progress metrics). One-batch
         # cache bounds memory; 2× read amplification matters at scale.
+        # try/finally: a mid-batch failure (real or injected) must not
+        # leak the cached batch into the long-lived session.
         batch = batch.cache()
+        try:
+            _write_batch_inner(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _write_batch_inner(batch: DataFrame, batch_id: int) -> None:
         ok = batch.filter(valid_pred).select(
             "doc_id",
             title.alias("title"),
@@ -273,6 +289,10 @@ def run_pipeline_streaming(
             yield
 
         ok.rdd.mapPartitions(_write_partition).count()
+        if fault_injector is not None:
+            # crash window: per-record files written, offset NOT
+            # committed — the ST3 replay-idempotence test point
+            fault_injector(batch_id)
         # Per-batch overwrite directory: replayed micro-batches rewrite
         # the same path instead of appending duplicates (foreachBatch is
         # at-least-once), and the old emptiness probe (limit(1).count())
@@ -280,7 +300,6 @@ def run_pipeline_streaming(
         dlq.write.mode("overwrite").parquet(
             os.path.join(dlq_dir, f"batch_id={batch_id}")
         )
-        batch.unpersist()
 
     recorder = None
     if metrics_path is not None:

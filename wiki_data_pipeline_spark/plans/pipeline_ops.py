@@ -2243,6 +2243,90 @@ def cdc_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_merge_apply",
+    oracle="""
+    WITH cutoff AS (SELECT CAST(max(event_id) * 0.8 AS BIGINT) AS c FROM events),
+    hist AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events CROSS JOIN cutoff WHERE event_id <= c
+      ) WHERE rn = 1
+    ),
+    delta AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events CROSS JOIN cutoff WHERE event_id > c
+      ) WHERE rn = 1
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+      event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+    ) WHERE rn = 1
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO execution — APPLY the classification
+    ``cdc_merge_plan`` only counts: full-outer join the compacted
+    current state with the delta batch's per-key latest row and keep
+    the newer version per key (insert where state had no key, update
+    where the delta wins the (ts, event_id) version order, retain
+    state where the delta is a stale replay). Output is the post-merge
+    state table in ``cdc_latest_state``'s exact shape — by
+    construction MERGE(state(log), latest(delta)) ≡ latest(log ∪
+    delta), the merge ≡ recompute discipline ``incr_agg_merge``
+    established (SURVEY.md §2.11 state-log family; reference K3/K4
+    mutate-state-per-row files, src/wiki_data_processor.py queue/
+    checkpoint rewrite loop).
+
+    Scale: both sides compact map-side (one hash aggregate each, ≤
+    |keys| rows) before a key-equi full-outer join — the delta never
+    joins raw events, and the merged table writes without any sort.
+    The version tie-break is total (event_id unique), so the winner is
+    deterministic on both engines."""
+    from wiki_data_pipeline_spark.plans.streaming_ops import TS_US_SPARK
+
+    events = read_table(spark, sf_dir, "events")
+    cutoff = events.agg(
+        (F.max("event_id") * 0.8).cast("bigint").alias("c")
+    )
+    ec = events.crossJoin(F.broadcast(cutoff))
+    # version-ordered payload: ts then unique event_id lead the struct
+    # comparison, so max(payload) IS the latest row and hv/dv compare
+    # directly (payload fields after event_id are never reached).
+    payload = F.struct("ts", "event_id", "event_type", "value")
+
+    def latest(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("user_id").agg(F.max(payload).alias(name))
+
+    hist = latest(ec.filter(F.col("event_id") <= F.col("c")), "hv")
+    delta = latest(ec.filter(F.col("event_id") > F.col("c")), "dv")
+    merged = (
+        hist.join(delta, on="user_id", how="full_outer")
+        .select(
+            "user_id",
+            F.when(F.col("hv").isNull(), F.col("dv"))       # insert
+            .when(F.col("dv").isNull(), F.col("hv"))        # untouched
+            .when(F.col("dv") > F.col("hv"), F.col("dv"))   # update
+            .otherwise(F.col("hv"))                         # stale_skip
+            .alias("m"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        F.col("m.event_id").cast("bigint").alias("last_event_id"),
+        F.date_format("m.ts", TS_US_SPARK).alias("last_ts"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-method dedup impact report.
 # ---------------------------------------------------------------------------
