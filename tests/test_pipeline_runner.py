@@ -141,6 +141,44 @@ def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
     assert os.path.getmtime(first[0]) == mtime_before
 
 
+def test_pipeline_streaming_metrics_complete_for_many_batches(
+    spark, tmp_path
+):
+    """The metrics JSONL must hold EVERY micro-batch of a multi-batch
+    availableNow run: the runner waits for the query's terminated
+    lifecycle event (delivered after all progress events) before
+    detaching the listener. With the old first-row wait, a 6-file /
+    6-batch run raced listener removal and silently dropped the tail
+    batches' rows."""
+    from wiki_data_pipeline_spark.pipeline import run_pipeline_streaming
+    from wiki_data_pipeline_spark.streaming.progress import metrics_df
+
+    src = str(tmp_path / "src")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    for lo in range(0, 60, 10):
+        spark.createDataFrame(
+            [(i, f"body {i}", "en", "api") for i in range(lo, lo + 10)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    run_pipeline_streaming(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+        metrics_path=metrics_path,
+    )
+    rows = (
+        metrics_df(spark, metrics_path)
+        .filter("query_name = 'pipeline_streaming' AND num_input_rows > 0")
+        .collect()
+    )
+    # 6 files at maxFilesPerTrigger=1 → 6 data batches, ALL recorded
+    assert len({r.batch_id for r in rows}) == 6
+    assert sum(r.num_input_rows for r in rows) == 60
+
+
 def test_pipeline_streaming_mid_batch_crash_replay(spark, tmp_path):
     """ST3 exactly-once under a MID-BATCH crash, not just clean stops:
     kill the job between the per-record sink write and the offset
