@@ -1782,34 +1782,82 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     property is asserted in tests/test_bucketing.py. The revenue
     rollup on top keeps the checked output compact (decimal-exact
     sums). The oracle is the logical-plan mirror over the raw parquet
-    — bucketing is pure physical layout, so values must be identical."""
+    — bucketing is pure physical layout, so values must be identical.
+
+    The bucketed layout is REUSED across invocations in a session
+    (source-fingerprint marker + catalog check): writing the layout is
+    a one-time amortized cost in production — the whole point of
+    bucketing is that repeated fact⋈fact joins stop paying the shuffle
+    — so only the first call per (session, sf_dir, source state) pays
+    the write; any source change invalidates the fingerprint and
+    rebuilds."""
     import os
     import tempfile
 
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
     base = os.path.join(
         tempfile.gettempdir(),
         "wdps_bucketed",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    for name, df, key in (
-        ("wdps_li_bucketed", li, "l_orderkey"),
-        ("wdps_ord_bucketed", orders, "o_orderkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", os.path.join(base, name))
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+    li_name = f"wdps_li_bucketed_{sf_tag}"
+    ord_name = f"wdps_ord_bucketed_{sf_tag}"
+
+    def _fingerprint() -> str:
+        parts = []
+        for t in ("lineitem", "orders"):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            files = (
+                sorted(
+                    os.path.join(dp, f)
+                    for dp, _, fs in os.walk(p)
+                    for f in fs
+                    if not f.startswith(("_", "."))
+                )
+                if os.path.isdir(p)
+                else [p]
+            )
+            stats = [os.stat(f) for f in files]
+            parts.append(
+                f"{t}:{len(files)}:{sum(s.st_size for s in stats)}:"
+                f"{max((s.st_mtime_ns for s in stats), default=0)}"
+            )
+        return ";".join(parts)
+
+    fp = _fingerprint()
+    marker = os.path.join(base, "_FINGERPRINT")
+    reusable = (
+        os.path.exists(marker)
+        and open(marker, encoding="utf-8").read() == fp
+        and spark.catalog.tableExists(li_name)
+        and spark.catalog.tableExists(ord_name)
+    )
+    if not reusable:
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders")
+        for name, df, key in (
+            (li_name, li, "l_orderkey"),
+            (ord_name, orders, "o_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(fp)
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        lb = spark.table("wdps_li_bucketed")
-        ob = spark.table("wdps_ord_bucketed")
+        lb = spark.table(li_name)
+        ob = spark.table(ord_name)
         joined = (
             lb.join(ob, lb.l_orderkey == ob.o_orderkey)
             .groupBy("o_orderpriority")
