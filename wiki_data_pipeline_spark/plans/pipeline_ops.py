@@ -1528,25 +1528,47 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    dim_bits = dim.select(F.explode(_bits("o_orderkey")).alias("bit")).distinct()
-    fact = lineitem.select(
-        "l_orderkey",
-        F.monotonically_increasing_id().alias("rid"),
-        F.array_distinct(_bits("l_orderkey")).alias("bits"),
+    # materialize the ≤m-row bit table ONCE (eager localCheckpoint):
+    # it feeds K broadcast branches below, and Catalyst would otherwise
+    # specialize each branch into its own orders-scan + explode +
+    # distinct shuffle (the branch-specialization rule from SCALE.md)
+    dim_bits = (
+        dim.select(F.explode(_bits("o_orderkey")).alias("bit"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    probe = (
-        fact.select("l_orderkey", "rid", F.explode("bits").alias("bit"))
-        .join(
-            F.broadcast(dim_bits.select("bit", F.lit(1).alias("present"))),
-            on="bit",
+    # Per-row membership test as K independent BROADCAST joins (one per
+    # hash function) — NOT explode + groupBy-back: the old shape
+    # shuffled 3×|fact| exploded rows to regroup them, which is exactly
+    # the keyed exchange the bloom filter exists to avoid. With one
+    # left join per bit position the probe stage is fully narrow (three
+    # broadcast hash joins pipelined in one codegen stage, zero
+    # exchanges before the final 1-row summary); a row passes iff every
+    # bit position found a match, identical to min(present) over the
+    # exploded form.
+    bits = _bits("l_orderkey")
+    probe = lineitem.select(
+        "l_orderkey",
+        *[bits.getItem(j).alias(f"b{j}") for j in range(_RF_K)],
+    )
+    for j in range(_RF_K):
+        probe = probe.join(
+            F.broadcast(
+                dim_bits.select(
+                    F.col("bit").alias(f"b{j}"), F.lit(1).alias(f"p{j}")
+                )
+            ),
+            on=f"b{j}",
             how="left",
         )
-        .groupBy("l_orderkey", "rid")
-        .agg(
-            F.min(F.coalesce(F.col("present"), F.lit(0)))
-            .cast("bigint")
-            .alias("pass_bloom")
-        )
+    all_present = F.lit(True)
+    for j in range(_RF_K):
+        all_present = all_present & F.col(f"p{j}").isNotNull()
+    probe = probe.select(
+        "l_orderkey",
+        F.when(all_present, F.lit(1)).otherwise(0).cast("bigint").alias(
+            "pass_bloom"
+        ),
     )
     truth = dim.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
     return (
