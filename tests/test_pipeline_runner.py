@@ -141,6 +141,63 @@ def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
     assert os.path.getmtime(first[0]) == mtime_before
 
 
+def test_pipeline_batch_crash_before_commit_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Batch-runner twin of the streaming mid-batch crash test: kill
+    the run AFTER both sink writes but BEFORE the watermark commit,
+    rerun, and assert the retry reproduces the exact same output —
+    same file numbering (start_index never advanced), no duplicate
+    dead-letter rows (the watermark-keyed overwrite directory; with
+    the old append-mode dlq sink the retry APPENDED a second copy),
+    and a final state identical to a never-crashed run."""
+    from wiki_data_pipeline_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "crash_out")
+    docs = spark.createDataFrame(
+        [
+            (1, "a fine document", "en", "api"),
+            (2, "another good one", "de", "api"),
+            (5, None, "en", "api"),  # invalid → dead-letter
+            (7, "third good doc", "en", "api"),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+
+    def crash():
+        raise RuntimeError("injected crash before watermark commit")
+
+    try:
+        run_pipeline(spark, sf_dir, out, docs=docs, fault_injector=crash)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError as exc:
+        assert "injected crash" in str(exc)
+
+    pre_files = _json_files(out)
+    assert len(pre_files) == 3  # sink writes happened before the crash
+    pre_contents = {f: open(f, encoding="utf-8").read() for f in pre_files}
+
+    # retry: watermark never advanced → same pending set, same
+    # start_index, same dead-letter directory
+    s = run_pipeline(spark, sf_dir, out, docs=docs)
+    assert s["processed"] == 3 and s["failed"] == 1
+    assert s["watermark"] == 7
+    final_files = _json_files(out)
+    assert final_files == pre_files  # no extra/renumbered files
+    for f, content in pre_contents.items():
+        assert open(f, encoding="utf-8").read() == content
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    assert dlq.count() == 1  # NOT two copies from crash + retry
+    assert dlq.first().doc_id == 5
+
+    # a third clean run disposes nothing and must not disturb history
+    s3 = run_pipeline(spark, sf_dir, out, docs=docs)
+    assert s3["processed"] == 0 and s3["failed"] == 0
+    assert (
+        spark.read.parquet(os.path.join(out, "_dead_letter")).count() == 1
+    )
+
+
 def test_pipeline_streaming_metrics_complete_for_many_batches(
     spark, tmp_path
 ):

@@ -55,6 +55,7 @@ def run_pipeline(
     file_pattern: str = "article_{index:06d}.json",
     directory_pattern: str = "batch_{batch_num:03d}",
     enrichment: dict | None = None,
+    fault_injector=None,
 ) -> dict:
     """Run the article pipeline; returns the summary dict (reference
     src/main.py:213-221 shape). ``docs`` overrides the corpus for
@@ -68,7 +69,15 @@ def run_pipeline(
     under the QPS/retry contract, fetched rows gain ``api_content``
     and ``attempts`` columns in the JSON output, and retry-exhausted
     fetches dead-letter alongside validation failures (reference
-    mark_failed, src/main.py:122-133)."""
+    mark_failed, src/main.py:122-133).
+
+    ``fault_injector``: test-only crash hook called AFTER both sink
+    writes but BEFORE the watermark commit — raising from it models a
+    driver death in the at-least-once window; the rerun re-selects the
+    same pending rows (watermark unmoved) and must reproduce the exact
+    same output (same file numbering from the uncommitted
+    total_processed, same dead-letter rows via the watermark-keyed
+    overwrite directory)."""
     ckpt_path = os.path.join(out_dir, "_checkpoint", "progress.json")
     ckpt = HighWatermarkCheckpoint(ckpt_path)
     if reset and os.path.exists(ckpt_path):
@@ -128,7 +137,8 @@ def run_pipeline(
 
     # Continue the global file numbering where the last run stopped
     # (reference L3 consecutive indices across batches/resumes).
-    start_index = ckpt.load().total_processed
+    prev_state = ckpt.load()
+    start_index = prev_state.total_processed
     n_written, max_ok = write_per_record_json_with_watermark(
         normalized,
         out_dir,
@@ -143,11 +153,23 @@ def run_pipeline(
     # scans (at 100 TB the old count-then-write recomputed the filter
     # twice).
     dlq_obs = Observation("dlq")
+    # Dead-letter dir is keyed by the watermark this run STARTED from
+    # and written with overwrite: a retry of a crashed run (sink
+    # written, commit missed) starts from the same watermark, hits the
+    # same directory, and overwrites instead of appending duplicates —
+    # the batch analog of the streaming runner's per-batch-id overwrite
+    # (a successful run advances the watermark, so the next delta gets
+    # its own directory and history is preserved).
     dlq.observe(
         dlq_obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
-    ).write.mode("append").parquet(os.path.join(out_dir, "_dead_letter"))
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_dead_letter", f"since={prev_state.watermark}")
+    )
     n_failed = int(dlq_obs.get["n"])
     max_dlq = dlq_obs.get["mx"]
+    if fault_injector is not None:
+        # crash window: both sinks written, watermark commit pending
+        fault_injector()
 
     # Watermark covers ALL disposed rows (valid + dead-lettered) — a
     # failed doc above the max valid doc_id must not be re-selected and
