@@ -236,6 +236,56 @@ def test_pipeline_streaming_metrics_complete_for_many_batches(
     assert sum(r.num_input_rows for r in rows) == 60
 
 
+def test_pipeline_streaming_with_enrichment_stage(spark, tmp_path):
+    """The streaming runner composes the rate-limited fetch stage the
+    same way the batch runner does (the reference's production loop in
+    streaming form): fetched rows carry api_content/attempts in the
+    JSON output; retry-exhausted fetches dead-letter as fetch_failed
+    alongside validation failures."""
+    from wiki_data_pipeline_spark.pipeline import run_pipeline_streaming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    rows = [
+        (i, None if i == 7 else f"body {i}", "en", "api") for i in range(20)
+    ]
+    for lo in (0, 10):
+        spark.createDataFrame(rows[lo : lo + 10], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    run_pipeline_streaming(
+        spark,
+        src,
+        out,
+        max_files_per_trigger=1,
+        enrichment={
+            # every 5th doc fails transiently and has no retries →
+            # dead-letter; the rest fetch on attempt 1
+            "fail_every": 5,
+            "max_retries": 0,
+            "initial_delay": 0.001,
+            "max_delay": 0.002,
+        },
+    )
+
+    files = _json_files(out)
+    # 20 docs − 1 invalid (7) − 4 fetch-failed (0, 5, 10, 15) = 15
+    assert len(files) == 15
+    recs = [json.loads(open(f, encoding="utf-8").read()) for f in files]
+    assert all(r["api_content"].startswith("content[") for r in recs)
+    assert all(r["attempts"] == 1 for r in recs)
+    assert {r["doc_id"] for r in recs} == {
+        i for i in range(20) if i != 7 and i % 5 != 0
+    }
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    errors = {r.doc_id: r.error for r in dlq.collect()}
+    assert set(errors) == {7, 0, 5, 10, 15}
+    assert errors[7].startswith("validation_failed")
+    assert all(errors[i].startswith("fetch_failed") for i in (0, 5, 10, 15))
+
+
 def test_pipeline_streaming_mid_batch_crash_replay(spark, tmp_path):
     """ST3 exactly-once under a MID-BATCH crash, not just clean stops:
     kill the job between the per-record sink write and the offset
@@ -346,6 +396,43 @@ def test_pipeline_cli(sf_dir, tmp_path):
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["processed"] == 10
     assert len(_json_files(out)) == 10
+
+
+def test_pipeline_cli_streaming_mode(spark, tmp_path):
+    """--stream-source runs the streaming twin from the CLI: drains
+    the source as micro-batches, sinks per-record JSON, prints a
+    one-line summary."""
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "cli_stream_out")
+    spark.createDataFrame(
+        [(i, f"body {i}", "en", "api") for i in range(25)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "wiki_data_pipeline_spark",
+            "--stream-source",
+            src,
+            "--out",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "streaming"
+    assert summary["sink_files"] == 25
+    assert len(_json_files(out)) == 25
 
 
 def test_pipeline_naming_patterns(spark, sf_dir, tmp_path):

@@ -44,10 +44,26 @@ def main() -> int:
         help="run the rate-limited per-article fetch stage with the "
         "config's enrichment knobs (QPS/retry/backoff)",
     )
+    p.add_argument(
+        "--stream-source",
+        default=None,
+        help="run the STREAMING twin instead: drain this parquet "
+        "source dir as file micro-batches (availableNow), sink to "
+        "--out; reruns process only newly arrived files (ST2)",
+    )
+    p.add_argument(
+        "--metrics",
+        default=None,
+        help="(streaming) append per-micro-batch progress rows to "
+        "this JSONL metrics file",
+    )
     args = p.parse_args()
 
     from wiki_data_pipeline_spark.config import load_config
-    from wiki_data_pipeline_spark.pipeline import run_pipeline
+    from wiki_data_pipeline_spark.pipeline import (
+        run_pipeline,
+        run_pipeline_streaming,
+    )
     from wiki_data_pipeline_spark.session import get_spark
 
     cfg = load_config(args.config)
@@ -71,6 +87,32 @@ def main() -> int:
         shuffle_partitions=cfg.spark.shuffle_partitions,
         extra_conf=cfg.spark.extra_conf,
     )
+    if args.stream_source is not None:
+        import glob
+
+        run_pipeline_streaming(
+            spark,
+            args.stream_source,
+            out_dir,
+            batch_size=batch_size,
+            metrics_path=args.metrics,
+            enrichment=(
+                dataclasses.asdict(cfg.enrichment) if args.enrich else None
+            ),
+        )
+        n_files = len(
+            glob.glob(os.path.join(out_dir, "batch_*", "article_*.json"))
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "streaming",
+                    "sink_files": n_files,
+                    "status": "completed",
+                }
+            )
+        )
+        return 0
     summary = run_pipeline(
         spark,
         sf_dir,

@@ -215,6 +215,7 @@ def run_pipeline_streaming(
     max_files_per_trigger: int = 4,
     batch_size: int = 1000,
     metrics_path: str | None = None,
+    enrichment: dict | None = None,
     fault_injector=None,
 ) -> None:
     """Streaming twin of ``run_pipeline`` — ST1–ST4 composed as ONE
@@ -238,6 +239,20 @@ def run_pipeline_streaming(
     ``log_progress`` surface, src/logging_manager.py:84-88) is appended
     to this JSONL metrics table via ``streaming.progress`` for the
     duration of the run.
+
+    ``enrichment``: kwargs for ``operators.enrichment.fetch_enrich``,
+    enabling the reference's production loop in its STREAMING form —
+    a stream of article stubs rate-limited-fetched per micro-batch
+    (ST5–ST8 inside ST1's batching), fetched rows gaining
+    ``api_content``/``attempts`` in the JSON output and
+    retry-exhausted fetches dead-lettering alongside validation
+    failures. The per-partition QPS budget applies within each
+    micro-batch (the reference's per-chunk pacing,
+    src/enhanced_production_mediawiki_client.py:397-415). With the
+    default deterministic fetcher a replayed batch rewrites identical
+    bytes; an injected real fetcher is last-write-wins under replay —
+    the inherent at-least-once contract for non-deterministic
+    sources.
 
     ``fault_injector``: test-only crash hook, called with the batch_id
     AFTER the per-record sink write but BEFORE the dead-letter write /
@@ -286,6 +301,32 @@ def run_pipeline_streaming(
             F.lit("validation_failed: empty or null content").alias("error"),
         )
 
+        enriched = None
+        if enrichment is not None:
+            from wiki_data_pipeline_spark.operators.enrichment import (
+                fetch_enrich,
+            )
+
+            # One fetch pass shared by both sinks (the stage is
+            # rate-limited and side-effectful — a real deployment
+            # calls an external API), same discipline as the batch
+            # runner's persist.
+            enriched = fetch_enrich(
+                ok.select("doc_id", "title"), **enrichment
+            ).persist()
+            fetch_ok = enriched.filter(F.col("error").isNull()).select(
+                "doc_id",
+                F.col("content").alias("api_content"),
+                "attempts",
+            )
+            fetch_dlq = enriched.filter(F.col("error").isNotNull()).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.concat(F.lit("fetch_failed: "), "error").alias("error"),
+            )
+            ok = ok.join(fetch_ok, "doc_id", "inner")
+            dlq = dlq.unionByName(fetch_dlq)
+
         bs = batch_size
         root = sink_root
 
@@ -310,18 +351,22 @@ def run_pipeline_streaming(
                 os.replace(tmp, path)  # atomic, replay-idempotent
             yield
 
-        ok.rdd.mapPartitions(_write_partition).count()
-        if fault_injector is not None:
-            # crash window: per-record files written, offset NOT
-            # committed — the ST3 replay-idempotence test point
-            fault_injector(batch_id)
-        # Per-batch overwrite directory: replayed micro-batches rewrite
-        # the same path instead of appending duplicates (foreachBatch is
-        # at-least-once), and the old emptiness probe (limit(1).count())
-        # was a second scan of the split.
-        dlq.write.mode("overwrite").parquet(
-            os.path.join(dlq_dir, f"batch_id={batch_id}")
-        )
+        try:
+            ok.rdd.mapPartitions(_write_partition).count()
+            if fault_injector is not None:
+                # crash window: per-record files written, offset NOT
+                # committed — the ST3 replay-idempotence test point
+                fault_injector(batch_id)
+            # Per-batch overwrite directory: replayed micro-batches
+            # rewrite the same path instead of appending duplicates
+            # (foreachBatch is at-least-once), and the old emptiness
+            # probe (limit(1).count()) was a second scan of the split.
+            dlq.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            if enriched is not None:
+                enriched.unpersist()
 
     recorder = None
     if metrics_path is not None:
