@@ -24,6 +24,26 @@ def test_defaults_without_file():
     assert cfg.naming.file_pattern == "article_{index:06d}.json"
 
 
+def test_streaming_section(tmp_path):
+    """The streaming-twin knobs load as a typed section with the same
+    strictness as every other section."""
+    path = tmp_path / "pipeline.yaml"
+    path.write_text(
+        "streaming:\n"
+        "  source_dir: /data/incoming\n"
+        "  max_files_per_trigger: '2'\n"  # quoted YAML → coerced to int
+        "  metrics_path: /data/metrics.jsonl\n"
+    )
+    cfg = load_config(str(path))
+    assert cfg.streaming.source_dir == "/data/incoming"
+    assert cfg.streaming.max_files_per_trigger == 2
+    assert cfg.streaming.metrics_path == "/data/metrics.jsonl"
+    assert cfg.get("streaming.max_files_per_trigger") == 2
+    # defaults when absent
+    assert load_config(None).streaming.source_dir is None
+    assert load_config(None).streaming.max_files_per_trigger == 4
+
+
 def test_load_and_dot_path_get(tmp_path):
     path = tmp_path / "pipeline.yaml"
     path.write_text(

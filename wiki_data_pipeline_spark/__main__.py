@@ -87,15 +87,17 @@ def main() -> int:
         shuffle_partitions=cfg.spark.shuffle_partitions,
         extra_conf=cfg.spark.extra_conf,
     )
-    if args.stream_source is not None:
+    stream_source = args.stream_source or cfg.streaming.source_dir
+    if stream_source is not None:
         import glob
 
         run_pipeline_streaming(
             spark,
-            args.stream_source,
+            stream_source,
             out_dir,
+            max_files_per_trigger=cfg.streaming.max_files_per_trigger,
             batch_size=batch_size,
-            metrics_path=args.metrics,
+            metrics_path=args.metrics or cfg.streaming.metrics_path,
             enrichment=(
                 dataclasses.asdict(cfg.enrichment) if args.enrich else None
             ),

@@ -67,6 +67,16 @@ class EnrichmentConfig:
 
 
 @dataclass
+class StreamingConfig:
+    # streaming-twin knobs (run_pipeline_streaming): source dir to
+    # drain as file micro-batches, files per trigger (ST1 batching),
+    # optional per-batch metrics JSONL (the log_progress surface)
+    source_dir: str | None = None
+    max_files_per_trigger: int = 4
+    metrics_path: str | None = None
+
+
+@dataclass
 class SparkConfig:
     master: str | None = None
     shuffle_partitions: int | None = None
@@ -80,6 +90,7 @@ class PipelineConfig:
     naming: NamingConfig = field(default_factory=NamingConfig)
     processing: ProcessingConfig = field(default_factory=ProcessingConfig)
     enrichment: EnrichmentConfig = field(default_factory=EnrichmentConfig)
+    streaming: StreamingConfig = field(default_factory=StreamingConfig)
     spark: SparkConfig = field(default_factory=SparkConfig)
 
     def get(self, key: str, default: Any = None) -> Any:
@@ -220,6 +231,7 @@ def load_config(path: str | None = None) -> PipelineConfig:
         "naming": NamingConfig,
         "processing": ProcessingConfig,
         "enrichment": EnrichmentConfig,
+        "streaming": StreamingConfig,
         "spark": SparkConfig,
     }
     kwargs = {
