@@ -148,6 +148,36 @@ def test_enrichment_injected_fetcher_dead_letter_under_qps(spark, sf_dir):
     assert elapsed >= (8 * 2 - 1) / 8.0 * 0.8
 
 
+def test_enrichment_config_driven_fetcher_spec(spark, sf_dir):
+    """A 'module:attr' fetcher spec (the YAML-configurable client
+    selection — reference per-entry-point client choice, main.py:25 vs
+    production_main.py:25) resolves to the named callable before the
+    closure ships."""
+    from wiki_data_pipeline_spark.operators.enrichment import (
+        demo_fetcher,
+        resolve_fetcher,
+    )
+
+    out = fetch_enrich(
+        _stubs(spark, sf_dir, n=10),
+        fetcher="wiki_data_pipeline_spark.operators.enrichment:demo_fetcher",
+        source_name="demo_api",
+    ).collect()
+    assert all(r.content == demo_fetcher(r.title) for r in out)
+    assert all(r.content.startswith("demo[") for r in out)
+    assert all(r.source == "demo_api" for r in out)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="module.path:attr"):
+        resolve_fetcher("no_colon_here")
+    with pytest.raises(ModuleNotFoundError):
+        resolve_fetcher("not.a.real.module:fn")
+    # callables and None pass through untouched
+    assert resolve_fetcher(None) is None
+    assert resolve_fetcher(demo_fetcher) is demo_fetcher
+
+
 def test_s8_json_read_roundtrip(spark, sf_dir, tmp_path):
     """S8 blob JSON read (src/azure_manager.py:127-136): the K1 sink's
     per-record files read back with an explicit schema must reproduce

@@ -59,11 +59,17 @@ class ProcessingConfig:
 @dataclass
 class EnrichmentConfig:
     # reference api section: max_retries / initial_delay / max_delay
-    # (src/mediawiki_client.py:22-64) + the 2.0 QPS contract
+    # (src/mediawiki_client.py:22-64) + the 2.0 QPS contract;
+    # ``fetcher`` is a "module.path:attr" import string selecting the
+    # fetch implementation (the reference's per-entry-point client
+    # choice, src/main.py:25 vs src/production_main.py:25, as a
+    # config knob), ``source_name`` labels its output rows
     global_qps: float | None = 2.0
     max_retries: int = 3
     initial_delay: float = 0.05
     max_delay: float = 1.0
+    fetcher: str | None = None
+    source_name: str = "fake_api"
 
 
 @dataclass

@@ -30,6 +30,37 @@ ENRICHED_SCHEMA = (
 )
 
 
+def resolve_fetcher(spec):
+    """Resolve a ``"module.path:attr"`` import string to the callable
+    it names — the config-driven analog of the reference picking its
+    client class per entry point (src/main.py:25 MediaWikiClient vs
+    src/production_main.py:25 ProductionMediaWikiClient): a YAML
+    config can select the fetch implementation without code changes.
+    Callables pass through unchanged; on a cluster the named module
+    must be shipped to executors (standard --py-files), since a
+    by-reference function pickles as an import."""
+    if spec is None or callable(spec):
+        return spec
+    import importlib
+
+    mod, sep, attr = spec.partition(":")
+    if not sep or not mod or not attr:
+        raise ValueError(
+            f"fetcher spec must be 'module.path:attr', got {spec!r}"
+        )
+    return getattr(importlib.import_module(mod), attr)
+
+
+def demo_fetcher(title: str) -> str:
+    """Deterministic alternate fetcher, importable by spec string
+    (``wiki_data_pipeline_spark.operators.enrichment:demo_fetcher``) —
+    the hermetic stand-in for a second client implementation."""
+    import hashlib
+
+    digest = hashlib.sha1(title.encode()).hexdigest()[:12]
+    return f"demo[{digest}]"
+
+
 def fetch_enrich(
     stubs: DataFrame,
     global_qps: float | None = None,
@@ -37,7 +68,7 @@ def fetch_enrich(
     initial_delay: float = 0.05,
     max_delay: float = 1.0,
     fail_every: int = 0,
-    fetcher: Callable[[str], str] | None = None,
+    fetcher: Callable[[str], str] | str | None = None,
     source_name: str = "fake_api",
 ) -> DataFrame:
     """Enrich a stub table (doc_id, title) with 'fetched' content.
@@ -58,8 +89,10 @@ def fetch_enrich(
     dead-letter machinery. Exceptions it raises are treated as
     transient and retried up to ``max_retries`` times, then
     dead-lettered. Default None keeps the deterministic hermetic
-    fetcher (tests, benchmarks). ``source_name`` labels the source
-    column for injected fetchers."""
+    fetcher (tests, benchmarks); a ``"module:attr"`` string resolves
+    via :func:`resolve_fetcher` (config-driven client selection).
+    ``source_name`` labels the source column for injected fetchers."""
+    fetcher = resolve_fetcher(fetcher)
     num_parts = max(1, stubs.rdd.getNumPartitions())
     part_qps = (global_qps / num_parts) if global_qps else None
 
