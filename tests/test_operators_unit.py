@@ -458,6 +458,71 @@ def test_clean_whitespace_property_vs_python_reference(spark):
     check()
 
 
+def _py_winnow(norm: str, k: int = 8, w: int = 4) -> set[int]:
+    """Pure-Python mirror of text_winnow_fingerprint's expression
+    chain (same md5-prefix hash, same window-min selection)."""
+    import hashlib
+
+    if len(norm) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnowing_guarantee_property(spark, sf_dir):
+    """Property test (hypothesis): the winnowing GUARANTEE the
+    docstring claims — any shared substring of length ≥ k+w−1 chars
+    yields at least one shared fingerprint (Schleimer-Wilkerson-Aiken
+    correctness property) — plus cross-validation that the pure-Python
+    mirror equals the Spark expression chain on real fixture docs."""
+    from hypothesis import given, settings, strategies as st
+
+    from wiki_data_pipeline_spark.plans.registry import get
+
+    # 1. guarantee: implant one ≥(k+w−1)-char shared run into two
+    # otherwise-unrelated strings → fingerprint sets must intersect
+    chunk = st.text(alphabet=st.sampled_from(list("abcdefgh ")), max_size=40)
+    shared = st.text(
+        alphabet=st.sampled_from(list("xyz")), min_size=11, max_size=25
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(chunk, chunk, chunk, chunk, shared)
+    def check(pre_a, post_a, pre_b, post_b, common):
+        fa = _py_winnow(pre_a + common + post_a)
+        fb = _py_winnow(pre_b + common + post_b)
+        assert fa & fb, (pre_a, post_a, pre_b, post_b, common)
+
+    check()
+
+    # 2. the Python mirror IS the Spark definition: digests must match
+    # on real documents (digest = md5 of the sorted distinct minima)
+    import hashlib
+    import re as _re
+
+    from wiki_data_pipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20).collect()
+    spark_rows = {
+        r.doc_id: (r.n_fingerprints, r.winnow_digest)
+        for r in get("text_winnow_fingerprint").fn(spark, sf_dir).collect()
+    }
+    checked = 0
+    for d in docs:
+        norm = _re.sub(r"\s+", " ", d.text or "").strip()
+        fps = sorted(_py_winnow(norm))
+        if not fps:
+            assert d.doc_id not in spark_rows or spark_rows[d.doc_id][0] == 0
+            continue
+        digest = hashlib.md5(",".join(map(str, fps)).encode()).hexdigest()
+        assert spark_rows[d.doc_id] == (len(fps), digest), d.doc_id
+        checked += 1
+    assert checked >= 10
+
+
 def test_minhash_narrow_equals_explode_groupby(spark):
     """Property test (hypothesis): the shuffle-free higher-order-array
     minhash signatures (dedup_minhash_lsh's narrow formulation) must
@@ -747,6 +812,37 @@ def test_top_bigram_fold_matches_counter(spark):
         c = Counter(" ".join(p) for p in zip(ts, ts[1:]))
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[i] == best, (t, got[i], best)
+
+
+def test_bench_gate_covers_entire_registry():
+    """Gate-discipline meta-test: every registered query must have a
+    frozen baseline entry in BENCH_BASELINE.json (and every headline
+    name must be registered). Registering a query without freezing its
+    first-run median would silently exempt it from the 2x regression
+    gate — the exact hole the round-7 gate widening closed; this test
+    makes the freeze step (tools/freeze_baseline.py) mandatory."""
+    import json
+    import os
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    sys.path.insert(0, root)
+    import bench
+
+    registered = set(all_queries())
+    baseline = json.load(
+        open(os.path.join(root, "BENCH_BASELINE.json"), encoding="utf-8")
+    )["queries"]
+    unfrozen = registered - set(baseline)
+    assert not unfrozen, (
+        f"queries registered but missing a frozen bench baseline "
+        f"(run bench.py then tools/freeze_baseline.py): {sorted(unfrozen)}"
+    )
+    unknown_headline = set(bench.HEADLINE) - registered
+    assert not unknown_headline, sorted(unknown_headline)
 
 
 def test_plan_audit_counters():
