@@ -141,6 +141,37 @@ def test_pipeline_streaming_delta_and_idempotence(spark, sf_dir, tmp_path):
     assert os.path.getmtime(first[0]) == mtime_before
 
 
+def test_pipeline_reset_clears_dead_letter_history(spark, sf_dir, tmp_path):
+    """--reset reprocesses everything from since=-1; the previous
+    runs' watermark-keyed dead-letter directories must go with the
+    checkpoint, or a root read double-counts historical failures."""
+    from wiki_data_pipeline_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "reset_out")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    docs1 = spark.createDataFrame(
+        [(1, "fine", "en", "api"), (5, None, "en", "api")], schema
+    )
+    s1 = run_pipeline(spark, sf_dir, out, docs=docs1)
+    assert s1["failed"] == 1
+    # second incremental run dead-letters another doc into its own dir
+    docs2 = spark.createDataFrame(
+        [(1, "fine", "en", "api"), (5, None, "en", "api"),
+         (9, None, "en", "api")], schema
+    )
+    s2 = run_pipeline(spark, sf_dir, out, docs=docs2)
+    assert s2["failed"] == 1
+    assert spark.read.parquet(os.path.join(out, "_dead_letter")).count() == 2
+
+    # reset: full reprocess writes both failures into since=-1 and the
+    # stale since=<W> dirs are gone → exactly 2 rows, not 3
+    s3 = run_pipeline(spark, sf_dir, out, docs=docs2, reset=True)
+    assert s3["failed"] == 2
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    assert dlq.count() == 2
+    assert sorted(r.doc_id for r in dlq.collect()) == [5, 9]
+
+
 def test_pipeline_batch_crash_before_commit_replays_idempotently(
     spark, sf_dir, tmp_path
 ):
@@ -431,8 +462,30 @@ def test_pipeline_cli_streaming_mode(spark, tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["mode"] == "streaming"
-    assert summary["sink_files"] == 25
+    assert summary["sink_files_new"] == 25
+    assert summary["sink_files_total"] == 25
     assert len(_json_files(out)) == 25
+
+    # resume run with no new source files: total unchanged, new == 0
+    res2 = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "wiki_data_pipeline_spark",
+            "--stream-source",
+            src,
+            "--out",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    s2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert s2["sink_files_new"] == 0
+    assert s2["sink_files_total"] == 25
 
 
 def test_pipeline_naming_patterns(spark, sf_dir, tmp_path):

@@ -148,6 +148,28 @@ def test_enrichment_injected_fetcher_dead_letter_under_qps(spark, sf_dir):
     assert elapsed >= (8 * 2 - 1) / 8.0 * 0.8
 
 
+def test_enrichment_none_returning_fetcher_dead_letters(spark, sf_dir):
+    """A fetcher returning None (the common not-found client
+    convention) must dead-letter, not slip through as a 'success' with
+    content=None and error=None — the split every downstream consumer
+    keys on is error-isNull."""
+
+    def not_found(title):
+        return None if title.endswith(("0", "5")) else f"ok[{title}]"
+
+    out = fetch_enrich(
+        _stubs(spark, sf_dir, n=20).coalesce(1),
+        fetcher=not_found,
+        max_retries=0,
+        initial_delay=0.001,
+    ).collect()
+    ok = [r for r in out if r.error is None]
+    bad = [r for r in out if r.error is not None]
+    assert len(ok) + len(bad) == 20 and bad
+    assert all(r.content is not None for r in ok)
+    assert all(r.content is None and "returned None" in r.error for r in bad)
+
+
 def test_enrichment_config_driven_fetcher_spec(spark, sf_dir):
     """A 'module:attr' fetcher spec (the YAML-configurable client
     selection — reference per-entry-point client choice, main.py:25 vs

@@ -43,6 +43,19 @@ def main() -> None:
     with open(base_path, encoding="utf-8") as f:
         base = json.load(f)
 
+    # The gate compares same-scale numbers: freezing a sidecar measured
+    # at a different sf (e.g. a local sf0.01 experiment) would
+    # permanently mis-calibrate the 2x gate for every query it adds,
+    # and append-only means there is no refresh to undo it.
+    side_sf, base_sf = spread.get("sf"), base.get("sf")
+    if side_sf is not None and base_sf is not None and side_sf != base_sf:
+        print(
+            f"refusing to freeze: sidecar sf={side_sf} does not match "
+            f"baseline sf={base_sf} (rerun bench.py at the baseline scale)"
+        )
+        raise SystemExit(1)
+
+    base.setdefault("source", {})
     added = 0
     for name, sec in sorted(timings.items()):
         if name not in base["queries"]:

@@ -49,7 +49,17 @@ def main() -> int:
         default=None,
         help="run the STREAMING twin instead: drain this parquet "
         "source dir as file micro-batches (availableNow), sink to "
-        "--out; reruns process only newly arrived files (ST2)",
+        "--out; reruns process only newly arrived files (ST2). Sink "
+        "naming is doc_id-derived by design (replay idempotence), so "
+        "the naming config section does not apply",
+    )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="run the streaming twin using the config's "
+        "streaming.source_dir (mode selection stays on the CLI: a "
+        "config file alone never switches a batch invocation to "
+        "streaming)",
     )
     p.add_argument(
         "--metrics",
@@ -87,10 +97,22 @@ def main() -> int:
         shuffle_partitions=cfg.spark.shuffle_partitions,
         extra_conf=cfg.spark.extra_conf,
     )
-    stream_source = args.stream_source or cfg.streaming.source_dir
-    if stream_source is not None:
+    if args.stream_source is not None or args.stream:
         import glob
 
+        stream_source = args.stream_source or cfg.streaming.source_dir
+        if stream_source is None:
+            p.error(
+                "--stream requires streaming.source_dir in the config "
+                "(or pass --stream-source <dir>)"
+            )
+
+        def _count_sink_files() -> int:
+            return len(
+                glob.glob(os.path.join(out_dir, "batch_*", "article_*.json"))
+            )
+
+        n_before = _count_sink_files()
         run_pipeline_streaming(
             spark,
             stream_source,
@@ -102,14 +124,16 @@ def main() -> int:
                 dataclasses.asdict(cfg.enrichment) if args.enrich else None
             ),
         )
-        n_files = len(
-            glob.glob(os.path.join(out_dir, "batch_*", "article_*.json"))
-        )
+        n_after = _count_sink_files()
+        # sink_files_new is THIS run's delta (a resume that drains
+        # nothing reports 0, like the batch summary's 'processed');
+        # sink_files_total is the cumulative sink population
         print(
             json.dumps(
                 {
                     "mode": "streaming",
-                    "sink_files": n_files,
+                    "sink_files_new": n_after - n_before,
+                    "sink_files_total": n_after,
                     "status": "completed",
                 }
             )

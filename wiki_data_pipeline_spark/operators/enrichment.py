@@ -124,9 +124,16 @@ def fetch_enrich(
         if fetcher is not None:
             # injected title→content callable; attempt handling stays
             # in the retry loop below, so the injected function keeps
-            # the reference's one-argument fetch signature
+            # the reference's one-argument fetch signature. A None
+            # return (the common not-found client convention) is an
+            # ERROR, not a success: without this check the row would
+            # land with content=None AND error=None, which downstream
+            # error-isNull splits misclassify as a fetched record.
             def _do_fetch(doc_id: int, title: str, attempt: int) -> str:
-                return fetcher(title)
+                out = fetcher(title)
+                if out is None:
+                    raise LookupError(f"fetcher returned None for {title!r}")
+                return out
 
         else:
             _do_fetch = _fake_fetch

@@ -80,8 +80,16 @@ def run_pipeline(
     overwrite directory)."""
     ckpt_path = os.path.join(out_dir, "_checkpoint", "progress.json")
     ckpt = HighWatermarkCheckpoint(ckpt_path)
-    if reset and os.path.exists(ckpt_path):
-        os.remove(ckpt_path)  # reference --reset, src/main.py:244-248
+    if reset:
+        if os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # reference --reset, src/main.py:244-248
+        # the dead-letter history is keyed by watermark; a reset run
+        # reprocesses everything from since=-1 and would otherwise
+        # leave the previous runs' since=<W> directories behind,
+        # double-counting historical dead letters on a root read
+        dlq_root = os.path.join(out_dir, "_dead_letter")
+        if os.path.exists(dlq_root):
+            shutil.rmtree(dlq_root)
 
     if docs is None:
         docs = read_table(spark, sf_dir, "documents")
@@ -152,24 +160,35 @@ def run_pipeline(
     # doc_id ride an Observation on the write job instead of separate
     # scans (at 100 TB the old count-then-write recomputed the filter
     # twice).
-    dlq_obs = Observation("dlq")
-    # Dead-letter dir is keyed by the watermark this run STARTED from
-    # and written with overwrite: a retry of a crashed run (sink
-    # written, commit missed) starts from the same watermark, hits the
-    # same directory, and overwrites instead of appending duplicates —
-    # the batch analog of the streaming runner's per-batch-id overwrite
-    # (a successful run advances the watermark, so the next delta gets
-    # its own directory and history is preserved).
-    dlq.observe(
-        dlq_obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
-    ).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_dead_letter", f"since={prev_state.watermark}")
-    )
-    n_failed = int(dlq_obs.get["n"])
-    max_dlq = dlq_obs.get["mx"]
-    if fault_injector is not None:
-        # crash window: both sinks written, watermark commit pending
-        fault_injector()
+    try:
+        dlq_obs = Observation("dlq")
+        # Dead-letter dir is keyed by the watermark this run STARTED
+        # from and written with overwrite: a retry of a crashed run
+        # (sink written, commit missed) starts from the same watermark,
+        # hits the same directory, and overwrites instead of appending
+        # duplicates — the batch analog of the streaming runner's
+        # per-batch-id overwrite (a successful run advances the
+        # watermark, so the next delta gets its own directory and
+        # history is preserved).
+        dlq.observe(
+            dlq_obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+        ).write.mode("overwrite").parquet(
+            os.path.join(
+                out_dir, "_dead_letter", f"since={prev_state.watermark}"
+            )
+        )
+        n_failed = int(dlq_obs.get["n"])
+        max_dlq = dlq_obs.get["mx"]
+        if fault_injector is not None:
+            # crash window: both sinks written, watermark commit pending
+            fault_injector()
+    finally:
+        # a crash in the commit window must not leak the persisted
+        # fetch pass into the long-lived session (same discipline as
+        # the streaming twin's per-batch cache)
+        if enriched is not None:
+            enriched.unpersist()
+            enriched = None
 
     # Watermark covers ALL disposed rows (valid + dead-lettered) — a
     # failed doc above the max valid doc_id must not be re-selected and
@@ -184,8 +203,6 @@ def run_pipeline(
         n_disposed=n_written + n_failed,
         n_processed=n_written,
     )
-    if enriched is not None:
-        enriched.unpersist()
     n_batches = (
         (start_index + n_written - 1) // batch_size - start_index // batch_size + 1
         if n_written
@@ -390,8 +407,17 @@ def run_pipeline_streaming(
             # listener delivery is async — the terminated event lands
             # AFTER all progress events for this query, so waiting for
             # it (not just the first row) guarantees the metrics table
-            # is complete even for multi-batch availableNow runs
-            recorder.wait_for_terminated(str(q.id), timeout=10.0)
+            # is complete even for multi-batch availableNow runs. A
+            # timeout means the tail of the metrics table may be
+            # missing — say so instead of silently truncating.
+            if not recorder.wait_for_terminated(str(q.id), timeout=30.0):
+                import sys
+
+                print(
+                    "warning: streaming listener did not drain within "
+                    f"30s; metrics at {metrics_path} may be incomplete",
+                    file=sys.stderr,
+                )
     finally:
         if recorder is not None:
             spark.streams.removeListener(recorder)

@@ -1794,16 +1794,18 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import hashlib
+
+    # key on the FULL path (basename + short path hash): two fixture
+    # dirs sharing a basename must not thrash one cache slot
+    norm_dir = os.path.normpath(os.path.abspath(sf_dir))
+    path_tag = hashlib.md5(norm_dir.encode()).hexdigest()[:8]
     sf_tag = (
-        os.path.basename(os.path.normpath(sf_dir))
-        .replace(".", "_")
-        .replace("-", "_")
+        os.path.basename(norm_dir).replace(".", "_").replace("-", "_")
+        + "_"
+        + path_tag
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "wdps_bucketed",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    base = os.path.join(tempfile.gettempdir(), "wdps_bucketed", sf_tag)
     li_name = f"wdps_li_bucketed_{sf_tag}"
     ord_name = f"wdps_ord_bucketed_{sf_tag}"
 
@@ -1828,11 +1830,16 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return ";".join(parts)
 
+    def _read_marker(path: str) -> str | None:
+        if not os.path.exists(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+
     fp = _fingerprint()
     marker = os.path.join(base, "_FINGERPRINT")
     reusable = (
-        os.path.exists(marker)
-        and open(marker, encoding="utf-8").read() == fp
+        _read_marker(marker) == fp
         and spark.catalog.tableExists(li_name)
         and spark.catalog.tableExists(ord_name)
     )
