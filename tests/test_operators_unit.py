@@ -845,6 +845,48 @@ def test_bench_gate_covers_entire_registry():
     assert not unknown_headline, sorted(unknown_headline)
 
 
+def test_bench_gate_noise_floor_semantics():
+    """Pin the regression gate's two-condition rule (round-7 verdict
+    item 1): flag only when ratio > 2x AND absolute slowdown > 0.5 s.
+    The r7 false positive (a3_status_counts: 0.164 s -> 0.358 s,
+    '2.18x' of pure job-overhead jitter) must NOT flag; a genuine
+    multi-second 2x+ regression must; and the floor must not excuse a
+    barely-2x slip on a large baseline."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    baseline = {
+        "a3_status_counts": 0.164,  # the r7 false-positive shape
+        "dedup_minhash_verified": 6.3,
+        "q18_large_orders": 1.3,
+        "tiny_new_query": 0.1,
+    }
+    timings = {
+        "a3_status_counts": 0.358,  # 2.18x but only +0.19 s -> no flag
+        "dedup_minhash_verified": 14.0,  # 2.2x and +7.7 s -> flag
+        "q18_large_orders": 2.55,  # 1.96x -> no flag (ratio holds)
+        "tiny_new_query": 0.75,  # 7.5x AND +0.65 s -> flag: the
+        # floor bounds noise, it is not a free pass for small queries
+        "unfrozen_query": 99.0,  # no baseline -> skipped, not crashed
+    }
+    flagged = bench.compute_regressions(timings, baseline)
+    assert flagged == {
+        "dedup_minhash_verified": 2.22,
+        "tiny_new_query": 7.5,
+    }
+    # boundary: exactly 2.0x / exactly the floor do not flag (strict >)
+    assert bench.compute_regressions({"q": 2.0}, {"q": 1.0}) == {}
+    assert bench.compute_regressions({"q": 1.5}, {"q": 1.0}) == {}
+    assert bench.compute_regressions({"q": 2.02}, {"q": 1.0}) == {
+        "q": 2.02
+    }
+
+
 def test_plan_audit_counters():
     """tools/plan_audit.py's counters and flags on synthetic plan text:
     scans-per-table from Location lines, cartesian/row-python flags,

@@ -310,7 +310,7 @@ def test_pipeline_streaming_with_enrichment_stage(spark, tmp_path):
     assert {r["doc_id"] for r in recs} == {
         i for i in range(20) if i != 7 and i % 5 != 0
     }
-    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter_stream"))
     errors = {r.doc_id: r.error for r in dlq.collect()}
     assert set(errors) == {7, 0, 5, 10, 15}
     assert errors[7].startswith("validation_failed")
@@ -394,7 +394,7 @@ def test_pipeline_streaming_mid_batch_crash_replay(spark, tmp_path):
     for f in batch0:
         assert os.path.getmtime(f) == pre_mtimes[f]
     # the invalid doc dead-lettered exactly once across crash + replay
-    dlq = spark.read.parquet(os.path.join(out, "_dead_letter"))
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter_stream"))
     assert dlq.count() == 1
     assert dlq.first().doc_id == 25
 

@@ -10,6 +10,20 @@ regression. This tool adds entries ONLY for queries the baseline does
 not know yet (e.g. newly registered queries, or the round-7 widening of
 the gate from the 70-query headline to the full registry), tagging each
 with the round it was frozen in.
+
+`--refreeze` is the ONE deliberate exception (round-7 verdict item 2):
+baselines frozen under mismatched session conditions (46 r1 values
+measured in a 70-query session, 155 snapshot values from partial runs)
+sat a systematic ~1.3x below what the SAME code measures in the gate's
+actual session shape (201 queries x warmup+3 trials in one JVM), so
+every delta read ~1.3x and the gate's signal drowned in a constant.
+Re-freezing from a full-registry bench.py run recalibrates every query
+to the gate's own measurement conditions; the displaced values are
+archived in-file (``archive`` key, per-tag) so the history stays
+auditable and the drift-ratchet objection ("refreshing hides
+regressions") is answerable: the archive shows exactly what each value
+was before, and re-freezing remains a flagged, logged, manual act —
+never something the gate does on its own.
 """
 
 from __future__ import annotations
@@ -22,14 +36,14 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
-        print("usage: freeze_baseline.py <round_tag> [spread_json]")
+    argv = [a for a in sys.argv[1:] if a != "--refreeze"]
+    refreeze = "--refreeze" in sys.argv[1:]
+    if not argv:
+        print("usage: freeze_baseline.py [--refreeze] <round_tag> [spread_json]")
         raise SystemExit(2)
-    tag = sys.argv[1]
+    tag = argv[0]
     spread_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(HERE, "BENCH_SPREAD.json")
+        argv[1] if len(argv) > 1 else os.path.join(HERE, "BENCH_SPREAD.json")
     )
     base_path = os.path.join(HERE, "BENCH_BASELINE.json")
 
@@ -56,12 +70,34 @@ def main() -> None:
         raise SystemExit(1)
 
     base.setdefault("source", {})
-    added = 0
-    for name, sec in sorted(timings.items()):
-        if name not in base["queries"]:
+    added = replaced = 0
+    if refreeze:
+        # archive the displaced values in-file, then replace EVERY
+        # query the sidecar measured; sidecar must cover the full
+        # current baseline (a partial run must not half-recalibrate)
+        missing = set(base["queries"]) - set(timings)
+        if missing:
+            print(
+                "refusing to refreeze from a partial run — sidecar "
+                f"missing {len(missing)} baselined queries (e.g. "
+                f"{sorted(missing)[:5]}); run the full-registry bench"
+            )
+            raise SystemExit(1)
+        base.setdefault("archive", {})[tag] = {
+            "queries": dict(base["queries"]),
+            "source": dict(base["source"]),
+        }
+        for name, sec in sorted(timings.items()):
+            replaced += int(name in base["queries"])
+            added += int(name not in base["queries"])
             base["queries"][name] = sec
             base["source"][name] = tag
-            added += 1
+    else:
+        for name, sec in sorted(timings.items()):
+            if name not in base["queries"]:
+                base["queries"][name] = sec
+                base["source"][name] = tag
+                added += 1
 
     with open(base_path, "w", encoding="utf-8") as f:
         json.dump(base, f, indent=1)
@@ -69,6 +105,7 @@ def main() -> None:
         json.dumps(
             {
                 "added": added,
+                "replaced": replaced,
                 "total_frozen": len(base["queries"]),
                 "tag": tag,
             }

@@ -99,6 +99,7 @@ def main() -> int:
     )
     if args.stream_source is not None or args.stream:
         import glob
+        import shutil
 
         stream_source = args.stream_source or cfg.streaming.source_dir
         if stream_source is None:
@@ -106,6 +107,25 @@ def main() -> int:
                 "--stream requires streaming.source_dir in the config "
                 "(or pass --stream-source <dir>)"
             )
+        # --limit is a batch-queue knob (L1 pushdown); the streaming
+        # twin bounds intake with max_files_per_trigger instead.
+        # Erroring beats silently draining everything.
+        if args.limit is not None:
+            p.error(
+                "--limit is not supported in streaming mode (bound "
+                "intake with streaming.max_files_per_trigger)"
+            )
+        # --reset in streaming mode = drop the offset log so the next
+        # drain reprocesses the source from scratch (the batch twin
+        # deletes its watermark file). The streaming dead-letter
+        # history is batch_id-keyed, so it is cleared too — a fresh
+        # run renumbers batches from 0 and stale higher-id partitions
+        # would otherwise double-count on a root read.
+        if args.reset or cfg.processing.reset:
+            for sub in ("_stream_checkpoint", "_dead_letter_stream"):
+                path = os.path.join(out_dir, sub)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
 
         def _count_sink_files() -> int:
             return len(

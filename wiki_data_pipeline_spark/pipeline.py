@@ -120,47 +120,54 @@ def run_pipeline(
         "source",
     )
 
+    # try covers EVERY action after the persist — the per-record sink
+    # write included, not just the dead-letter write — so a failure
+    # anywhere in the run can't leak the cached fetch pass into the
+    # long-lived session.
     enriched = None
-    if enrichment is not None:
-        from wiki_data_pipeline_spark.operators.enrichment import fetch_enrich
-
-        # The fetch stage is rate-limited and side-effectful (a real
-        # deployment calls an external API) — persist so the sink job
-        # and the dead-letter job share ONE fetch pass, never two.
-        enriched = fetch_enrich(
-            normalized.select("doc_id", "title"), **enrichment
-        ).persist()
-        fetch_ok = enriched.filter(F.col("error").isNull()).select(
-            "doc_id",
-            F.col("content").alias("api_content"),
-            "attempts",
-        )
-        fetch_dlq = enriched.filter(F.col("error").isNotNull()).select(
-            "doc_id",
-            F.lit(None).cast("string").alias("source"),
-            F.concat(F.lit("fetch_failed: "), "error").alias("error"),
-        )
-        normalized = normalized.join(fetch_ok, "doc_id", "inner")
-        dlq = dlq.unionByName(fetch_dlq)
-
-    # Continue the global file numbering where the last run stopped
-    # (reference L3 consecutive indices across batches/resumes).
-    prev_state = ckpt.load()
-    start_index = prev_state.total_processed
-    n_written, max_ok = write_per_record_json_with_watermark(
-        normalized,
-        out_dir,
-        order_col="doc_id",
-        batch_size=batch_size,
-        start_index=start_index,
-        file_pattern=file_pattern,
-        directory_pattern=directory_pattern,
-    )
-    # Single pass over the dead-letter split: the row count AND the max
-    # doc_id ride an Observation on the write job instead of separate
-    # scans (at 100 TB the old count-then-write recomputed the filter
-    # twice).
     try:
+        if enrichment is not None:
+            from wiki_data_pipeline_spark.operators.enrichment import (
+                fetch_enrich,
+            )
+
+            # The fetch stage is rate-limited and side-effectful (a
+            # real deployment calls an external API) — persist so the
+            # sink job and the dead-letter job share ONE fetch pass,
+            # never two.
+            enriched = fetch_enrich(
+                normalized.select("doc_id", "title"), **enrichment
+            ).persist()
+            fetch_ok = enriched.filter(F.col("error").isNull()).select(
+                "doc_id",
+                F.col("content").alias("api_content"),
+                "attempts",
+            )
+            fetch_dlq = enriched.filter(F.col("error").isNotNull()).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.concat(F.lit("fetch_failed: "), "error").alias("error"),
+            )
+            normalized = normalized.join(fetch_ok, "doc_id", "inner")
+            dlq = dlq.unionByName(fetch_dlq)
+
+        # Continue the global file numbering where the last run stopped
+        # (reference L3 consecutive indices across batches/resumes).
+        prev_state = ckpt.load()
+        start_index = prev_state.total_processed
+        n_written, max_ok = write_per_record_json_with_watermark(
+            normalized,
+            out_dir,
+            order_col="doc_id",
+            batch_size=batch_size,
+            start_index=start_index,
+            file_pattern=file_pattern,
+            directory_pattern=directory_pattern,
+        )
+        # Single pass over the dead-letter split: the row count AND the
+        # max doc_id ride an Observation on the write job instead of
+        # separate scans (at 100 TB the old count-then-write recomputed
+        # the filter twice).
         dlq_obs = Observation("dlq")
         # Dead-letter dir is keyed by the watermark this run STARTED
         # from and written with overwrite: a retry of a crashed run
@@ -183,7 +190,7 @@ def run_pipeline(
             # crash window: both sinks written, watermark commit pending
             fault_injector()
     finally:
-        # a crash in the commit window must not leak the persisted
+        # a crash anywhere after the persist must not leak the cached
         # fetch pass into the long-lived session (same discipline as
         # the streaming twin's per-batch cache)
         if enriched is not None:
@@ -241,6 +248,10 @@ def run_pipeline_streaming(
     error reasons (ST4), T1 normalize, per-record JSON + dead-letter
     sinks inside ``foreachBatch``, offsets in ``checkpointLocation``
     (ST2 — rerunning after new files arrive processes ONLY the delta).
+    Dead letters land under ``out_dir/_dead_letter_stream`` (partition
+    key ``batch_id``) — a root distinct from the batch runner's
+    watermark-keyed ``_dead_letter`` so both modes can share one
+    ``out_dir`` without mixing partition schemas.
 
     Sink naming differs from the batch runner BY DESIGN: streaming
     uses doc_id-DERIVED paths (``batch_{doc_id//batch_size}/
@@ -286,7 +297,13 @@ def run_pipeline_streaming(
 
     valid_pred = is_valid_content("text")
     title = F.concat(F.lit("Doc "), F.col("doc_id"))
-    dlq_dir = os.path.join(out_dir, "_dead_letter")
+    # Mode-distinct dead-letter root: the batch runner owns
+    # out_dir/_dead_letter (partitioned since=<watermark>); the
+    # streaming twin partitions by batch_id, and sharing one root would
+    # make a root parquet read fail on mixed partition columns — and
+    # batch --reset (which legitimately clears ITS watermark-keyed
+    # history) would silently delete the streaming history too.
+    dlq_dir = os.path.join(out_dir, "_dead_letter_stream")
     sink_root = out_dir
 
     def _write_batch(batch: DataFrame, batch_id: int) -> None:

@@ -1805,7 +1805,13 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "_"
         + path_tag
     )
-    base = os.path.join(tempfile.gettempdir(), "wdps_bucketed", sf_tag)
+    # per-user cache root: the system temp dir is shared, and two
+    # users' sessions racing one layout dir (one reading tables while
+    # the other DROP+overwrites) is not a race worth having
+    uid = getattr(os, "getuid", lambda: "u")()
+    base = os.path.join(
+        tempfile.gettempdir(), f"wdps_bucketed_{uid}", sf_tag
+    )
     li_name = f"wdps_li_bucketed_{sf_tag}"
     ord_name = f"wdps_ord_bucketed_{sf_tag}"
 
@@ -1858,8 +1864,15 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .mode("overwrite")
                 .saveAsTable(name)
             )
-        with open(marker, "w", encoding="utf-8") as f:
+        # marker committed atomically (tmp + rename) and only AFTER
+        # both tables land: a crash mid-build leaves no marker (next
+        # call rebuilds) instead of a truncated one that could
+        # half-validate
+        os.makedirs(base, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=base)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(fp)
+        os.replace(tmp, marker)
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
