@@ -536,3 +536,130 @@ def test_pipeline_enrichment_stage(spark, sf_dir, tmp_path):
     s2 = run_pipeline(spark, sf_dir, out, limit=10, batch_size=20,
                       enrichment={"global_qps": None, "fail_every": 4})
     assert s2["processed"] == 0 and s2["failed"] == 0
+
+
+def test_pipeline_concurrent_runners_fenced(spark, sf_dir, tmp_path):
+    """Concurrent-runner fencing (the reference's one-process
+    queue/checkpoint assumption made explicit, src/queue_manager.py:
+    34-50): while one run_pipeline holds the checkpoint lease — parked
+    deterministically in the commit window via the fault injector — a
+    second invocation on the same out_dir must fail fast with
+    CheckpointLeaseError, touching neither sinks nor watermark. The
+    parked winner then completes normally and owns ALL the output:
+    no duplicated files, one coherent summary."""
+    import threading
+
+    from wiki_data_pipeline_spark.streaming.checkpoint import (
+        CheckpointLeaseError,
+    )
+
+    out = str(tmp_path / "out")
+    entered, release = threading.Event(), threading.Event()
+
+    def park_in_commit_window() -> None:
+        entered.set()
+        assert release.wait(60), "test deadlock: loser never unblocked us"
+
+    results: list[dict] = []
+    errors: list[BaseException] = []
+
+    def winner() -> None:
+        try:
+            results.append(
+                run_pipeline(
+                    spark,
+                    sf_dir,
+                    out,
+                    limit=30,
+                    batch_size=10,
+                    fault_injector=park_in_commit_window,
+                )
+            )
+        except BaseException as e:  # surfaces in the main thread
+            errors.append(e)
+            entered.set()
+
+    t = threading.Thread(target=winner)
+    t.start()
+    try:
+        assert entered.wait(120), "winner never reached the commit window"
+        assert not errors, errors
+        # the loser races while the lease is held -> fenced out
+        with pytest.raises(CheckpointLeaseError):
+            run_pipeline(spark, sf_dir, out, limit=30, batch_size=10)
+    finally:
+        release.set()
+        t.join(timeout=120)
+    assert not t.is_alive()
+    assert not errors, errors
+    assert results and results[0]["processed"] == 30
+    # exactly one file per doc, no loser half-writes
+    files = _json_files(out)
+    assert len(files) == 30
+    ids = sorted(
+        json.loads(open(f, encoding="utf-8").read())["doc_id"] for f in files
+    )
+    assert ids == list(range(30))
+    # the lease is released after the run: a sequential rerun resumes
+    s2 = run_pipeline(spark, sf_dir, out, limit=40, batch_size=10)
+    assert s2["processed"] == 10
+    lock = os.path.join(out, "_checkpoint", "progress.json.lock")
+    assert not os.path.exists(lock)
+
+
+def test_pipeline_stale_lease_reaped(spark, sf_dir, tmp_path):
+    """A lock file left by a CRASHED holder (dead pid) must not wedge
+    the checkpoint: the next run reaps it and proceeds. A lock with a
+    LIVE holder pid is honored even if that process is unrelated —
+    liveness is the only signal the lease carries."""
+    import subprocess
+
+    from wiki_data_pipeline_spark.streaming.checkpoint import (
+        CheckpointLeaseError,
+        HighWatermarkCheckpoint,
+    )
+
+    out = str(tmp_path / "out")
+    lock = os.path.join(out, "_checkpoint", "progress.json.lock")
+    os.makedirs(os.path.dirname(lock))
+
+    # dead-pid lock: run a real process to completion so the pid is
+    # genuinely unused, then plant it
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(str(proc.pid))
+    s = run_pipeline(spark, sf_dir, out, limit=5)
+    assert s["processed"] == 5
+    assert not os.path.exists(lock)
+
+    # garbage-content lock: unreadable holder == not provably alive ->
+    # reaped (a truncated write from a crash mid-acquire)
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write("not-a-pid")
+    s2 = run_pipeline(spark, sf_dir, out, limit=10)
+    assert s2["processed"] == 5
+    assert not os.path.exists(lock)
+
+    # live-pid lock (our own pid): honored, not reaped
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(CheckpointLeaseError):
+        run_pipeline(spark, sf_dir, out, limit=15)
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+    # a run that CRASHES inside the leased section still releases: the
+    # lease lives in a finally, crash-retry needs no manual rm
+    def boom() -> None:
+        raise RuntimeError("injected crash inside the lease")
+
+    with pytest.raises(RuntimeError, match="inside the lease"):
+        run_pipeline(spark, sf_dir, out, limit=15, fault_injector=boom)
+    assert not os.path.exists(lock)
+    ckpt = HighWatermarkCheckpoint(
+        os.path.join(out, "_checkpoint", "progress.json")
+    )
+    with ckpt.lease():
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)

@@ -57,6 +57,48 @@ def run_pipeline(
     enrichment: dict | None = None,
     fault_injector=None,
 ) -> dict:
+    """Single-writer entry point: takes the checkpoint lease for the
+    whole run (reset through watermark commit), so a second concurrent
+    invocation on the same ``out_dir`` fails fast with
+    ``CheckpointLeaseError`` instead of double-processing the same
+    delta or interleaving watermark commits — the fencing the
+    reference's one-process JSON checkpoint silently assumes
+    (src/checkpoint_manager.py:39-47). See :func:`_run_pipeline_impl`
+    for the pipeline semantics."""
+    ckpt = HighWatermarkCheckpoint(
+        os.path.join(out_dir, "_checkpoint", "progress.json")
+    )
+    with ckpt.lease():
+        return _run_pipeline_impl(
+            spark,
+            sf_dir,
+            out_dir,
+            ckpt,
+            limit=limit,
+            reset=reset,
+            batch_size=batch_size,
+            docs=docs,
+            file_pattern=file_pattern,
+            directory_pattern=directory_pattern,
+            enrichment=enrichment,
+            fault_injector=fault_injector,
+        )
+
+
+def _run_pipeline_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ckpt: HighWatermarkCheckpoint,
+    limit: int | None = None,
+    reset: bool = False,
+    batch_size: int = 1000,
+    docs: DataFrame | None = None,
+    file_pattern: str = "article_{index:06d}.json",
+    directory_pattern: str = "batch_{batch_num:03d}",
+    enrichment: dict | None = None,
+    fault_injector=None,
+) -> dict:
     """Run the article pipeline; returns the summary dict (reference
     src/main.py:213-221 shape). ``docs`` overrides the corpus for
     tests; default reads ``documents`` from ``sf_dir``.
@@ -78,11 +120,9 @@ def run_pipeline(
     same output (same file numbering from the uncommitted
     total_processed, same dead-letter rows via the watermark-keyed
     overwrite directory)."""
-    ckpt_path = os.path.join(out_dir, "_checkpoint", "progress.json")
-    ckpt = HighWatermarkCheckpoint(ckpt_path)
     if reset:
-        if os.path.exists(ckpt_path):
-            os.remove(ckpt_path)  # reference --reset, src/main.py:244-248
+        if os.path.exists(ckpt.path):
+            os.remove(ckpt.path)  # reference --reset, src/main.py:244-248
         # the dead-letter history is keyed by watermark; a reset run
         # reprocesses everything from since=-1 and would otherwise
         # leave the previous runs' since=<W> directories behind,

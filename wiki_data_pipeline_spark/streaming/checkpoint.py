@@ -11,6 +11,7 @@ we do not hand-roll offset logs for streams."""
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -18,6 +19,18 @@ from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class CheckpointLeaseError(RuntimeError):
+    """Another live run holds this checkpoint's lease.
+
+    The reference's queue/checkpoint assumes exactly one process
+    (src/queue_manager.py:34-50, src/checkpoint_manager.py:39-47 —
+    read-modify-write JSON with no guard); two concurrent runs there
+    silently double-process the pending queue or interleave watermark
+    commits. The Spark engine makes the single-writer assumption
+    EXPLICIT: a second concurrent runner fails fast with this error
+    instead of corrupting the watermark or duplicating sink files."""
 
 
 @dataclass
@@ -34,6 +47,79 @@ class CheckpointState:
 class HighWatermarkCheckpoint:
     def __init__(self, path: str) -> None:
         self.path = path
+
+    # ---------------------------------------------------------------
+    # Single-writer lease. POSIX O_CREAT|O_EXCL is the atomic
+    # primitive (works on any local/NFS-v3+ filesystem, no fcntl
+    # byte-range locks that silently no-op on some network mounts);
+    # the holder's pid rides in the file so a crashed run's stale
+    # lock is reaped instead of wedging the checkpoint forever.
+    # ---------------------------------------------------------------
+
+    @property
+    def lock_path(self) -> str:
+        return self.path + ".lock"
+
+    def _try_acquire(self) -> bool:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        try:
+            fd = os.open(
+                self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(str(os.getpid()))
+        return True
+
+    def acquire(self) -> None:
+        """Take the single-writer lease or raise CheckpointLeaseError.
+
+        A lock held by a DEAD pid (runner crashed between acquire and
+        release) is reaped and re-contended once — liveness beats a
+        manual `rm`; a lock held by a LIVE pid (including this one:
+        two threads of one driver race the same out_dir) is an error,
+        never a wait — a batch runner queueing behind another run on
+        the same checkpoint is operator error, and failing fast
+        surfaces it."""
+        if self._try_acquire():
+            return
+        try:
+            with open(self.lock_path, encoding="utf-8") as f:
+                pid = int(f.read().strip() or "-1")
+        except (OSError, ValueError):
+            pid = -1
+        alive = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # exists, owned by someone else
+        if not alive:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self.lock_path)
+            if self._try_acquire():
+                return
+        raise CheckpointLeaseError(
+            f"checkpoint {self.path} is leased by a live run (lock "
+            f"{self.lock_path}, holder pid {pid}); concurrent runners "
+            "on one checkpoint would double-process the same delta"
+        )
+
+    def release(self) -> None:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(self.lock_path)
+
+    @contextlib.contextmanager
+    def lease(self):
+        self.acquire()
+        try:
+            yield self
+        finally:
+            self.release()
 
     def load(self) -> CheckpointState:
         if not os.path.exists(self.path):
