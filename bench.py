@@ -118,26 +118,68 @@ REGRESSION_FACTOR = 2.0
 # multi-second queries the gate exists to protect.
 REGRESSION_ABS_FLOOR_SEC = 0.5
 
+# Session-normalization sentinels (round-7 verdict item 2): the r7
+# driver artifacts showed a UNIFORM ~1.3x elevation across all 201
+# queries — including ones whose baselines were frozen the same round
+# and whose code didn't change — i.e. a measurement-session shift
+# (driver-host load), not a code regression; an idle-box rerun of the
+# same commit read median 1.02x against the same baselines. The gate
+# therefore measures the session itself: three pinned queries whose
+# code has been untouched since r1 (TPC-H Q1/Q3 shapes + hash-groupBy
+# dedup — scan+agg, join+topk, and groupBy, so they move with the host
+# the way the registry does), takes the MEDIAN of their
+# measured/baseline ratios (robust to one sentinel genuinely
+# regressing — that one still flags via its own gate row), clamps at
+# 1.0 (a fast session must never amplify deltas), and divides every
+# query's measurement by it before gating.
+SENTINELS = ["q1_pricing_summary", "q3_top_orders", "dedup_exact"]
+
+
+def session_ratio(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    sentinels: list[str] = SENTINELS,
+) -> float:
+    ratios = sorted(
+        timings[s] / baseline[s]
+        for s in sentinels
+        if baseline.get(s) and timings.get(s)
+    )
+    if not ratios:
+        return 1.0
+    n = len(ratios)
+    mid = (
+        ratios[n // 2]
+        if n % 2
+        else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+    )
+    return max(1.0, mid)
+
 
 def compute_regressions(
     timings: dict[str, float],
     baseline: dict[str, float],
     factor: float = REGRESSION_FACTOR,
     abs_floor_sec: float = REGRESSION_ABS_FLOOR_SEC,
+    norm: float = 1.0,
 ) -> dict[str, float]:
-    """Flag name -> ratio for every query slower than ``factor``x its
-    frozen baseline AND slower by more than ``abs_floor_sec`` absolute
-    — both conditions, so sub-second queries can't trip the gate on
+    """Flag name -> RAW ratio for every query whose session-normalized
+    time (``measured / norm``) is slower than ``factor``x its frozen
+    baseline AND slower by more than ``abs_floor_sec`` absolute — both
+    conditions, so sub-second queries can't trip the gate on
     job-overhead jitter while multi-second regressions (where 2x is
-    always >> the floor) are gated exactly as before. Queries missing
-    from the baseline are skipped (the registry-coverage meta-test
-    makes that state unreachable for registered queries)."""
+    always >> the floor) are gated exactly as before. ``norm`` is the
+    :func:`session_ratio` sentinel factor (1.0 = idle-calibrated
+    session). Queries missing from the baseline are skipped (the
+    registry-coverage meta-test makes that state unreachable for
+    registered queries)."""
     out = {}
     for name, sec in timings.items():
         base = baseline.get(name)
         if not base:
             continue
-        if sec / base > factor and (sec - base) > abs_floor_sec:
+        adj = sec / norm
+        if adj / base > factor and (adj - base) > abs_floor_sec:
             out[name] = round(sec / base, 2)
     return out
 
@@ -207,10 +249,12 @@ def main() -> None:
         for name in all_timings
         if baseline.get(name)
     }
-    regressions = compute_regressions(all_timings, baseline)
+    norm = session_ratio(all_timings, baseline)
+    regressions = compute_regressions(all_timings, baseline, norm=norm)
     if baseline:
         print(
-            f"-- bench deltas vs {BASELINE_BENCH} (this/prev, >1 = slower):",
+            f"-- bench deltas vs {BASELINE_BENCH} (this/prev, >1 = "
+            f"slower; session_ratio={norm:.3f}):",
             file=sys.stderr,
         )
         for name in sorted(deltas, key=deltas.get, reverse=True):
@@ -232,9 +276,13 @@ def main() -> None:
         json.dump(
             {
                 "sf": sf,
+                "session_ratio": round(norm, 3),
                 "all_timings": all_timings,
                 "spread": spread,
                 "deltas": deltas,
+                "deltas_normalized": {
+                    n: round(d / norm, 2) for n, d in deltas.items()
+                },
             },
             f,
             indent=1,
@@ -261,6 +309,7 @@ def main() -> None:
                 "baseline_bench": BASELINE_BENCH if baseline else None,
                 "gated_queries": len(deltas),
                 "registered_queries": len(gate_set),
+                "session_ratio": round(norm, 3),
                 "regressions_over_2x": regressions,
             }
         )

@@ -887,6 +887,69 @@ def test_bench_gate_noise_floor_semantics():
     }
 
 
+def test_bench_gate_session_normalization():
+    """Pin the sentinel session-ratio semantics (round-7 verdict item
+    2, the 'or' branch): a uniformly loaded session (everything ~1.3x,
+    the r7 driver shape) must not flag anything; a genuine regression
+    riding on top of that load must still flag; an idle or FAST
+    session clamps to 1.0 (never amplifies deltas); a single regressed
+    sentinel cannot drag the median."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    base = {s: 1.0 for s in bench.SENTINELS}
+    base.update({"victim": 2.0, "regressed": 2.0})
+
+    # idle session: ratios ~1.0 -> norm 1.0
+    idle = {s: 1.02 for s in bench.SENTINELS}
+    assert bench.session_ratio(idle, base) == pytest.approx(1.02)
+    # fast session clamps at 1.0 — deltas are never scaled UP
+    fast = {s: 0.7 for s in bench.SENTINELS}
+    assert bench.session_ratio(fast, base) == 1.0
+    # one regressed sentinel: median of [1.0, 1.0, 9.0] stays 1.0
+    skew = {s: 1.0 for s in bench.SENTINELS}
+    skew[bench.SENTINELS[0]] = 9.0
+    assert bench.session_ratio(skew, base) == 1.0
+    # no sentinel overlap (foreign baseline) -> neutral 1.0
+    assert bench.session_ratio({"x": 5.0}, {"x": 1.0}) == 1.0
+
+    # the r7 driver shape: uniform 1.3x load incl. a query at 2.2x raw
+    # that is only ~1.7x normalized -> nothing flags
+    loaded = {s: 1.3 for s in bench.SENTINELS}
+    loaded["victim"] = 4.4  # 2.2x raw, 1.69x normalized
+    norm = bench.session_ratio(loaded, base)
+    assert norm == pytest.approx(1.3)
+    assert bench.compute_regressions(loaded, base, norm=norm) == {}
+    # a true regression on top of the load still flags, reported RAW
+    loaded["regressed"] = 6.0  # 3.0x raw, 2.3x normalized
+    flagged = bench.compute_regressions(loaded, base, norm=norm)
+    assert flagged == {"regressed": 3.0}
+    # sentinels are registered + baselined (the gate can always form
+    # its ratio) — guarded here so a registry rename can't silently
+    # neuter the normalization
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+
+    registered = set(all_queries())
+    import json as _json
+
+    frozen = _json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "BENCH_BASELINE.json",
+            ),
+            encoding="utf-8",
+        )
+    )["queries"]
+    for s in bench.SENTINELS:
+        assert s in registered and s in frozen, s
+
+
 def test_plan_audit_counters():
     """tools/plan_audit.py's counters and flags on synthetic plan text:
     scans-per-table from Location lines, cartesian/row-python flags,

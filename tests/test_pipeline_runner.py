@@ -663,3 +663,40 @@ def test_pipeline_stale_lease_reaped(spark, sf_dir, tmp_path):
     with ckpt.lease():
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_task_retry_exactly_once_both_runners(tmp_path):
+    """Exactly-once under TASK-level retries (the reference's ST5
+    per-request retry mapped to Spark's spark.task.maxFailures): an
+    executor-side injector kills every first sink-task attempt
+    mid-partition (2 files already written), Spark reruns the task,
+    and both runners must produce trees byte-identical to their
+    never-faulted control runs with single-counted summaries. Runs in
+    a subprocess: local[4,2] (maxFailures=2) is fixed at context
+    startup and the shared session is maxFailures=1."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "_task_retry_child.py")
+    res = subprocess.run(
+        [sys.executable, script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    # the fault actually fired — at least one attempt killed per runner
+    assert out["batch_attempts_killed"] >= 1
+    assert out["stream_attempts_killed"] >= 1
+    # byte-identical to control, no dupes / misses
+    assert out["batch_hashes_equal"], out
+    assert out["stream_hashes_equal"], out
+    assert out["batch_n_files"] == 40
+    assert out["stream_n_files"] == 39  # doc 7 invalid -> dead letter
+    assert out["stream_dlq_rows"] == 1
+    # per-partition receipts single-counted despite the retried attempt
+    sf, sc = out["batch_summary_faulty"], out["batch_summary_control"]
+    for k in ("processed", "failed", "watermark", "total_processed"):
+        assert sf[k] == sc[k], (k, sf, sc)
+    assert sf["processed"] == 40

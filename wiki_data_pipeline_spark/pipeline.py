@@ -56,6 +56,7 @@ def run_pipeline(
     directory_pattern: str = "batch_{batch_num:03d}",
     enrichment: dict | None = None,
     fault_injector=None,
+    sink_task_fault_injector=None,
 ) -> dict:
     """Single-writer entry point: takes the checkpoint lease for the
     whole run (reset through watermark commit), so a second concurrent
@@ -82,6 +83,7 @@ def run_pipeline(
             directory_pattern=directory_pattern,
             enrichment=enrichment,
             fault_injector=fault_injector,
+            sink_task_fault_injector=sink_task_fault_injector,
         )
 
 
@@ -98,6 +100,7 @@ def _run_pipeline_impl(
     directory_pattern: str = "batch_{batch_num:03d}",
     enrichment: dict | None = None,
     fault_injector=None,
+    sink_task_fault_injector=None,
 ) -> dict:
     """Run the article pipeline; returns the summary dict (reference
     src/main.py:213-221 shape). ``docs`` overrides the corpus for
@@ -203,6 +206,7 @@ def _run_pipeline_impl(
             start_index=start_index,
             file_pattern=file_pattern,
             directory_pattern=directory_pattern,
+            task_fault_injector=sink_task_fault_injector,
         )
         # Single pass over the dead-letter split: the row count AND the
         # max doc_id ride an Observation on the write job instead of
@@ -281,6 +285,7 @@ def run_pipeline_streaming(
     metrics_path: str | None = None,
     enrichment: dict | None = None,
     fault_injector=None,
+    sink_task_fault_injector=None,
 ) -> None:
     """Streaming twin of ``run_pipeline`` — ST1–ST4 composed as ONE
     Structured Streaming job: file-source micro-batches (ST1 ≡ the
@@ -408,7 +413,20 @@ def run_pipeline_streaming(
             import json
             import os
 
+            ctx = None
+            if sink_task_fault_injector is not None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+            n_done = 0
             for row in rows:
+                if sink_task_fault_injector is not None:
+                    # executor-side hook: raising kills THIS task
+                    # attempt mid-partition (n_done files already on
+                    # disk); the retry rewrites the same doc_id-derived
+                    # paths, so ST3 idempotence must hold under task
+                    # retries exactly as under micro-batch replay
+                    sink_task_fault_injector(ctx, n_done)
                 d = os.path.join(root, f"batch_{row['doc_id'] // bs:03d}")
                 os.makedirs(d, exist_ok=True)
                 path = os.path.join(d, f"article_{row['doc_id']:06d}.json")
@@ -423,6 +441,7 @@ def run_pipeline_streaming(
                         )
                     )
                 os.replace(tmp, path)  # atomic, replay-idempotent
+                n_done += 1
             yield
 
         try:

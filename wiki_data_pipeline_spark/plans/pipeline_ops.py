@@ -1364,9 +1364,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_end").cast("timestamp").alias("w_end"),
         )
     )
-    joined = iv.join(
-        win,
-        (F.col("s_start") <= F.col("w_end")) & (F.col("s_end") >= F.col("w_start")),
+    from wiki_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    joined = interval_overlap_join(
+        iv, win, "s_start", "s_end", "w_start", "w_end"
     )
     overlap_ms = F.unix_millis(
         F.least(F.col("s_end"), F.col("w_end"))
@@ -3633,45 +3636,33 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join — each non-click event aligned to the next
     upcoming click (§2.4 extension; the direction ``join_asof``'s
     backward formulation cannot express, and the shape of
-    time-to-next-conversion features). Same scalable composition,
-    mirrored: union both sides, left rows sort BEFORE right rows at
-    equal ts (so `l.ts <= r.ts` ties match, DuckDB forward-ASOF
-    semantics), and `first(value, ignorenulls)` over the FOLLOWING
-    window picks the nearest upcoming click — one shuffle on user_id,
-    no range probe.
+    time-to-next-conversion features). ``operators/joins.py
+    asof_join`` mirrored: left rows sort BEFORE right rows at equal ts
+    (so `l.ts <= r.ts` ties match, DuckDB forward-ASOF semantics), and
+    `first(value, ignorenulls)` over the FOLLOWING window picks the
+    nearest upcoming click — one shuffle on user_id, no range probe.
+    Boundary/tie behavior cross-engine fuzzed in
+    tests/test_join_fuzz.py.
 
     Scale: identical to the backward twin — partitioned window,
     salting story for skewed keys."""
+    from wiki_data_pipeline_spark.operators.joins import asof_join
+
     events = read_table(spark, sf_dir, "events")
     right = events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("value").alias("click_value"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(1).alias("sort_side"),
+        "user_id", "ts", F.col("value").alias("click_value")
     )
     left = events.filter(F.col("event_type") != "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("double").alias("click_value"),
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts", value_col="click_value",
+        direction="forward",
+    ).select(
         "event_id",
-        F.lit(0).alias("sort_side"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "sort_side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    return (
-        left.unionByName(right)
-        .withColumn("next_click", F.first("click_value", ignorenulls=True).over(w))
-        .filter(F.col("sort_side") == 0)
-        .select(
-            "event_id",
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_ts"),
-            F.col("next_click").alias("click_value"),
-        )
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_ts"),
+        "click_value",
     )
 
 

@@ -604,47 +604,36 @@ def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (engine extension per SURVEY.md §2.4 "not present";
     per-event latest preceding click's value — the quotes/trades
-    shape): Spark has no ASOF JOIN operator, so it is
-    composed as union-both-sides + ``last(value, ignorenulls)`` over a
-    per-key ordered window — ONE shuffle on user_id, no per-row range
-    probe, no cross product. Right rows sort before left rows at equal
-    ts so `l.ts >= r.ts` ties match (DuckDB ASOF semantics).
+    shape): Spark has no ASOF JOIN operator, so
+    ``operators/joins.py asof_join`` composes it as union-both-sides +
+    ``last(value, ignorenulls)`` over a per-key ordered window — ONE
+    shuffle on user_id, no per-row range probe, no cross product.
+    Equal-ts rows match (`l.ts >= r.ts`, DuckDB ASOF semantics); the
+    boundary/tie behavior is cross-engine fuzzed in
+    tests/test_join_fuzz.py.
 
     Scale: identical to any partitioned window — shuffle on the key,
     local sort; skewed keys fall under the same salting story as
     operators/skew.py. This is the standard scalable as-of formulation
     (a range-join would explode; a point self-join can't express
     'latest preceding')."""
+    from wiki_data_pipeline_spark.operators.joins import asof_join
+
     events = read_table(spark, sf_dir, "events")
     right = events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("value").alias("click_value"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(0).alias("is_left"),
+        "user_id", "ts", F.col("value").alias("click_value")
     )
     left = events.filter(F.col("event_type") != "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("double").alias("click_value"),
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts", value_col="click_value",
+        direction="backward",
+    ).select(
         "event_id",
-        F.lit(1).alias("is_left"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        right.unionByName(left)
-        .withColumn("matched", F.last("click_value", ignorenulls=True).over(w))
-        .filter(F.col("is_left") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_ts"),
-            F.col("matched").alias("click_value"),
-        )
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_ts"),
+        "click_value",
     )
 
 

@@ -58,11 +58,23 @@ def write_per_record_json_with_watermark(
     start_index: int = 0,
     file_pattern: str = FILE_PATTERN,
     directory_pattern: str = DIRECTORY_PATTERN,
+    task_fault_injector=None,
 ) -> tuple[int, int | None]:
     """Like ``write_per_record_json`` but returns ``(rows_written,
     max(order_col))`` from the SAME write job — the caller's watermark
     commit then needs no second scan of the input (the per-partition
-    writer already sees every row, so tracking the max is free)."""
+    writer already sees every row, so tracking the max is free).
+
+    ``task_fault_injector``: test-only executor-side hook, called as
+    ``injector(task_context, rows_written_so_far)`` before each file
+    write — raising from it kills the TASK ATTEMPT mid-partition
+    (files 0..k-1 already on disk), exercising Spark's task-retry
+    path (``spark.task.maxFailures`` ≥ 2): the retry attempt rewrites
+    the same deterministic paths (zipWithIndex indices are stable
+    across attempts — the shuffle output the result stage reads is
+    already materialized), so output stays byte-identical and the
+    per-partition ``(count, max)`` receipts come only from the
+    attempt that succeeded."""
     n_parts = max(1, df.rdd.getNumPartitions())  # 0 on an empty plan
     ordered = df.repartitionByRange(n_parts, order_col).sortWithinPartitions(
         order_col
@@ -70,7 +82,7 @@ def write_per_record_json_with_watermark(
     parts = ordered.rdd.zipWithIndex().mapPartitions(
         _make_writer(
             out_dir, batch_size, indent, start_index, order_col,
-            file_pattern, directory_pattern,
+            file_pattern, directory_pattern, task_fault_injector,
         )
     ).collect()
     n_written = sum(c for c, _ in parts)
@@ -86,6 +98,7 @@ def _make_writer(
     order_col: str | None = None,
     file_pattern: str = FILE_PATTERN,
     directory_pattern: str = DIRECTORY_PATTERN,
+    task_fault_injector=None,
 ):
     """Build the partition writer as a self-contained closure
     (cloudpickle by value — workers can't import this package).
@@ -96,9 +109,16 @@ def _make_writer(
         import json
         import os
 
+        ctx = None
+        if task_fault_injector is not None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
         count = 0
         max_seq = None
         for row, rel_idx in rows:
+            if task_fault_injector is not None:
+                task_fault_injector(ctx, count)
             idx = rel_idx + start_index
             batch = idx // batch_size
             d = os.path.join(out_dir, directory_pattern.format(batch_num=batch))
