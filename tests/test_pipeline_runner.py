@@ -488,6 +488,72 @@ def test_pipeline_cli_streaming_mode(spark, tmp_path):
     assert s2["sink_files_total"] == 25
 
 
+def test_pipeline_cli_streaming_reset_and_limit(spark, tmp_path):
+    """Streaming-mode flag semantics: --reset drops the stream offset
+    checkpoint (next drain reprocesses from scratch instead of a
+    silent delta-only no-op) and the batch_id-keyed stream dead-letter
+    history; --limit is a batch-queue knob and errors instead of being
+    silently ignored."""
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [
+            (i, None if i == 3 else f"body {i}", "en", "api")
+            for i in range(12)
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    ).coalesce(1).write.mode("append").parquet(src)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_cmd = [
+        sys.executable,
+        "-m",
+        "wiki_data_pipeline_spark",
+        "--stream-source",
+        src,
+        "--out",
+        out,
+    ]
+
+    res = subprocess.run(
+        base_cmd, capture_output=True, text=True, cwd=repo, timeout=300
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert json.loads(res.stdout.strip().splitlines()[-1])[
+        "sink_files_new"
+    ] == 11
+
+    # --reset: offsets dropped -> the same 11 docs drain again
+    res2 = subprocess.run(
+        base_cmd + ["--reset"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    s2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    # files are overwritten in place (idempotent paths), so total stays
+    # 11 while the run demonstrably reprocessed (checkpoint recreated)
+    assert s2["sink_files_total"] == 11
+    assert os.path.isdir(os.path.join(out, "_stream_checkpoint"))
+    dlq = spark.read.parquet(os.path.join(out, "_dead_letter_stream"))
+    assert dlq.count() == 1  # history cleared, re-dead-lettered once
+
+    # --limit in streaming mode: argparse error, exit code 2
+    res3 = subprocess.run(
+        base_cmd + ["--limit", "5"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert res3.returncode == 2
+    assert "not supported in streaming mode" in res3.stderr
+
+
 def test_pipeline_naming_patterns(spark, sf_dir, tmp_path):
     """The config naming knobs flow through to the sink (reference
     config.yaml naming section)."""
@@ -700,3 +766,57 @@ def test_task_retry_exactly_once_both_runners(tmp_path):
     for k in ("processed", "failed", "watermark", "total_processed"):
         assert sf[k] == sc[k], (k, sf, sc)
     assert sf["processed"] == 40
+
+
+def test_pipeline_streaming_concurrent_runners_fenced(spark, tmp_path):
+    """Streaming twin of the fencing test: Structured Streaming's own
+    checkpoint log does not fence two concurrent availableNow drains
+    of one out_dir (they race the offset log), so the runner holds the
+    same pid-liveness lease as the batch twin — the loser fails fast
+    with CheckpointLeaseError while the winner is parked mid-batch."""
+    import threading
+
+    from wiki_data_pipeline_spark.pipeline import run_pipeline_streaming
+    from wiki_data_pipeline_spark.streaming.checkpoint import (
+        CheckpointLeaseError,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, f"body {i}", "en", "api") for i in range(20)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    entered, release = threading.Event(), threading.Event()
+
+    def park(batch_id: int) -> None:
+        entered.set()
+        assert release.wait(60), "test deadlock: loser never unblocked us"
+
+    errors: list[BaseException] = []
+
+    def winner() -> None:
+        try:
+            run_pipeline_streaming(spark, src, out, fault_injector=park)
+        except BaseException as e:
+            errors.append(e)
+            entered.set()
+
+    t = threading.Thread(target=winner)
+    t.start()
+    try:
+        assert entered.wait(120), "winner never reached a micro-batch"
+        assert not errors, errors
+        with pytest.raises(CheckpointLeaseError):
+            run_pipeline_streaming(spark, src, out)
+    finally:
+        release.set()
+        t.join(timeout=120)
+    assert not t.is_alive()
+    assert not errors, errors
+    assert len(_json_files(out)) == 20
+    # lease released -> a sequential resume works and is a no-op
+    run_pipeline_streaming(spark, src, out)
+    assert len(_json_files(out)) == 20
+    assert not os.path.exists(os.path.join(out, "_stream_runner.lock"))

@@ -287,6 +287,46 @@ def run_pipeline_streaming(
     fault_injector=None,
     sink_task_fault_injector=None,
 ) -> None:
+    """Single-writer entry point for the streaming twin: same
+    fencing as the batch runner (a second concurrent drain of one
+    ``out_dir`` raises ``CheckpointLeaseError`` up front). Structured
+    Streaming's own checkpoint log does NOT fence two concurrent
+    ``availableNow`` queries on one checkpointLocation — they race the
+    offset log — so the lease closes the same hole the batch
+    watermark store had. See :func:`_run_pipeline_streaming_impl`
+    for the pipeline semantics."""
+    # lock lives BESIDE the checkpoint dir (out_dir/_stream_runner.lock),
+    # not inside it: the offset log stays exactly what Spark wrote, and
+    # --reset's rmtree of _stream_checkpoint never races the lease file
+    # (stale locks are reaped by pid-liveness, not by reset)
+    lease_ckpt = HighWatermarkCheckpoint(
+        os.path.join(out_dir, "_stream_runner")
+    )
+    with lease_ckpt.lease():
+        _run_pipeline_streaming_impl(
+            spark,
+            source_dir,
+            out_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            batch_size=batch_size,
+            metrics_path=metrics_path,
+            enrichment=enrichment,
+            fault_injector=fault_injector,
+            sink_task_fault_injector=sink_task_fault_injector,
+        )
+
+
+def _run_pipeline_streaming_impl(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 4,
+    batch_size: int = 1000,
+    metrics_path: str | None = None,
+    enrichment: dict | None = None,
+    fault_injector=None,
+    sink_task_fault_injector=None,
+) -> None:
     """Streaming twin of ``run_pipeline`` — ST1–ST4 composed as ONE
     Structured Streaming job: file-source micro-batches (ST1 ≡ the
     reference's gapcontinue pages), validate split with persisted
