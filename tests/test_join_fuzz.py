@@ -191,3 +191,87 @@ def test_interval_overlap_fuzz_vs_duckdb(spark):
     con.close()
     assert len(want) > 20  # generator produced real overlap structure
     assert got == want
+
+
+def test_bucketed_range_join_fuzz_vs_duckdb(spark):
+    """Fuzz the bucketized point-in-interval composition against the
+    naive theta join it must equal: random points/intervals from a
+    small domain (bucket-edge coincidences guaranteed — values
+    divisible by the width land EXACTLY on bucket boundaries, the
+    off-by-one spot the equi-join-on-bucket rewrite can hide), all
+    four endpoint-openness combos, several bucket widths, negative
+    values included (floor-division semantics)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(SEED + 3)
+    for width, start_open, end_open in [
+        (3, True, False),   # the attribution shape: start < ts <= end
+        (5, False, False),  # closed both
+        (2, True, True),    # open both
+        (7, False, True),
+    ]:
+        prow, irow = [], []
+        for case in range(N_CASES):
+            n_p = 0 if case == 0 else rng.randint(0, 8)
+            n_i = 0 if case == 1 else rng.randint(0, 5)
+            for i in range(n_p):
+                # lo=-10: negatives exercise floor (not truncate-to-0)
+                prow.append(
+                    (case, case * 100 + i, rng.randint(0, 2),
+                     rng.randint(-10, 20))
+                )
+            for j in range(n_i):
+                a, b = sorted(
+                    (rng.randint(-10, 20), rng.randint(-10, 20))
+                )
+                irow.append((case, case * 100 + j, rng.randint(0, 2), a, b))
+        p_pdf = pd.DataFrame(
+            prow, columns=["case_id", "pid", "k", "ts"]
+        )
+        i_pdf = pd.DataFrame(
+            irow, columns=["icase_id", "iid", "ik", "s", "e"]
+        )
+        from wiki_data_pipeline_spark.operators.joins import (
+            bucketed_range_join,
+        )
+
+        points = spark.createDataFrame(
+            p_pdf, "case_id BIGINT, pid BIGINT, k BIGINT, ts BIGINT"
+        )
+        intervals = spark.createDataFrame(
+            i_pdf, "icase_id BIGINT, iid BIGINT, ik BIGINT, s BIGINT, e BIGINT"
+        ).withColumnRenamed("icase_id", "case_id_r").withColumnRenamed(
+            "ik", "k_r"
+        )
+        out = bucketed_range_join(
+            points,
+            intervals.withColumnRenamed("case_id_r", "case_id")
+            .withColumnRenamed("k_r", "k"),
+            on=["case_id", "k"],
+            ts="ts",
+            start="s",
+            end="e",
+            bucket_width=width,
+            start_open=start_open,
+            end_open=end_open,
+        )
+        got = sorted((r.pid, r.iid) for r in out.select("pid", "iid").collect())
+
+        lo_op = ">" if start_open else ">="
+        hi_op = "<" if end_open else "<="
+        con = duckdb.connect()
+        con.register("p", p_pdf)
+        con.register("iv", i_pdf)
+        want = sorted(
+            tuple(t)
+            for t in con.execute(
+                f"""
+                SELECT pid, iid FROM p JOIN iv
+                  ON case_id = icase_id AND k = ik
+                 AND ts {lo_op} s AND ts {hi_op} e
+                """
+            ).fetchall()
+        )
+        con.close()
+        assert len(want) > 10, (width, len(want))
+        assert got == want, (width, start_open, end_open)

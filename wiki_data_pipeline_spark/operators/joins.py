@@ -79,6 +79,63 @@ def asof_join(
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+    start_open: bool = False,
+    end_open: bool = False,
+) -> DataFrame:
+    """Scalable point-in-interval join over LONG columns: a naive
+    theta-join (``key equal AND start < ts <= end``) is a per-key
+    cross product; here the interval side explodes to the
+    ``bucket_width``-grain buckets it covers (``floor(start/w) ..
+    floor(end/w)`` — ≤ ``1 + ceil(interval/width)`` rows), the point
+    side maps to its single bucket, and the join becomes an EQUI-join
+    on (keys, bucket) + the exact range filter re-applied. Each point
+    lands in exactly one bucket so no dedup pass is needed; pick the
+    grain ≈ the interval width to balance replication factor vs
+    candidate count (SCALE.md).
+
+    ``start_open``/``end_open`` select strict endpoints (the
+    attribution shape is ``start < ts <= end``:
+    ``start_open=True``). Endpoint/bucket-edge behavior is
+    cross-engine fuzzed in tests/test_join_fuzz.py — bucket-boundary
+    off-by-ones are exactly the bug class this composition can hide.
+
+    Returns both sides' columns (bucket column dropped)."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _bucket(col: str):
+        # integer-exact floor division (pmod keeps it correct for
+        # negative values): FLOOR(x / w) through a double would be
+        # one-off at magnitudes where the division isn't representable
+        # — epoch-microsecond longs live exactly there
+        c = F.col(col)
+        return ((c - F.pmod(c, F.lit(bucket_width))) / bucket_width).cast(
+            "long"
+        )
+
+    p_b = points.withColumn("__bucket", _bucket(ts))
+    iv_b = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(_bucket(start), _bucket(end))),
+    )
+    lo = (
+        F.col(ts) > F.col(start)
+        if start_open
+        else F.col(ts) >= F.col(start)
+    )
+    hi = F.col(ts) < F.col(end) if end_open else F.col(ts) <= F.col(end)
+    return (
+        p_b.join(iv_b, keys + ["__bucket"]).filter(lo & hi).drop("__bucket")
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

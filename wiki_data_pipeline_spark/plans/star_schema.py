@@ -654,40 +654,45 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval-containment) join (engine extension per
     SURVEY.md §2.4 "not present") — views attributed to
     purchases within the preceding hour. A naive theta-join is a
-    per-key cross product; the scale formulation bucketizes time to
-    1-hour grain: the interval side explodes to the hour-buckets it
-    covers (≤2 here), the point side maps to its single bucket, and
-    the join becomes an EQUI-join on (user_id, bucket) + exact range
-    filter. Each point lands in exactly one bucket so no dedup pass is
-    needed. Bucket grain trades replication factor vs candidate count
-    — pick ~the interval width (SCALE.md)."""
+    per-key cross product; ``operators/joins.py bucketed_range_join``
+    bucketizes time to 1-hour grain: the interval side explodes to the
+    hour-buckets it covers (≤2 here), the point side maps to its
+    single bucket, and the join becomes an EQUI-join on (user_id,
+    bucket) + exact range filter (half-open ``p_ts - 1h < v_ts <=
+    p_ts``). Each point lands in exactly one bucket so no dedup pass
+    is needed; bucket grain trades replication factor vs candidate
+    count — pick ~the interval width (SCALE.md). Comparisons run on
+    epoch-MICROSECOND longs (Spark timestamps are µs precision, so
+    ``unix_micros`` is lossless and the exact filter ≡ the timestamp
+    predicate); hour buckets are floor(µs / 3.6e9) ≡
+    date_trunc('hour') under the engine's pinned UTC session timezone.
+    Endpoint/bucket-edge semantics cross-engine fuzzed in
+    tests/test_join_fuzz.py."""
+    from wiki_data_pipeline_spark.operators.joins import bucketed_range_join
+
+    _HOUR_US = 3_600_000_000
     events = read_table(spark, sf_dir, "events")
     p = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_micros("ts") - _HOUR_US).alias("w_start"),
+        F.unix_micros("ts").alias("w_end"),
     )
     v = events.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.unix_micros("ts").alias("v_us"),
     )
-    hour = "INTERVAL 1 HOUR"
-    p_buckets = p.withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", F.col("p_ts") - F.expr(hour)),
-                F.date_trunc("hour", F.col("p_ts")),
-                F.expr(hour),
-            )
-        ),
-    )
-    v_b = v.withColumn("bucket", F.date_trunc("hour", F.col("v_ts")))
-    return (
-        v_b.join(p_buckets, on=["user_id", "bucket"])
-        .filter(
-            (F.col("v_ts") > F.col("p_ts") - F.expr(hour))
-            & (F.col("v_ts") <= F.col("p_ts"))
-        )
-        .select("view_id", "purchase_id")
-    )
+    return bucketed_range_join(
+        v,
+        p,
+        on="user_id",
+        ts="v_us",
+        start="w_start",
+        end="w_end",
+        bucket_width=_HOUR_US,
+        start_open=True,
+    ).select("view_id", "purchase_id")
 
 
 # ---------------------------------------------------------------------------
