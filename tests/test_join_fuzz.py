@@ -275,3 +275,66 @@ def test_bucketed_range_join_fuzz_vs_duckdb(spark):
         con.close()
         assert len(want) > 10, (width, len(want))
         assert got == want, (width, start_open, end_open)
+
+
+def test_sessionize_gap_boundary_fuzz_vs_duckdb(spark):
+    """Gap-boundary fuzz for the shared sessionization operator
+    (operators/sessions.py with_session_seq — every sessionizing query
+    rides it): gaps drawn from a boundary-heavy set {..., 1799, 1800,
+    1801, ...} so both sides of the strictly-greater rule occur (a gap
+    of exactly 1800 s must NOT split; 1801 must), plus zero-gap
+    equal-ts ties resolved by the event_id tiebreak. Session numbering
+    compared row-for-row against DuckDB's windowed mirror."""
+    from wiki_data_pipeline_spark.operators.sessions import (
+        with_session_seq,
+    )
+
+    rng = random.Random(SEED + 4)
+    GAPS = [0, 1, 2, 10, 1799, 1800, 1801, 3600]
+    rows, eid, used_gaps = [], 0, set()
+    for case in range(N_CASES):
+        for user in (0, 1):
+            t = rng.randint(0, 100)
+            for _ in range(rng.randint(0, 8)):
+                rows.append((case * 10 + user, t, eid))
+                eid += 1
+                g = rng.choice(GAPS)
+                used_gaps.add(g)
+                t += g
+    assert {1799, 1800, 1801, 0} <= used_gaps  # boundary actually hit
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    df = spark.createDataFrame(
+        pdf, "user_id BIGINT, ts BIGINT, event_id BIGINT"
+    )
+    got = sorted(
+        (r.event_id, r.session_seq)
+        for r in with_session_seq(df)
+        .select("event_id", "session_seq")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("e", pdf)
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > 1800
+                THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id,
+              CAST(sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS session_seq
+            FROM g
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) > 100
+    assert got == want

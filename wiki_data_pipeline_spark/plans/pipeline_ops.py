@@ -1332,23 +1332,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     day and equi-join on the bucket before the overlap filter — the
     ``join_range_bucketed`` pattern this query deliberately shares its
     predicate with."""
+    from wiki_data_pipeline_spark.operators.sessions import with_session_seq
+
     events = read_table(spark, sf_dir, "events")
-    w_gap = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    is_new = (
-        F.lag("ts").over(w_gap).isNull()
-        | (
-            F.col("ts").cast("long") - F.lag("ts").over(w_gap).cast("long")
-            > 30 * 60
-        )
-    ).cast("int")
-    sess = events.select(
-        "user_id", "ts", "event_id", is_new.alias("is_new")
-    ).withColumn(
-        "session_seq",
-        F.sum("is_new").over(
-            w_gap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    sess = with_session_seq(events.select("user_id", "ts", "event_id"))
     iv = sess.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
@@ -4251,16 +4238,10 @@ def sessionize_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rides the one user-sorted window the sessionize family
     shares, then a session-keyed aggregate and a global percentile
     over session rows (≪ events; GK swap documented beyond that)."""
+    from wiki_data_pipeline_spark.operators.sessions import with_session_seq
+
     events = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = events.select("user_id", "ts", "event_id").withColumn(
-        "session_seq",
-        F.sum(is_new).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    sess = with_session_seq(events.select("user_id", "ts", "event_id"))
     iv = sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(

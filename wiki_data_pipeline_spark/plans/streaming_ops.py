@@ -647,19 +647,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     A deterministic partition-key filter (user_id % 7) bounds the
     output for cross-engine hashing; it commutes with the per-user
     windows."""
+    from wiki_data_pipeline_spark.operators.sessions import with_session_seq
+
     events = read_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 7 == 0
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    return events.select(
-        "event_id",
-        "user_id",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("session_seq"),
+    return with_session_seq(events).select(
+        "event_id", "user_id", "session_seq"
     )
 
 
@@ -1474,18 +1468,12 @@ def path_common_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials onto a tiny (|types|³ ≤ 125-row) key space;
     top-N is TakeOrderedAndProject. The classic n-gram-over-sequences
     shape — same cost as sessionizing itself."""
+    from wiki_data_pipeline_spark.operators.sessions import with_session_seq
+
     events = read_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 7 == 0
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    s = events.withColumn(
-        "is_new",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
-    ).withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    s = with_session_seq(events)
     w2 = Window.partitionBy("user_id", "session_seq").orderBy(
         "ts", "event_id"
     )
