@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from wiki_data_pipeline_spark.io import read_table
@@ -109,3 +110,68 @@ def test_paged_json_writer_roundtrip(spark, sf_dir, tmp_path):
         "batch_size", "100"
     ).mode("append").save()
     assert read_paged_json(spark, out, _SCHEMA).count() == 250
+
+
+def _corrupt_stage(spark, sf_dir, tmp_path) -> str:
+    """A staged layout with three rotted files in batch_001: invalid
+    JSON syntax, a non-object top level, and non-UTF-8 bytes (the blob
+    classes reference src/azure_manager.py:126-136 absorbs by returning
+    None instead of raising)."""
+    out, _, _ = _stage(spark, sf_dir, tmp_path)
+    b1 = os.path.join(out, "batch_001")
+    with open(os.path.join(b1, "article_100100.json"), "w") as f:
+        f.write('{"doc_id": 100100, "text": "truncated')
+    with open(os.path.join(b1, "article_100101.json"), "w") as f:
+        f.write("[1, 2, 3]")
+    with open(os.path.join(b1, "article_100102.json"), "wb") as f:
+        f.write(b"\xff\xfe{not json}")
+    return out
+
+
+def test_paged_json_malformed_modes(spark, sf_dir, tmp_path):
+    out = _corrupt_stage(spark, sf_dir, tmp_path)
+    register(spark)
+
+    # PERMISSIVE (default): corrupt files become all-null rows; with a
+    # declared corrupt-record column the raw text is preserved there,
+    # and it stays null for well-formed rows.
+    schema_cc = _SCHEMA + ", _corrupt_record string"
+    df = read_paged_json(spark, out, schema_cc)
+    assert df.count() == 303
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 3
+    assert bad.filter(F.col("doc_id").isNull()).count() == 3
+    raws = {r["_corrupt_record"] for r in bad.collect()}
+    assert '[1, 2, 3]' in raws
+    assert any(r.startswith('{"doc_id": 100100') for r in raws)
+    # without the corrupt column the rows still surface (as nulls)
+    plain = read_paged_json(spark, out, _SCHEMA)
+    assert plain.count() == 303
+    assert plain.filter(F.col("doc_id").isNull()).count() == 3
+
+    # DROPMALFORMED: rotted files are skipped, good rows intact
+    dropped = (
+        spark.read.format("paged_json")
+        .schema(_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .load(out)
+    )
+    assert dropped.count() == 300
+    assert dropped.filter(F.col("doc_id").isNull()).count() == 0
+
+    # FAILFAST: the scan raises, naming the offending file
+    strict = (
+        spark.read.format("paged_json")
+        .schema(_SCHEMA)
+        .option("mode", "FAILFAST")
+        .load(out)
+    )
+    with pytest.raises(Exception) as ei:
+        strict.count()
+    assert "malformed record" in str(ei.value)
+
+    # unknown mode rejected at plan time
+    with pytest.raises(Exception, match="unknown mode"):
+        spark.read.format("paged_json").schema(_SCHEMA).option(
+            "mode", "LENIENT"
+        ).load(out).count()

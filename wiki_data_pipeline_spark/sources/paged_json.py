@@ -22,6 +22,15 @@ source/sink machinery:
 - **per-file JSON parse** (S8, src/azure_manager.py:127-136): each
   task parses only its partition's files; fields are projected in the
   caller's schema order, missing keys → null (schema-on-read).
+- **malformed-record tolerance** (src/azure_manager.py:126-136 —
+  ``download_blob`` catches the parse failure, logs, and returns
+  ``None`` instead of killing the run): the reader takes the native
+  JSON source's ``mode`` option — ``PERMISSIVE`` (default; a corrupt
+  file becomes a row of nulls, and the raw text lands in the schema's
+  ``columnNameOfCorruptRecord`` column when the caller declares one),
+  ``DROPMALFORMED`` (skip the file), ``FAILFAST`` (raise). One rotted
+  blob among millions must not fail a 100 TB backfill task — and with
+  task retries it would fail it four times.
 
 Scale notes: partition planning is O(#directories) metadata work on
 the driver (exactly like any file index); all row work is in tasks. At
@@ -62,6 +71,16 @@ def make_paged_json_datasource():
             self.path = options["path"]
             self.prefix = options.get("prefix", "batch_")
             self.fields = [f.name for f in schema.fields]
+            mode = options.get("mode", "PERMISSIVE").upper()
+            if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+                raise ValueError(
+                    f"paged_json: unknown mode {mode!r} "
+                    "(PERMISSIVE | DROPMALFORMED | FAILFAST)"
+                )
+            self.mode = mode
+            self.corrupt_col = options.get(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            )
             self.batch_eq = None
             self.batch_ge = None
             self.batch_le = None
@@ -108,10 +127,27 @@ def make_paged_json_datasource():
             for fn in sorted(os.listdir(partition.batch_dir)):
                 if not fn.endswith(".json"):
                     continue
-                with open(
-                    os.path.join(partition.batch_dir, fn), encoding="utf-8"
-                ) as f:
-                    rec = json.load(f)
+                full = os.path.join(partition.batch_dir, fn)
+                try:
+                    with open(full, encoding="utf-8", errors="strict") as f:
+                        raw = f.read()
+                    rec = json.loads(raw)
+                    if not isinstance(rec, dict):
+                        raise ValueError("top-level JSON is not an object")
+                except (ValueError, UnicodeDecodeError) as e:
+                    if self.mode == "FAILFAST":
+                        raise ValueError(
+                            f"paged_json: malformed record {full}: {e}"
+                        ) from e
+                    if self.mode == "DROPMALFORMED":
+                        continue
+                    # PERMISSIVE: nulls for data fields; raw text in the
+                    # corrupt-record column iff the caller declared one.
+                    with open(
+                        full, encoding="utf-8", errors="replace"
+                    ) as f:
+                        raw = f.read()
+                    rec = {self.corrupt_col: raw}
                 rec["batch"] = partition.batch_num
                 yield tuple(rec.get(k) for k in self.fields)
 
