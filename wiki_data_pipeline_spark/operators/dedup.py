@@ -1,0 +1,132 @@
+"""Exact n-gram overlap dedup operators (SURVEY.md §2 dedup family —
+the precision half of the near-dup stack; reference's pipeline has no
+dedup at all, `src/pipeline.py` processes whatever the API returns).
+
+One definition shared by the registered queries (`dedup_ngram_jaccard`,
+`dedup_ngram_containment` ride `pairwise_shingle_overlap`; `_shingles`
+in plans/llm_ops.py delegates to `word_shingles`, so the MinHash CTE
+stack and shingle-novelty queries tokenize identically) and by the
+cross-engine fuzz in tests/test_dedup_fuzz.py, which drives pathological
+corpora (empty text, sub-n token counts, all-duplicate shingles,
+whitespace runs, containment-of-short-in-long) through the SAME code
+path the production queries use.
+
+Scale shape: the shingle self-join is an inverted-index lookup — cost is
+Σ(posting-list²), not n² over documents. Hot shingles are the skew
+hazard; MinHash-LSH (plans/llm_ops.py) is the recall-stage answer, with
+these operators as the exact verifier. Exact integer counts → the final
+double division is bitwise identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    # Fan a small-file input out to full core parallelism before the
+    # compute-heavy explode (rationale: plans/llm_ops.py _spread).
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def word_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, text) → exploded DISTINCT word-n-gram shingles.
+
+    Tokenization is whitespace-split of the trimmed text; documents
+    with fewer than ``n`` tokens produce NO shingles (they cannot pair,
+    mirroring the oracles' ``len(tokens) >= n`` guard). Rows are unique
+    without an extra shuffle: array_distinct dedups within the doc and
+    doc_id is unique across docs.
+
+    The token array is materialized in its OWN projection before the
+    shingling lambda references it: an expression inlined into a
+    higher-order-function lambda re-evaluates per array element (the
+    split would run once per shingle — O(tokens²)), while a column
+    reference evaluates once per row (measured ~2× on this path).
+    """
+    if n < 1:
+        raise ValueError(f"word_shingles: n must be >= 1, got {n}")
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        _spread(corpus)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .filter(F.size(toks) >= n)
+        .select(
+            "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        )
+    )
+
+
+def pairwise_shingle_overlap(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """All document pairs sharing ≥1 word-n-gram, with the exact counts
+    every set-overlap score derives from: (doc_a, doc_b, c, n_a, n_b)
+    where c = |A∩B| and n_a/n_b are the distinct-shingle set sizes
+    (doc_a < doc_b; disjoint pairs never materialize — the inverted
+    index only emits co-occurring pairs).
+
+    Jaccard = c/(n_a+n_b−c) and containment = c/min(n_a,n_b) are thin
+    projections over this ONE shuffle — a pipeline running both scores
+    computes the shingle join once (the sharing the per-query plans
+    document but can't express across registry entries).
+    """
+    sh = word_shingles(corpus, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "c",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+
+
+def pairwise_jaccard(
+    corpus: DataFrame, threshold: float, n: int = 3
+) -> DataFrame:
+    """Symmetric near-dup pairs: Jaccard = |∩|/|∪| ≥ threshold."""
+    ov = pairwise_shingle_overlap(corpus, n)
+    jac = F.col("c").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("c")
+    )
+    return ov.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def pairwise_containment(
+    corpus: DataFrame, threshold: float, n: int = 3
+) -> DataFrame:
+    """Asymmetric near-dup pairs: C = |∩|/min(|A|,|B|) ≥ threshold —
+    catches a short doc embedded in a long one, where Jaccard is tiny
+    because the union is dominated by the long doc."""
+    ov = pairwise_shingle_overlap(corpus, n)
+    cont = F.col("c").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return ov.select("doc_a", "doc_b", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
+    )

@@ -80,31 +80,14 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct word-3-gram shingles.
+    """doc_id → exploded distinct word-3-gram shingles (the shared
+    operator — operators/dedup.py word_shingles — so the MinHash CTE
+    stack, shingle-novelty, and the pairwise-overlap queries all
+    tokenize identically, and the cross-engine fuzz exercises the same
+    code path)."""
+    from ..operators.dedup import word_shingles
 
-    Rows are already unique: array_distinct dedups within the doc and
-    doc_id is unique, so no extra distinct/shuffle is needed.
-
-    The token array is materialized in its OWN projection before the
-    shingling lambda references it: an expression inlined into a
-    higher-order-function lambda is re-evaluated per array element
-    (split would run once per shingle — O(tokens²) splitting), while a
-    column reference is evaluated once per row. CollapseProject keeps
-    the multi-referenced non-cheap column un-inlined (same pattern as
-    the minhash md5_arr stage; measured ~2× on this path)."""
-    toks = F.col("toks")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-        ),
-    )
-    return (
-        _spread(corpus)
-        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-        .filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-    )
+    return word_shingles(corpus, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -461,34 +444,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This IS the scalable formulation — the shingle join is an inverted
     index lookup, so cost is Σ(posting-list²) not n²; hot shingles are
     the skew hazard, which MinHash-LSH (above) avoids — kept here as the
-    exact verifier LSH candidates feed into."""
+    exact verifier LSH candidates feed into. Composition lives in
+    operators/dedup.py (fuzzed cross-engine in tests/test_dedup_fuzz.py)."""
+    from ..operators.dedup import pairwise_jaccard
+
     corpus = _dedup_corpus(spark, sf_dir).filter(
         F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
     )
-    sh = _shingles(corpus)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-    )
+    return pairwise_jaccard(corpus, _JACCARD_THRESHOLD)
 
 
 @query(
@@ -3369,38 +3332,15 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index shape as dedup_ngram_jaccard (cost
     Σ posting-list², not n²; exact integer counts → bitwise-identical
-    division); only the denominator changes — a pipeline running both
-    should compute the shingle join once and derive both thresholds
-    from the shared `common` frame."""
+    division); only the denominator changes — both scores are thin
+    projections over operators/dedup.py pairwise_shingle_overlap, so a
+    pipeline running both computes the shingle join once."""
+    from ..operators.dedup import pairwise_containment
+
     corpus = _dedup_corpus(spark, sf_dir).filter(
         F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
     )
-    sh = _shingles(corpus)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    containment = F.col("c").cast("double") / F.least(
-        F.col("sa.n"), F.col("sb.n")
-    )
-    return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", containment.alias("containment"))
-        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
-    )
+    return pairwise_containment(corpus, _CONTAINMENT_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
