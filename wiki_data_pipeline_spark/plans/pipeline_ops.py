@@ -2222,25 +2222,23 @@ def cdc_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     action table is both the dry-run audit and the shuffle-size
     estimate a MERGE job plans its file rewrites from.
 
-    Scale: both sides compact map-side via max_by before a key-equi
-    join of two ≤|keys| tables (never event×event); delta is id-
-    bounded (high-watermark resume). The version tie-break is total
-    (event_id unique), so both engines classify identically."""
+    Scale: both sides compact map-side before a key-equi join of two
+    ≤|keys| tables (never event×event); delta is id-bounded
+    (high-watermark resume). The version tie-break is total (event_id
+    unique), so both engines classify identically. Compaction is
+    operators/cdc.py compact_latest (version-only payload)."""
+    from wiki_data_pipeline_spark.operators.cdc import compact_latest
+
     events = read_table(spark, sf_dir, "events")
     cutoff = events.agg(
         (F.max("event_id") * 0.8).cast("bigint").alias("c")
     )
     ec = events.crossJoin(F.broadcast(cutoff))
-    ver = F.struct(F.col("ts"), F.col("event_id"))
-
-    def latest(df):
-        return df.groupBy("user_id").agg(F.max(ver).alias("v"))
-
-    hist = latest(ec.filter(F.col("event_id") <= F.col("c"))).select(
-        "user_id", F.col("v").alias("hv")
+    hist = compact_latest(
+        ec.filter(F.col("event_id") <= F.col("c")), payload=(), out="hv"
     )
-    delta = latest(ec.filter(F.col("event_id") > F.col("c"))).select(
-        "user_id", F.col("v").alias("dv")
+    delta = compact_latest(
+        ec.filter(F.col("event_id") > F.col("c")), payload=(), out="dv"
     )
     return (
         delta.join(hist, on="user_id", how="left")
@@ -2301,7 +2299,13 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     |keys| rows) before a key-equi full-outer join — the delta never
     joins raw events, and the merged table writes without any sort.
     The version tie-break is total (event_id unique), so the winner is
-    deterministic on both engines."""
+    deterministic on both engines. Composition lives in
+    operators/cdc.py (cross-engine fuzzed in tests/test_cdc_fuzz.py,
+    including the merge ≡ recompute law on random changelogs)."""
+    from wiki_data_pipeline_spark.operators.cdc import (
+        compact_latest,
+        merge_latest,
+    )
     from wiki_data_pipeline_spark.plans.streaming_ops import TS_US_SPARK
 
     events = read_table(spark, sf_dir, "events")
@@ -2309,27 +2313,9 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("event_id") * 0.8).cast("bigint").alias("c")
     )
     ec = events.crossJoin(F.broadcast(cutoff))
-    # version-ordered payload: ts then unique event_id lead the struct
-    # comparison, so max(payload) IS the latest row and hv/dv compare
-    # directly (payload fields after event_id are never reached).
-    payload = F.struct("ts", "event_id", "event_type", "value")
-
-    def latest(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("user_id").agg(F.max(payload).alias(name))
-
-    hist = latest(ec.filter(F.col("event_id") <= F.col("c")), "hv")
-    delta = latest(ec.filter(F.col("event_id") > F.col("c")), "dv")
-    merged = (
-        hist.join(delta, on="user_id", how="full_outer")
-        .select(
-            "user_id",
-            F.when(F.col("hv").isNull(), F.col("dv"))       # insert
-            .when(F.col("dv").isNull(), F.col("hv"))        # untouched
-            .when(F.col("dv") > F.col("hv"), F.col("dv"))   # update
-            .otherwise(F.col("hv"))                         # stale_skip
-            .alias("m"),
-        )
-    )
+    hist = compact_latest(ec.filter(F.col("event_id") <= F.col("c")), out="hv")
+    delta = compact_latest(ec.filter(F.col("event_id") > F.col("c")), out="dv")
+    merged = merge_latest(hist, delta)
     return merged.select(
         "user_id",
         F.col("m.event_id").cast("bigint").alias("last_event_id"),

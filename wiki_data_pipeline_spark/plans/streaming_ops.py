@@ -722,26 +722,22 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rewriting state on every row — SURVEY.md §2.11's O(n²) I/O —
     the log is append-only and the state table is derived by
     compaction, which is how a changelog becomes a serving table at
-    100 TB). Latest = max (ts, event_id), picked by max_by over a
-    struct: ONE hash aggregate with map-side partials — not the
-    row_number window the oracle spells (value-equivalent), which
-    would sort every partition; event_id uniqueness makes the
-    tie-break total, so both engines pick the identical row."""
+    100 TB). Latest = max version-leading struct (operators/cdc.py
+    compact_latest — the same definition cdc_merge_apply merges, fuzzed
+    cross-engine in tests/test_cdc_fuzz.py): ONE hash aggregate with
+    map-side partials — not the row_number window the oracle spells
+    (value-equivalent), which would sort every partition; event_id
+    uniqueness makes the tie-break total, so both engines pick the
+    identical row."""
+    from wiki_data_pipeline_spark.operators.cdc import compact_latest
+
     events = read_table(spark, sf_dir, "events")
-    last = F.max_by(
-        F.struct("event_id", "ts", "event_type", "value"),
-        F.struct("ts", "event_id"),
-    ).alias("last")
-    return (
-        events.groupBy("user_id")
-        .agg(last)
-        .select(
-            "user_id",
-            F.col("last.event_id").cast("bigint").alias("last_event_id"),
-            F.date_format("last.ts", TS_US_SPARK).alias("last_ts"),
-            F.col("last.event_type").alias("last_event_type"),
-            F.col("last.value").alias("last_value"),
-        )
+    return compact_latest(events, out="last").select(
+        "user_id",
+        F.col("last.event_id").cast("bigint").alias("last_event_id"),
+        F.date_format("last.ts", TS_US_SPARK).alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
     )
 
 
