@@ -2469,21 +2469,24 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-defined, so a total per-stream order is irreducible; at
     100 TB shard the stream key further (lang, doc_id // N) to bound
     partition size, which keeps sequences deterministic within
-    shards."""
+    shards. Offset composition is operators/packing.py
+    with_stream_offsets (cross-engine fuzzed in
+    tests/test_pack_fuzz.py)."""
+    from wiki_data_pipeline_spark.operators.packing import with_stream_offsets
+
     docs = read_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = with_stream_offsets(
+        docs.select("lang", "doc_id", n_tokens.alias("n_tokens")),
+        stream="lang",
+        order="doc_id",
+        size="n_tokens",
     )
-    placed = docs.select(
-        "lang", "doc_id", n_tokens.alias("n_tokens")
-    ).withColumn("offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return (
         placed.groupBy(
             "lang",
-            (F.col("offset_tokens") / _PACK_BUDGET).cast("bigint").alias("seq_id"),
+            # integer div, not /: floor-through-double is lossy past 2^53
+            F.expr(f"offset_tokens div {_PACK_BUDGET}").alias("seq_id"),
         )
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -3004,57 +3007,23 @@ def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     token sums (one tiny job, #partitions rows collected), cumulative
     offsets broadcast back, intra-partition cumsum via a per-partition
     window. The bin fan-out is a narrow sequence+posexplode. Integer
-    `div` arithmetic end-to-end — bitwise-identical to the oracle."""
+    `div` arithmetic end-to-end — bitwise-identical to the oracle.
+    Composition lives in operators/packing.py (with_global_offsets +
+    with_bin_spans — cross-engine fuzzed on bin-edge / wider-than-cap /
+    zero-token corpora in tests/test_pack_fuzz.py)."""
+    from wiki_data_pipeline_spark.operators.packing import (
+        with_bin_spans,
+        with_global_offsets,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n"),
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = counted.repartitionByRange(n_parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    psums = ranged.groupBy("pid").agg(F.sum("n").alias("s")).orderBy("pid").collect()
-    offsets, acc = [], 0
-    for r in psums:
-        offsets.append((r["pid"], acc))
-        acc += int(r["s"])
-    off = spark.createDataFrame(offsets, "pid int, offset bigint")
-    local_before = F.coalesce(
-        F.sum("n").over(
-            Window.partitionBy("pid")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    started = (
-        ranged.withColumn("local_before", local_before)
-        .join(F.broadcast(off), on="pid")
-        .select(
-            "doc_id",
-            "n",
-            (F.col("offset") + F.col("local_before")).alias("start"),
-        )
-    )
-    cap = F.lit(_PACK_CAP)
-    first_bin = F.expr(f"start div {_PACK_CAP}")
-    last_bin = F.expr(f"(start + n - 1) div {_PACK_CAP}")
-    return (
-        started.select(
-            "doc_id",
-            "n",
-            "start",
-            F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
-        )
-        .select(
-            "doc_id",
-            F.col("bin_id").cast("bigint").alias("bin_id"),
-            (
-                F.least((F.col("bin_id") + 1) * cap, F.col("start") + F.col("n"))
-                - F.greatest(F.col("bin_id") * cap, F.col("start"))
-            ).cast("bigint").alias("tokens_in_bin"),
-        )
+    started = with_global_offsets(counted, order="doc_id", size="n", out="start")
+    return with_bin_spans(started, cap=_PACK_CAP).select(
+        "doc_id", "bin_id", "tokens_in_bin"
     )
 
 

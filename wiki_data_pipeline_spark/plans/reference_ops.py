@@ -795,26 +795,15 @@ def l3_global_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-partition window sorts locally in parallel; the only
     driver-side state is #partitions integers. Range partitioning's
     sampler is seeded deterministically, so both passes see identical
-    boundaries."""
+    boundaries. The composition is operators/packing.py
+    with_global_offsets (size=None → every row weighs 1, so the
+    exclusive prefix sum IS the 0-based index; fuzzed cross-engine in
+    tests/test_pack_fuzz.py)."""
+    from wiki_data_pipeline_spark.operators.packing import with_global_offsets
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = docs.repartitionByRange(n_parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("pid").count().orderBy("pid").collect()
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["pid"], acc))
-        acc += r["count"]
-    off = spark.createDataFrame(offsets, "pid int, offset bigint")
-    local_rank = F.row_number().over(Window.partitionBy("pid").orderBy("doc_id"))
-    return (
-        ranged.withColumn("local_rank", local_rank)
-        .join(F.broadcast(off), on="pid")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rank") - 1).cast("bigint").alias("global_idx"),
-        )
+    return with_global_offsets(docs, order="doc_id", out="global_idx").select(
+        "doc_id", "global_idx"
     )
 
 
