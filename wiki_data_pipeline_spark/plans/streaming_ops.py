@@ -267,7 +267,7 @@ def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value, event_id,
         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
              THEN 1 ELSE 0 END AS new_session
       FROM events
       WHERE user_id % 7 = 0
@@ -295,8 +295,13 @@ def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side uses the native ``session_window`` (merges in the
     aggregate, streaming-capable with watermark); the oracle rebuilds
     sessions via gaps-and-islands. Session end = last event + gap
-    (Spark semantics: a new event at exactly start+gap opens a NEW
-    session, hence ``>=`` in the oracle's flag). A deterministic
+    (Spark semantics, pinned by tests/test_window_fuzz.py micro-cases:
+    an event at exactly last+gap MERGES — sessions merge when the next
+    start is <= the current end — so the oracle's new-session flag is
+    STRICT ``>``; the ``>=`` this oracle originally used was a latent
+    boundary bug the fixture's microsecond-grained timestamps never
+    exposed, found by the exact-1800s fuzz). Matches the strict rule
+    operators/sessions.py uses. A deterministic
     user_id % 7 filter bounds the output for cross-engine hashing;
     sessions merge per user, so dropping whole users leaves the
     remaining sessions unchanged."""
