@@ -29,7 +29,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (try_divide): Spark 4
+    runs ANSI mode, where a plain ``/`` THROWS DIVIDE_BY_ZERO even for
+    doubles — one all-zero embedding (a dead/padding row, routine in
+    real corpora) would crash the whole job — while the DuckDB oracles
+    yield NULL for x/0. NULL propagates through every downstream
+    ``>= threshold`` / rank filter the same way in both engines: the
+    degenerate row silently drops, which is the one semantic where a
+    zero vector is "similar to nothing". Pinned cross-engine in
+    tests/test_degenerate_embeddings.py."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def sq_dist(a: Column, b: Column) -> Column:

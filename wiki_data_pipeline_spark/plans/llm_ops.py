@@ -2512,8 +2512,9 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT vec_id, e, vmin, vmax,
-        list_transform(e, x -> CAST(least(255.0,
-          floor((x - vmin) / (vmax - vmin) * 256.0)) AS BIGINT)) AS codes
+        list_transform(e, x -> CAST(CASE WHEN vmax > vmin THEN
+          least(255.0, floor((x - vmin) / (vmax - vmin) * 256.0))
+          ELSE 0.0 END AS BIGINT)) AS codes
       FROM v
     )
     SELECT vec_id, vmin, vmax,
@@ -2544,11 +2545,22 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     e = F.col("e")
     vmin, vmax = F.col("vmin"), F.col("vmax")
+    # vmax > vmin guard: a CONSTANT vector (dead/padding embedding) has
+    # zero range — the unguarded scale would DIVIDE_BY_ZERO-crash under
+    # Spark 4's ANSI mode (and NULL-pollute DuckDB, whose NULL-skipping
+    # least() would then emit code 255). Degenerate semantics: all
+    # codes 0, reconstruction = vmin exactly, MSE 0. Pinned
+    # cross-engine in tests/test_degenerate_embeddings.py.
     codes = F.transform(
         e,
-        lambda x: F.least(
-            F.lit(255.0), F.floor((x - vmin) / (vmax - vmin) * 256.0)
-        ).cast("bigint"),
+        lambda x: F.when(
+            vmax > vmin,
+            F.least(
+                F.lit(255.0), F.floor((x - vmin) / (vmax - vmin) * 256.0)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("bigint"),
     )
     recon = lambda x, c: vmin + (c + F.lit(0.5)) * (vmax - vmin) / 256.0  # noqa: E731
     base = (
@@ -2560,14 +2572,17 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "e", "vmin", "vmax", codes.alias("codes"))
     )
-    mse = F.aggregate(
-        F.zip_with(
-            F.col("e"), F.col("codes"),
-            lambda x, c: (x - recon(x, c)) * (x - recon(x, c)),
+    mse = F.try_divide(
+        F.aggregate(
+            F.zip_with(
+                F.col("e"), F.col("codes"),
+                lambda x, c: (x - recon(x, c)) * (x - recon(x, c)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size(F.col("e"))
+        F.size(F.col("e")),  # try_divide: 0-dim vector → NULL, not ANSI crash
+    )
     return base.select(
         "vec_id", "vmin", "vmax",
         F.array_join("codes", ",").alias("codes_csv"),
