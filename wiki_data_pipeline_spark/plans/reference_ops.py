@@ -580,14 +580,18 @@ def a3_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a5_progress_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progress percentage (reference A5,
     src/checkpoint_manager.py:140-146: processed/total×100 with a
-    zero-guard — count(*) of a non-empty scan can't be zero here;
-    the general zero-guard pattern is nullif/coalesce)."""
+    zero-guard). try_divide IS the zero-guard: a global agg emits one
+    row even for an EMPTY scan, where count(*)=0 would
+    DIVIDE_BY_ZERO-crash under Spark 4's ANSI mode while DuckDB NULLs
+    — try_divide makes both engines read NULL progress on nothing."""
     events = read_table(spark, sf_dir, "events")
     processed = F.sum(F.when(F.col("event_id") <= 500, 1).otherwise(0))
     return events.agg(
         F.count("*").alias("total"),
         processed.cast("bigint").alias("processed"),
-        (processed.cast("double") * 100 / F.count("*")).alias("progress_pct"),
+        F.try_divide(processed.cast("double") * 100, F.count("*")).alias(
+            "progress_pct"
+        ),
     )
 
 

@@ -1494,7 +1494,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25))
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        # try_divide: a zero-quantity line would ANSI-crash a plain /;
+        # DuckDB yields NULL there and min() skips it — try_divide
+        # gives Spark the identical skip semantics.
+        F.min(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+        ).alias("unit_cost")
     )
     eu = (
         ps.join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
