@@ -134,6 +134,27 @@ REGRESSION_ABS_FLOOR_SEC = 0.5
 # query's measurement by it before gating.
 SENTINELS = ["q1_pricing_summary", "q3_top_orders", "dedup_exact"]
 
+# Sanity bound on the normalization itself (r8 advice): sentinels
+# cannot distinguish host load from a GENUINE code-wide slowdown (a
+# global conf change slowing all 201 queries — sentinels included —
+# divides itself away). Driver-round host load has measured
+# 1.27–1.33x; anything past this bound forces a human look instead of
+# silent normalization. The raw sentinel ratios ship in the gate line
+# and the JSON so the evidence is inspectable either way.
+SESSION_RATIO_SANITY_BOUND = 1.5
+
+
+def sentinel_ratios(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    sentinels: list[str] = SENTINELS,
+) -> dict[str, float]:
+    return {
+        s: round(timings[s] / baseline[s], 3)
+        for s in sentinels
+        if baseline.get(s) and timings.get(s)
+    }
+
 
 def session_ratio(
     timings: dict[str, float],
@@ -250,13 +271,24 @@ def main() -> None:
         if baseline.get(name)
     }
     norm = session_ratio(all_timings, baseline)
+    raw_sentinels = sentinel_ratios(all_timings, baseline)
+    session_alert = norm > SESSION_RATIO_SANITY_BOUND
     regressions = compute_regressions(all_timings, baseline, norm=norm)
     if baseline:
         print(
             f"-- bench deltas vs {BASELINE_BENCH} (this/prev, >1 = "
-            f"slower; session_ratio={norm:.3f}):",
+            f"slower; session_ratio={norm:.3f}, sentinels={raw_sentinels}):",
             file=sys.stderr,
         )
+        if session_alert:
+            print(
+                f"-- WARNING: session_ratio {norm:.3f} exceeds sanity "
+                f"bound {SESSION_RATIO_SANITY_BOUND} — either extreme "
+                "host load or a GENUINE uniform code-wide slowdown the "
+                "sentinels cannot tell apart; inspect the raw sentinel "
+                "ratios above before trusting regressions_over_2x",
+                file=sys.stderr,
+            )
         for name in sorted(deltas, key=deltas.get, reverse=True):
             flag = "  << REGRESSION" if name in regressions else ""
             print(
@@ -277,6 +309,8 @@ def main() -> None:
             {
                 "sf": sf,
                 "session_ratio": round(norm, 3),
+                "session_ratio_sentinels": raw_sentinels,
+                "session_ratio_alert": session_alert,
                 "all_timings": all_timings,
                 "spread": spread,
                 "deltas": deltas,
@@ -310,6 +344,8 @@ def main() -> None:
                 "gated_queries": len(deltas),
                 "registered_queries": len(gate_set),
                 "session_ratio": round(norm, 3),
+                "session_ratio_sentinels": raw_sentinels,
+                "session_ratio_alert": session_alert,
                 "regressions_over_2x": regressions,
             }
         )

@@ -950,6 +950,35 @@ def test_bench_gate_session_normalization():
         assert s in registered and s in frozen, s
 
 
+def test_bench_gate_session_ratio_sanity_alert():
+    """Pin the r8-advice sanity bound: a uniform elevation past the
+    bound (code-wide slowdown and extreme host load are
+    indistinguishable to the sentinels) must raise the alert flag
+    instead of being silently normalized, and the raw per-sentinel
+    ratios must be reportable evidence."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    base = {s: 1.0 for s in bench.SENTINELS}
+    # measured driver-round load (~1.3x) stays under the bound
+    loaded = {s: 1.3 for s in bench.SENTINELS}
+    assert bench.session_ratio(loaded, base) <= bench.SESSION_RATIO_SANITY_BOUND
+    # a uniform 1.6x (e.g. a global conf change) crosses it
+    uniform = {s: 1.6 for s in bench.SENTINELS}
+    assert bench.session_ratio(uniform, base) > bench.SESSION_RATIO_SANITY_BOUND
+    # raw sentinel evidence survives normalization
+    assert bench.sentinel_ratios(uniform, base) == {
+        s: 1.6 for s in bench.SENTINELS
+    }
+    # missing sentinels -> empty evidence, not a crash
+    assert bench.sentinel_ratios({"x": 2.0}, {"x": 1.0}) == {}
+
+
 def test_plan_audit_counters():
     """tools/plan_audit.py's counters and flags on synthetic plan text:
     scans-per-table from Location lines, cartesian/row-python flags,

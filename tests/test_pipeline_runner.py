@@ -731,6 +731,86 @@ def test_pipeline_stale_lease_reaped(spark, sf_dir, tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_stale_lease_reap_is_race_safe(tmp_path):
+    """Pin the TOCTOU fix (r8 advice): the stale-lock reap is claimed
+    by atomic RENAME, so (a) a contender that loses the rename race
+    reports contention instead of unlinking the winner's fresh LIVE
+    lock, and (b) a contender whose observed-dead lock was already
+    replaced by a live one restores it untouched — never two holders
+    of the single-writer lease."""
+    import subprocess
+
+    from wiki_data_pipeline_spark.streaming.checkpoint import (
+        CheckpointLeaseError,
+        HighWatermarkCheckpoint,
+    )
+
+    ckpt = HighWatermarkCheckpoint(str(tmp_path / "progress.json"))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+
+    # (a) lost the rename race: lock already gone -> contention, and
+    # acquire() then succeeds cleanly on the now-free path
+    assert ckpt._reap_stale(dead_pid) is False
+    ckpt.acquire()
+    ckpt.release()
+
+    # (b) observed-dead lock replaced by a LIVE one between the read
+    # and the rename: reap must restore the live lock and yield
+    with open(ckpt.lock_path, "w", encoding="utf-8") as f:
+        f.write(str(os.getpid()))  # the "new holder" (alive)
+    assert ckpt._reap_stale(dead_pid) is False
+    with open(ckpt.lock_path, encoding="utf-8") as f:
+        assert f.read().strip() == str(os.getpid())  # holder intact
+    with pytest.raises(CheckpointLeaseError):
+        ckpt.acquire()
+    os.unlink(ckpt.lock_path)
+
+    # (c) the clean reap still works end-to-end: dead-pid lock ->
+    # reaped by rename-claim -> acquired
+    with open(ckpt.lock_path, "w", encoding="utf-8") as f:
+        f.write(str(dead_pid))
+    ckpt.acquire()
+    with open(ckpt.lock_path, encoding="utf-8") as f:
+        assert f.read().strip() == str(os.getpid())
+    ckpt.release()
+
+
+def test_streaming_reset_inside_lease(spark, tmp_path):
+    """Pin the r8-advice fix: `--stream --reset` must NOT delete a
+    live run's offset log before losing the lease race. With the lease
+    held by a live pid, a reset invocation fails fast AND the
+    _stream_checkpoint / _dead_letter_stream dirs survive untouched."""
+    from wiki_data_pipeline_spark.pipeline import run_pipeline_streaming
+    from wiki_data_pipeline_spark.streaming.checkpoint import (
+        CheckpointLeaseError,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    ckpt_dir = os.path.join(out, "_stream_checkpoint")
+    dls_dir = os.path.join(out, "_dead_letter_stream")
+    os.makedirs(ckpt_dir)
+    os.makedirs(dls_dir)
+    sentinel = os.path.join(ckpt_dir, "offsets")
+    with open(sentinel, "w", encoding="utf-8") as f:
+        f.write("live-run-offset-log")
+
+    # live holder on the stream-runner lease
+    lock = os.path.join(out, "_stream_runner.lock")
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(str(os.getpid()))
+
+    with pytest.raises(CheckpointLeaseError):
+        run_pipeline_streaming(spark, src, out, reset=True)
+    # the live run's state survived the failed reset attempt
+    assert os.path.exists(sentinel)
+    assert os.path.exists(dls_dir)
+    os.unlink(lock)
+
+
 def test_task_retry_exactly_once_both_runners(tmp_path):
     """Exactly-once under TASK-level retries (the reference's ST5
     per-request retry mapped to Spark's spark.task.maxFailures): an

@@ -10,8 +10,12 @@ EXACTLY on hour / half-hour boundaries and ±1 second / ±1 microsecond
 around them (the off-by-one surface: Spark windows are [start, end)
 left-closed, time_bucket floors — a boundary event must bin forward in
 both), duplicate timestamps, and session gaps drawn from
-{1799, 1800, 1801} seconds so both sides of the strictly-less-than-gap
-merge rule occur (an event at exactly start+gap opens a NEW session).
+{1799, 1800, 1801} seconds so both sides of the boundary rule occur:
+an event at EXACTLY last+gap MERGES into the running session (Spark
+session_window extends while ``ts <= last + gap``); only a strictly
+greater gap opens a new session. Pinned by
+``test_session_window_pinned_boundary`` and the `window_session_30m`
+oracle's strict ``>`` new-session flag.
 
 Alignment caveat pinned by `test_bucket_origin_alignment_assumption`:
 time_bucket's origin is 2000-01-01, Spark window's is 1970-01-01 —

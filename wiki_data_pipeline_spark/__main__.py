@@ -99,7 +99,6 @@ def main() -> int:
     )
     if args.stream_source is not None or args.stream:
         import glob
-        import shutil
 
         stream_source = args.stream_source or cfg.streaming.source_dir
         if stream_source is None:
@@ -115,18 +114,6 @@ def main() -> int:
                 "--limit is not supported in streaming mode (bound "
                 "intake with streaming.max_files_per_trigger)"
             )
-        # --reset in streaming mode = drop the offset log so the next
-        # drain reprocesses the source from scratch (the batch twin
-        # deletes its watermark file). The streaming dead-letter
-        # history is batch_id-keyed, so it is cleared too — a fresh
-        # run renumbers batches from 0 and stale higher-id partitions
-        # would otherwise double-count on a root read.
-        if args.reset or cfg.processing.reset:
-            for sub in ("_stream_checkpoint", "_dead_letter_stream"):
-                path = os.path.join(out_dir, sub)
-                if os.path.exists(path):
-                    shutil.rmtree(path)
-
         def _count_sink_files() -> int:
             return len(
                 glob.glob(os.path.join(out_dir, "batch_*", "article_*.json"))
@@ -143,6 +130,13 @@ def main() -> int:
             enrichment=(
                 dataclasses.asdict(cfg.enrichment) if args.enrich else None
             ),
+            # --reset in streaming mode = drop the offset log so the
+            # next drain reprocesses the source from scratch (the
+            # batch twin deletes its watermark file). Performed INSIDE
+            # the single-writer lease by run_pipeline_streaming: a
+            # concurrent `--stream --reset` that loses the race fails
+            # fast without having deleted a live run's offset log.
+            reset=args.reset or cfg.processing.reset,
         )
         n_after = _count_sink_files()
         # sink_files_new is THIS run's delta (a resume that drains

@@ -115,9 +115,12 @@ def bucketed_range_join(
         # negative values): FLOOR(x / w) through a double would be
         # one-off at magnitudes where the division isn't representable
         # — epoch-microsecond longs live exactly there
-        c = F.col(col)
-        return ((c - F.pmod(c, F.lit(bucket_width))) / bucket_width).cast(
-            "long"
+        # `div` keeps the whole computation in integer arithmetic;
+        # Spark's `/` casts both sides to double, which rounds at
+        # |values| > 2^53 (epoch-NANOsecond longs) and can shift a row
+        # to the wrong bucket, silently dropping matches.
+        return F.expr(
+            f"(({col}) - pmod({col}, {bucket_width})) div {bucket_width}"
         )
 
     p_b = points.withColumn("__bucket", _bucket(ts))

@@ -286,6 +286,7 @@ def run_pipeline_streaming(
     enrichment: dict | None = None,
     fault_injector=None,
     sink_task_fault_injector=None,
+    reset: bool = False,
 ) -> None:
     """Single-writer entry point for the streaming twin: same
     fencing as the batch runner (a second concurrent drain of one
@@ -294,7 +295,13 @@ def run_pipeline_streaming(
     ``availableNow`` queries on one checkpointLocation — they race the
     offset log — so the lease closes the same hole the batch
     watermark store had. See :func:`_run_pipeline_streaming_impl`
-    for the pipeline semantics."""
+    for the pipeline semantics.
+
+    ``reset`` drops the offset log + streaming dead-letter history
+    INSIDE the lease (mirroring the batch runner's reset-in-lease in
+    ``_run_pipeline_impl``): a ``--stream --reset`` invocation that
+    loses the lease race fails fast WITHOUT having deleted a live
+    run's offset log first."""
     # lock lives BESIDE the checkpoint dir (out_dir/_stream_runner.lock),
     # not inside it: the offset log stays exactly what Spark wrote, and
     # --reset's rmtree of _stream_checkpoint never races the lease file
@@ -303,6 +310,13 @@ def run_pipeline_streaming(
         os.path.join(out_dir, "_stream_runner")
     )
     with lease_ckpt.lease():
+        if reset:
+            # Fresh drain renumbers batches from 0; stale higher-id
+            # dead-letter partitions would double-count on a root read.
+            for sub in ("_stream_checkpoint", "_dead_letter_stream"):
+                path = os.path.join(out_dir, sub)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
         _run_pipeline_streaming_impl(
             spark,
             source_dir,

@@ -98,16 +98,49 @@ class HighWatermarkCheckpoint:
                 alive = False
             except PermissionError:
                 alive = True  # exists, owned by someone else
-        if not alive:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(self.lock_path)
-            if self._try_acquire():
-                return
+        if not alive and self._reap_stale(pid) and self._try_acquire():
+            return
         raise CheckpointLeaseError(
             f"checkpoint {self.path} is leased by a live run (lock "
             f"{self.lock_path}, holder pid {pid}); concurrent runners "
             "on one checkpoint would double-process the same delta"
         )
+
+    def _reap_stale(self, dead_pid: int) -> bool:
+        """Remove a lock whose holder pid is dead. Claimed by RENAME,
+        not unlink: two contenders that both observed the dead pid
+        would otherwise both unlink-and-acquire — the second unlink
+        removing the first's fresh LIVE lock, yielding two concurrent
+        'single-writer' holders (TOCTOU). rename() is atomic, so
+        exactly one contender wins the reap; the loser sees
+        FileNotFoundError and treats it as contention.
+
+        After the rename we re-verify the claimed file still names the
+        dead pid: if another contender already reaped and a NEW holder
+        acquired in between, we just stole a live lock — restore it
+        with link() (atomic, refuses to clobber a newer lock) and
+        report contention."""
+        claim = f"{self.lock_path}.reap.{os.getpid()}"
+        try:
+            os.rename(self.lock_path, claim)
+        except FileNotFoundError:
+            return False  # another contender reaped first
+        try:
+            with open(claim, encoding="utf-8") as f:
+                claimed_pid = int(f.read().strip() or "-1")
+        except (OSError, ValueError):
+            claimed_pid = -1
+        if claimed_pid == dead_pid:
+            os.unlink(claim)
+            return True
+        # Stole a re-created (live) lock: put it back without
+        # clobbering anything newer, then yield.
+        try:
+            os.link(claim, self.lock_path)
+        except FileExistsError:
+            pass  # a newer lock appeared; leave it be
+        os.unlink(claim)
+        return False
 
     def release(self) -> None:
         with contextlib.suppress(FileNotFoundError):
