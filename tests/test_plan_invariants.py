@@ -1,0 +1,279 @@
+"""Plan-shape regression manifest (r8 verdict item 1).
+
+The wall-clock gate (bench.py) catches >=2x slowdowns at sf0.1; a plan
+regression that costs 1.5x at sf0.1 but is a scale-killer at 100x —
+a broadcast silently becoming a shuffle join after a threshold/stats
+change, a new Exchange, a CartesianProduct, a filter no longer reaching
+the parquet scan — sails through it. This manifest pins the PHYSICAL
+PLAN SHAPE of the most expensive registered queries (top of
+BENCH_BASELINE.json by frozen cost, plus the queries whose plan IS the
+design claim: j1's broadcast at plans/star_schema.py:115, q9's single
+fact-fact shuffle, q19's disjunctive pushdown): each declares ceilings
+on shuffle Exchanges and scans, floors on BroadcastHashJoins where
+broadcast is the designed strategy, and whether predicate pushdown must
+reach the scan. Compilation only — ``executedPlan`` is the pre-AQE
+physical plan, deterministic at the pinned fixture SF — so the sweep is
+cheap and the failure message carries the full audit diff.
+
+Blanket invariants over every manifest entry (and, cheaply, the WHOLE
+registry in test_registry_wide_blanket_invariants): zero
+CartesianProduct, zero row-at-a-time Python (BatchEvalPython) — the two
+shapes that are never acceptable at 100 TB.
+
+Ceilings are the r9 measured values at sf0.001 — i.e. "the plan we
+audited and accepted", not aspirations. A failure means the plan
+CHANGED; if the change is intentional and audited, update the manifest
+entry in the same commit and say why in its note.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+from plan_audit import audit_plan  # noqa: E402
+
+from wiki_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
+
+# name -> declared invariants. Fields (all optional except the blanket
+# zero-cartesian / zero-row-python, asserted for every entry):
+#   max_exchanges:  ceiling on shuffle Exchange nodes (pre-AQE)
+#   max_scans:      ceiling on parquet scans (branch-reuse regressions)
+#   min_bhj:        floor on BroadcastHashJoin nodes (designed broadcasts)
+#   max_smj:        ceiling on SortMergeJoin nodes (a broadcast that
+#                   silently became a shuffle join raises this)
+#   max_bnlj:       ceiling on BroadcastNestedLoopJoin (range/boundary
+#                   joins that are broadcast-small by design)
+#   pushdown:       True = at least one scan must carry a non-empty
+#                   PushedFilters list
+#   note:           why the declared shape is the intended one
+MANIFEST: dict[str, dict] = {
+    # -- dedup family (documents) --
+    "dedup_minhash_verified": dict(
+        max_exchanges=45, max_scans=45, min_bhj=8, max_smj=0, pushdown=True,
+        note="two-stage LSH->exact-Jaccard; triplicated static subplan is "
+        "AQE-stage-reuse-deduped at runtime (plans/llm_ops.py:503-512)",
+    ),
+    "dedup_minhash_calibration": dict(
+        max_exchanges=16, max_scans=24, min_bhj=6, max_smj=1, pushdown=True,
+        note="band-calibration sweep over the shared LSH subplan",
+    ),
+    "dedup_family_agreement": dict(
+        max_exchanges=19, max_scans=27, min_bhj=6, max_smj=2, pushdown=True,
+        note="3 dedup families joined on pair keys",
+    ),
+    "dedup_keep_best": dict(
+        max_exchanges=1, max_scans=3, min_bhj=1, max_smj=0, pushdown=True,
+        note="cluster winner via broadcast of the (small) cluster map",
+    ),
+    "dedup_simhash": dict(
+        max_exchanges=2, max_scans=3, max_smj=0, pushdown=True,
+        note="sign-LSH blocks; bit-vote aggregate, no join",
+    ),
+    "dedup_simhash_hamming_histogram": dict(
+        max_exchanges=8, max_scans=9, min_bhj=2, max_smj=0, pushdown=True,
+        note="block-join candidates + popcount histogram",
+    ),
+    "dedup_minhash_lsh": dict(
+        max_exchanges=3, max_scans=3, max_smj=0, pushdown=True,
+        note="banded signatures; shuffle on (band, sig) only — an SMJ "
+        "here would mean an accidental all-pairs self-join",
+    ),
+    "dedup_impact_report": dict(
+        max_exchanges=23, max_scans=27, min_bhj=6, pushdown=True,
+        note="family union + per-family impact rollup",
+    ),
+    "dedup_substring_spans": dict(
+        max_exchanges=10, max_scans=10, pushdown=True,
+        note="positional span hashes; corpus-shared chunk set",
+    ),
+    # -- text / scoring --
+    "text_winnow_fingerprint": dict(
+        max_exchanges=2, max_scans=2,
+        note="winnowing is map-only (higher-order transform) + one "
+        "groupBy; plan may fold to a checkpointed scan",
+    ),
+    "score_bigram_surprisal": dict(
+        max_exchanges=19, max_scans=8, min_bhj=5, pushdown=True,
+        note="two grouped counts + broadcast LM tables",
+    ),
+    "sample_dsir_importance": dict(
+        max_exchanges=12, max_scans=5, min_bhj=2, pushdown=True,
+        note="importance ratios via broadcast n-gram LMs",
+    ),
+    # -- pipeline rollups --
+    "pipeline_yield_report": dict(
+        max_exchanges=12, max_scans=7, min_bhj=6, pushdown=True,
+        note="stage-yield funnel; stage filters pushed to scan",
+    ),
+    "pipeline_quality_gate": dict(
+        max_exchanges=7, max_scans=4, min_bhj=3, pushdown=True,
+        note="gate thresholds broadcast against the scored corpus",
+    ),
+    "contamination_apply_clean": dict(
+        max_exchanges=5, max_scans=3, min_bhj=2, max_smj=0, pushdown=True,
+        note="decontamination anti-join MUST broadcast the (small) "
+        "contaminated-id set; an SMJ here shuffles the whole corpus",
+    ),
+    # -- graph / clustering --
+    "graph_triangle_stats": dict(
+        max_exchanges=22, max_scans=18, min_bhj=2, pushdown=True,
+        note="pair-graph triangles; edges oriented then joined",
+    ),
+    "graph_degree_histogram": dict(
+        max_exchanges=8, max_scans=6, pushdown=True,
+        note="degree rollup over the LSH pair graph",
+    ),
+    "cluster_kmeans_embeddings": dict(
+        max_exchanges=7, max_scans=6, min_bhj=2, max_bnlj=3,
+        note="fixed rounds, broadcast centroids (BNLJ = the tiny "
+        "centroid cross for min_by assignment — broadcast-small)",
+    ),
+    # -- ANN --
+    "sim_ann_ivf": dict(
+        max_exchanges=5, max_scans=6, min_bhj=2, max_bnlj=2, max_smj=1,
+        pushdown=True,
+        note="inline IVF: broadcast centroids + probe-cell semi-join; "
+        "the persisted-index twin prunes partitions instead "
+        "(operators/ann_index.py:63)",
+    ),
+    "sim_ann_recall_eval": dict(
+        max_exchanges=10, max_scans=10, min_bhj=2, max_bnlj=4, pushdown=True,
+        note="ANN vs exact baseline; query vectors broadcast",
+    ),
+    # -- joins / TPC-H shapes --
+    "join_bloom_runtime_filter": dict(
+        max_exchanges=2, max_scans=2, min_bhj=4, pushdown=True,
+        note="bloom-pruned probe: filter side broadcast twice (build + "
+        "probe), big side scanned once",
+    ),
+    "j1_enrichment_join": dict(
+        max_exchanges=0, max_scans=2, min_bhj=1, max_smj=0, pushdown=True,
+        note="THE broadcast-join claim (plans/star_schema.py:115): "
+        "dim broadcast, ZERO shuffle exchanges",
+    ),
+    "q9_product_profit": dict(
+        max_exchanges=1, max_scans=5, min_bhj=4, max_smj=0, pushdown=True,
+        note="all four dims broadcast; the ONE exchange is the final "
+        "group-by — the claimed single fact-side shuffle",
+    ),
+    "q20_dominant_suppliers": dict(
+        max_exchanges=2, max_scans=4, min_bhj=3, max_smj=0, pushdown=True,
+        note="nested-agg semi-join chain, dims broadcast",
+    ),
+    "q6_forecast_revenue": dict(
+        max_exchanges=1, max_scans=1, pushdown=True,
+        note="pure scan+agg; range predicates MUST reach the scan",
+    ),
+    "q19_disjunctive_pushdown": dict(
+        max_exchanges=1, max_scans=2, min_bhj=1, max_smj=0, pushdown=True,
+        note="OR-of-ANDs partially pushed; broadcast part side",
+    ),
+    "range_partition_plan": dict(
+        max_exchanges=2, max_scans=2, max_bnlj=1,
+        note="boundary table is tiny by construction -> BNLJ broadcast "
+        "of range bounds is the intended shape",
+    ),
+    # -- iterative fixpoints: the returned DF is a localCheckpoint
+    # scan (rounds ran eagerly), so only blanket invariants apply --
+    "dedup_cluster_components": dict(
+        note="fixpoint rounds execute at build; final DF is checkpointed"
+    ),
+    "dedup_cluster_components_star": dict(
+        max_exchanges=1, note="star fixpoint; final rollup exchange only"
+    ),
+    "graph_pagerank_dedup": dict(
+        note="3 fixed rounds at build; final DF checkpointed"
+    ),
+    "join_bucketed_orderkey": dict(
+        max_exchanges=0,
+        note="bucketed co-located join: ZERO exchanges is the claim "
+        "(tests/test_bucketing.py is the setup-owning twin)",
+    ),
+}
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _compile(spark, name: str) -> tuple[str, dict]:
+    df = all_queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    audit = audit_plan(plan)
+    audit["pushed_filters"] = len(
+        re.findall(r"PushedFilters: \[[^\]]", plan)
+    )
+    return plan, audit
+
+
+@pytest.mark.parametrize("name", sorted(MANIFEST))
+def test_plan_invariants(spark, name):
+    inv = MANIFEST[name]
+    plan, a = _compile(spark, name)
+    errors = []
+    # blanket: never acceptable at any scale
+    if a["cartesian"]:
+        errors.append(f"CartesianProduct x{a['cartesian']}")
+    if a["row_python"]:
+        errors.append(f"row-at-a-time Python x{a['row_python']}")
+    if "max_exchanges" in inv and a["exchanges"] > inv["max_exchanges"]:
+        errors.append(
+            f"exchanges {a['exchanges']} > ceiling {inv['max_exchanges']}"
+        )
+    if "max_scans" in inv and a["scans"] > inv["max_scans"]:
+        errors.append(f"scans {a['scans']} > ceiling {inv['max_scans']}")
+    if "min_bhj" in inv and a["bhj"] < inv["min_bhj"]:
+        errors.append(
+            f"BroadcastHashJoin {a['bhj']} < floor {inv['min_bhj']} — "
+            "a designed broadcast degraded to a shuffle join"
+        )
+    if "max_smj" in inv and a["smj"] > inv["max_smj"]:
+        errors.append(f"SortMergeJoin {a['smj']} > ceiling {inv['max_smj']}")
+    if "max_bnlj" in inv and a["bnlj"] > inv["max_bnlj"]:
+        errors.append(
+            f"BroadcastNestedLoopJoin {a['bnlj']} > ceiling {inv['max_bnlj']}"
+        )
+    if inv.get("pushdown") and a["pushed_filters"] == 0:
+        errors.append("no scan carries a non-empty PushedFilters list")
+    assert not errors, (
+        f"{name}: plan shape degraded — {'; '.join(errors)}\n"
+        f"note: {inv.get('note', '')}\naudit: {a}\n"
+        f"plan (first 4000 chars):\n{plan[:4000]}"
+    )
+
+
+def test_manifest_names_are_registered():
+    registered = set(all_queries())
+    missing = sorted(set(MANIFEST) - registered)
+    assert not missing, f"manifest names not in registry: {missing}"
+
+
+def test_registry_wide_blanket_invariants(spark):
+    """Every registered query compiles to a plan with ZERO
+    CartesianProduct and ZERO BatchEvalPython nodes. Compile-only
+    (iterative queries do execute their build-time rounds at sf0.001 —
+    a few seconds total). Counting is per-line via audit_plan, not
+    substring, so Reused/Broadcast exchanges don't confound."""
+    queries = all_queries()
+    bad: dict[str, str] = {}
+    for name in sorted(queries):
+        try:
+            df = queries[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            bad[name] = f"COMPILE_ERROR: {str(e)[:150]}"
+            continue
+        a = audit_plan(plan)
+        if a["cartesian"]:
+            bad[name] = f"CartesianProduct x{a['cartesian']}"
+        elif a["row_python"]:
+            bad[name] = f"BatchEvalPython x{a['row_python']}"
+    assert not bad, f"scale-hostile plan shapes: {bad}"
