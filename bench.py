@@ -217,7 +217,133 @@ def _load_baseline() -> dict[str, float]:
         return {}
 
 
+# --- sf1 scale surface (r9 verdict item 3) ---------------------------
+# The second decade as a GATED artifact, not an ad-hoc probe: the ~25
+# heaviest queries (plus the session sentinels) run at sf0.1 AND at a
+# 10x decorrelated replica ("sf1", built by tools/scale_probe.py's
+# build_scaled — replica construction documented there: disjoint
+# shingle spaces, shifted embeddings, offset keys, fixed dims), in ONE
+# session so the per-query scaling exponent log10(t_sf1/t_sf0.1) is
+# host-load-self-normalized. The sf1 timings gate against
+# BENCH_SF1_BASELINE.json with the same 2x factor + absolute floor +
+# sentinel session normalization as the sf0.1 gate (floor scaled 10x:
+# at 10x data, a real regression costs seconds). First run freezes the
+# baseline; artifact lands in BENCH_SF1.json.
+SF1_QUERIES = [
+    # sentinels first (session_ratio needs them)
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "dedup_exact",
+    # heaviest by frozen sf0.1 cost, spanning every big-data family
+    "dedup_minhash_verified",
+    "text_winnow_fingerprint",
+    "dedup_minhash_calibration",
+    "pipeline_yield_report",
+    "dedup_family_agreement",
+    "join_bloom_runtime_filter",
+    "graph_pagerank_dedup",
+    "dedup_keep_best",
+    "cluster_kmeans_embeddings",
+    "dedup_simhash_hamming_histogram",
+    "score_bigram_surprisal",
+    "dedup_cluster_components",
+    "sample_dsir_importance",
+    "graph_triangle_stats",
+    "pipeline_quality_gate",
+    "q20_dominant_suppliers",
+    "sim_ann_recall_eval",
+    "contamination_apply_clean",
+    "sim_ann_ivf",
+    "dedup_minhash_lsh",
+    "q9_product_profit",
+    "q18_large_orders",
+]
+SF1_BASELINE_PATH = "BENCH_SF1_BASELINE.json"
+SF1_ABS_FLOOR_SEC = 5.0  # 10x data -> 10x the sf0.1 floor
+
+
+def _time_set(spark, queries, names, sf_dir, trials=3) -> dict[str, float]:
+    for name in names:  # warmup: codegen + parquet footers
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    t: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(trials):
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t[name].append(round(time.perf_counter() - t0, 3))
+    return {n: sorted(ts)[len(ts) // 2] for n, ts in t.items()}
+
+
+def run_sf1() -> None:
+    import math
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from scale_probe import build_scaled
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    workdir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(here, ".scale")
+    )
+    sf1_dir = build_scaled(spark, workdir, 10)
+    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    t01 = _time_set(spark, queries, SF1_QUERIES, sf01_dir)
+    t1 = _time_set(spark, queries, SF1_QUERIES, sf1_dir)
+    # scaling exponent: 1.0 = linear in data size, <1 sublinear (fixed
+    # costs amortizing), >1 superlinear (a finding). Self-normalized:
+    # both scales timed in this session, so host load cancels.
+    exponents = {
+        n: round(math.log10(max(t1[n], 1e-3) / max(t01[n], 1e-3)), 2)
+        for n in SF1_QUERIES
+    }
+
+    base_path = os.path.join(here, SF1_BASELINE_PATH)
+    frozen_now = False
+    if not os.path.exists(base_path):
+        with open(base_path, "w", encoding="utf-8") as f:
+            json.dump(
+                {"sf": 1.0, "note": "frozen at first --sf1 run (r9)",
+                 "queries": t1},
+                f, indent=1,
+            )
+        frozen_now = True
+    baseline = json.load(open(base_path, encoding="utf-8"))["queries"]
+    norm = session_ratio(t1, baseline)
+    raw_sentinels = sentinel_ratios(t1, baseline)
+    regressions = compute_regressions(
+        t1, baseline, norm=norm, abs_floor_sec=SF1_ABS_FLOOR_SEC
+    )
+    doc = {
+        "metric": "sf1_total_wall",
+        "value": round(sum(t1.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "queries_sf1": t1,
+        "queries_sf01": t01,
+        "scaling_exponents": exponents,
+        "superlinear": {n: e for n, e in exponents.items() if e > 1.1},
+        "baseline": SF1_BASELINE_PATH,
+        "baseline_frozen_this_run": frozen_now,
+        "session_ratio": round(norm, 3),
+        "session_ratio_sentinels": raw_sentinels,
+        "session_ratio_alert": norm > SESSION_RATIO_SANITY_BOUND,
+        "regressions_over_2x": regressions,
+    }
+    with open(os.path.join(here, "BENCH_SF1.json"), "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
+
 def main() -> None:
+    if "--sf1" in sys.argv:
+        run_sf1()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("bench")

@@ -1,0 +1,309 @@
+"""Hand-computed golden fixtures (r9 verdict item 5).
+
+The DuckDB oracles for several operator families were DERIVED FROM THE
+SAME DESIGN as the Spark plans (fixed-point components, packing
+offsets, CDC merge, as-of/range joins, shingle overlap): a subtly
+wrong shared formula would pass parity on both engines. These goldens
+break the shared assumption: 5–10 row inputs written inline, expected
+outputs computed BY HAND from first principles and written as
+literals — the pattern of the reference's test_pipeline.py:119-126
+(literal in → literal out). If a golden and the parity harness ever
+disagree, the golden wins: it has no code in common with either
+engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def rows(df, *cols):
+    """Sorted list of plain tuples for literal comparison."""
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+# ---------------------------------------------------------------------
+# connected components (fixed-point) — plans/llm_ops.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_min_label_components(spark):
+    """Edges 1-2, 2-3 (path), 5-6 (pair), 7-8-9 (cycle). By hand:
+    component labels are the min node id reachable: {1,2,3}->1,
+    {5,6}->5, {7,8,9}->7."""
+    from wiki_data_pipeline_spark.plans.llm_ops import _min_label_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 7)], "a long, b long"
+    )
+    got = rows(_min_label_components(pairs, "a", "b"), "node", "lbl")
+    assert got == [
+        (1, 1), (2, 1), (3, 1),
+        (5, 5), (6, 5),
+        (7, 7), (8, 7), (9, 7),
+    ]
+
+
+# ---------------------------------------------------------------------
+# packing offsets — operators/packing.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_global_offsets(spark):
+    """Exclusive prefix sum in doc_id order of sizes 5,3,0,7,2:
+    starts are 0, 5, 8, 8, 15 (the 0-size row consumes nothing)."""
+    from wiki_data_pipeline_spark.operators.packing import with_global_offsets
+
+    df = spark.createDataFrame(
+        [(10, 5), (20, 3), (30, 0), (40, 7), (50, 2)], "doc_id long, n long"
+    )
+    got = rows(with_global_offsets(df, "doc_id", "n"), "doc_id", "start")
+    assert got == [(10, 0), (20, 5), (30, 8), (40, 8), (50, 15)]
+
+
+def test_golden_stream_offsets(spark):
+    """Per-stream exclusive prefix sums: en sizes 4,6,2 -> 0,4,10;
+    fr sizes 3,5 -> 0,3."""
+    from wiki_data_pipeline_spark.operators.packing import with_stream_offsets
+
+    df = spark.createDataFrame(
+        [("en", 1, 4), ("en", 2, 6), ("fr", 1, 3), ("en", 3, 2), ("fr", 2, 5)],
+        "lang string, seq long, n long",
+    )
+    got = rows(
+        with_stream_offsets(df, "lang", "seq", "n"),
+        "lang", "seq", "offset_tokens",
+    )
+    assert got == [
+        ("en", 1, 0), ("en", 2, 4), ("en", 3, 10),
+        ("fr", 1, 0), ("fr", 2, 3),
+    ]
+
+
+def test_golden_bin_spans(spark):
+    """cap=10. [0,10) -> bin0:10. [10,35) -> bin1:10, bin2:10, bin3:5.
+    [35,40) -> bin3:5. n=0 occupies no bin (the phantom-bin hazard)."""
+    from wiki_data_pipeline_spark.operators.packing import with_bin_spans
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 25), (3, 35, 5), (4, 40, 0)],
+        "doc long, start long, n long",
+    )
+    got = rows(with_bin_spans(df, 10), "doc", "bin_id", "tokens_in_bin")
+    assert got == [
+        (1, 0, 10),
+        (2, 1, 10), (2, 2, 10), (2, 3, 5),
+        (3, 3, 5),
+    ]
+
+
+# ---------------------------------------------------------------------
+# CDC latest-state + merge — operators/cdc.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_cdc_compact_latest(spark):
+    """u1's latest is (ts=5, event_id=2) — the equal-ts tie resolves
+    on event_id, NOT insertion order; u2 has one row."""
+    from wiki_data_pipeline_spark.operators.cdc import compact_latest
+
+    log = spark.createDataFrame(
+        [
+            ("u1", 5, 1, "a", 10),
+            ("u1", 5, 2, "b", 20),
+            ("u1", 3, 9, "c", 30),
+            ("u2", 7, 1, "d", 40),
+        ],
+        "user_id string, ts long, event_id long, event_type string, value long",
+    )
+    out = compact_latest(log).select(
+        "user_id", F.col("v.event_type").alias("t"), F.col("v.value").alias("x")
+    )
+    assert rows(out, "user_id", "t", "x") == [("u1", "b", 20), ("u2", "d", 40)]
+
+
+def test_golden_cdc_merge_latest_stale_replay(spark):
+    """MERGE by hand: k1 untouched -> s1; k2's delta (ts4) is a STALE
+    replay of state (ts5) -> retain s2 (the case naive upsert corrupts);
+    k3 is an insert -> d3."""
+    from wiki_data_pipeline_spark.operators.cdc import (
+        compact_latest,
+        merge_latest,
+    )
+
+    state_log = spark.createDataFrame(
+        [("k1", 2, 1, "s1", 0), ("k2", 5, 3, "s2", 0)],
+        "user_id string, ts long, event_id long, event_type string, value long",
+    )
+    delta_log = spark.createDataFrame(
+        [("k2", 4, 9, "d_stale", 0), ("k3", 1, 1, "d3", 0)],
+        "user_id string, ts long, event_id long, event_type string, value long",
+    )
+    state = compact_latest(state_log, out="hv")
+    delta = compact_latest(delta_log, out="dv")
+    out = merge_latest(state, delta).select(
+        "user_id", F.col("m.event_type").alias("t")
+    )
+    assert rows(out, "user_id", "t") == [
+        ("k1", "s1"), ("k2", "s2"), ("k3", "d3")
+    ]
+
+
+# ---------------------------------------------------------------------
+# as-of + range joins — operators/joins.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_asof_join_both_directions(spark):
+    """Right rows at ts 0,5,7. Backward (latest right.ts <= left.ts):
+    1->a, 5->b (equal-ts MATCHES), 10->c. Forward (earliest right.ts
+    >= left.ts): 1->b? no — earliest >= 1 is 5 -> b; 5->b (tie);
+    10->None (nothing at or after 10)."""
+    from wiki_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1), ("k", 5), ("k", 10)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 0, "a"), ("k", 5, "b"), ("k", 7, "c")],
+        "key string, ts long, val string",
+    )
+    back = asof_join(left, right, "key", "ts", "val", "backward")
+    assert rows(back, "ts", "val") == [(1, "a"), (5, "b"), (10, "c")]
+    fwd = asof_join(left, right, "key", "ts", "val", "forward")
+    assert rows(fwd, "ts", "val") == [(1, "b"), (5, "b"), (10, None)]
+
+
+def test_golden_bucketed_range_join_boundaries(spark):
+    """start_open=True, end_open=False => (start, end] by hand:
+    interval (10, 20] with width 7 (buckets cut at 7,14,21 — edges
+    inside the interval): 10 out, 11 in, 14 in (bucket edge), 20 in,
+    21 out."""
+    from wiki_data_pipeline_spark.operators.joins import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [("k", 10), ("k", 11), ("k", 14), ("k", 20), ("k", 21)],
+        "key string, ts long",
+    )
+    iv = spark.createDataFrame(
+        [("k", 10, 20, "I")], "key string, lo long, hi long, tag string"
+    )
+    out = bucketed_range_join(
+        points, iv, "key", "ts", "lo", "hi", 7,
+        start_open=True, end_open=False,
+    )
+    assert rows(out, "ts", "tag") == [(11, "I"), (14, "I"), (20, "I")]
+
+
+def test_golden_bucketed_range_join_past_2_53(spark):
+    """Regression for the double-division bucket bug (r8 advice):
+    at |values| > 2^53 a floor-through-double can shift a row one
+    bucket over and silently DROP matches. base = 2^60; interval
+    (base+500, base+1500], width 1000. By hand: base+500 out (open
+    start), base+501 in, base+1500 in (closed end), base+1501 out."""
+    from wiki_data_pipeline_spark.operators.joins import bucketed_range_join
+
+    base = 1 << 60
+    points = spark.createDataFrame(
+        [("k", base + d) for d in (500, 501, 1500, 1501)],
+        "key string, ts long",
+    )
+    iv = spark.createDataFrame(
+        [("k", base + 500, base + 1500, "I")],
+        "key string, lo long, hi long, tag string",
+    )
+    out = bucketed_range_join(
+        points, iv, "key", "ts", "lo", "hi", 1000,
+        start_open=True, end_open=False,
+    )
+    assert rows(out, "ts", "tag") == [
+        (base + 501, "I"), (base + 1500, "I")
+    ]
+
+
+# ---------------------------------------------------------------------
+# shingle overlap / jaccard / containment — operators/dedup.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_pairwise_jaccard_containment(spark):
+    """3-gram shingles by hand: A='a b c d' -> {abc, bcd}; B='a b c e'
+    -> {abc, bce}; C='x y z w' -> disjoint. Overlap(A,B): c=1, n_a=2,
+    n_b=2 -> Jaccard 1/(2+2-1)=1/3, containment 1/min(2,2)=1/2.
+    Disjoint pairs never materialize. D='a b' (<3 tokens) shingles
+    nothing."""
+    from wiki_data_pipeline_spark.operators.dedup import (
+        pairwise_containment,
+        pairwise_jaccard,
+        pairwise_shingle_overlap,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    ov = rows(
+        pairwise_shingle_overlap(corpus), "doc_a", "doc_b", "c", "n_a", "n_b"
+    )
+    assert ov == [(1, 2, 1, 2, 2)]
+    jac = rows(pairwise_jaccard(corpus, 0.3), "doc_a", "doc_b", "jaccard")
+    assert jac == [(1, 2, 1 / 3)]
+    cont = rows(
+        pairwise_containment(corpus, 0.5), "doc_a", "doc_b", "containment"
+    )
+    assert cont == [(1, 2, 0.5)]
+
+
+# ---------------------------------------------------------------------
+# skew-safe distinct count — operators/skew.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_salted_distinct_count(spark):
+    """g1 values {1,2,3} (2 duplicated) -> 3; g2 {5} -> 1. Exact for
+    ANY salt count because each value lands in exactly one salt."""
+    from wiki_data_pipeline_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 2), ("g1", 3), ("g2", 5), ("g2", 5)],
+        "g string, v long",
+    )
+    got = rows(salted_distinct_count(df, "g", "v", n_salts=4), "g", "n_distinct_v")
+    assert got == [("g1", 3), ("g2", 1)]
+
+
+# ---------------------------------------------------------------------
+# sessionization boundary — operators/sessions.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_session_seq_exact_gap_boundary(spark):
+    """gap=1800s. Events at 0, 0 (tie), 1800, 3601. By hand: the
+    event at EXACTLY last+gap (1800) MERGES (strict > opens); 3601 is
+    1801 after 1800 -> NEW session. Expected session numbers
+    1,1,1,2."""
+    from wiki_data_pipeline_spark.operators.sessions import with_session_seq
+
+    df = spark.createDataFrame(
+        [("u", 0, 1), ("u", 0, 2), ("u", 1800, 3), ("u", 3601, 4)],
+        "user_id string, ts long, event_id long",
+    )
+    got = rows(with_session_seq(df), "event_id", "session_seq")
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 2)]
+
+
+# ---------------------------------------------------------------------
+# vector math — functions/vectors.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_cosine(spark):
+    """[3,4]·[4,3] = 24, norms 5 and 5 -> cosine exactly 24/25."""
+    from wiki_data_pipeline_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert got == pytest.approx(24 / 25, abs=0, rel=1e-15)
