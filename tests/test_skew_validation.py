@@ -1,0 +1,149 @@
+"""End-to-end skew validation (r9 verdict item 4): the decision rule
+diagnostic -> trigger -> plan -> execution, pinned on a REAL hot-key
+corpus (one key owns 30% of all rows), plus the per-task balance claim
+the salted path exists for. Wall-clock evidence (plain vs salted vs
+AQE max-task-runtime) is measured by tools/skew_probe.py and recorded
+in SCALE.md — this file pins everything deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_data_pipeline_spark.operators.skew import (
+    GINI_SALT_TRIGGER_MICRO,
+    gini_micro,
+    plan_salts,
+    salted_join,
+    salted_join_planned,
+)
+
+N_ROWS = 100_000
+HOT_SHARE = 0.30
+N_COLD_KEYS = 5_000
+TARGET = 1_000
+
+
+@pytest.fixture(scope="module")
+def hot_fact(spark):
+    """100k fact rows: key 0 owns 30%, the rest uniform over 5k keys.
+    row_id is the unique per-row salt source."""
+    n_hot = int(N_ROWS * HOT_SHARE)
+    return (
+        spark.range(N_ROWS)
+        .select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") < n_hot, F.lit(0))
+            .otherwise(1 + F.pmod(F.xxhash64("id"), F.lit(N_COLD_KEYS)))
+            .cast("long")
+            .alias("key"),
+            (F.col("id") % 97).alias("payload"),
+        )
+        .localCheckpoint()  # freeze: both join paths see identical rows
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(N_COLD_KEYS + 1).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("dim_val")
+    )
+
+
+def test_gini_trigger_fires_on_hot_corpus(spark, hot_fact):
+    """30%-hot corpus concentrates volume far past the 0.40 trigger;
+    a uniform corpus of the same size stays far below it. The trigger
+    separates the two regimes with wide margin on both sides."""
+    g_hot = gini_micro(hot_fact, "key")
+    assert g_hot >= GINI_SALT_TRIGGER_MICRO, g_hot
+    uniform = spark.range(N_ROWS).select(
+        F.col("id").alias("row_id"),
+        F.pmod(F.xxhash64("id"), F.lit(N_COLD_KEYS)).alias("key"),
+    )
+    g_uni = gini_micro(uniform, "key")
+    assert g_uni < GINI_SALT_TRIGGER_MICRO // 2, g_uni
+
+
+def test_salting_plan_targets_only_hot_keys(hot_fact):
+    """By hand: the hot key has 30,000 rows -> ceil(30000/1000) = 30
+    slices; cold keys average 14 rows — far under target — so the
+    plan contains EXACTLY the hot key (zero replication tax on the
+    cold 99.98%)."""
+    plan = plan_salts(hot_fact, "key", TARGET).collect()
+    assert len(plan) == 1
+    row = plan[0]
+    assert row["key"] == 0
+    assert row["n_rows"] == 30_000
+    assert row["salt_factor"] == 30
+
+
+def test_planned_salted_join_row_identical(spark, hot_fact, dim):
+    """salted_join_planned == plain join, row-for-row (inner + left),
+    on the hot corpus — the correctness half of the skew story."""
+    plan = plan_salts(hot_fact, "key", TARGET)
+    for how in ("inner", "left"):
+        plain = hot_fact.join(dim, "key", how)
+        salted = salted_join_planned(
+            hot_fact, dim, "key", "row_id", plan, how
+        )
+        cols = sorted(plain.columns)
+        assert sorted(salted.columns) == cols
+        a = sorted(map(tuple, plain.select(*cols).collect()))
+        b = sorted(map(tuple, salted.select(*cols).collect()))
+        assert a == b, f"{how}: salted join diverged from plain join"
+
+
+def test_per_task_balance_plain_vs_salted(spark, hot_fact):
+    """The balance half: rows-per-shuffle-partition (the task input
+    under hash partitioning) for the three fact-side routings.
+    Plain key partitioning routes the whole hot key through ONE task
+    (max share >= 30%); planned salting caps every task near the
+    uniform share; uniform n_salts=32 salting likewise. Deterministic:
+    hash partitioning of fixed data."""
+    n_parts = 32
+
+    def max_partition_rows(df, *cols) -> int:
+        return (
+            df.repartition(n_parts, *cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    plain_max = max_partition_rows(hot_fact, F.col("key"))
+    assert plain_max >= N_ROWS * HOT_SHARE  # the hot task
+
+    plan = plan_salts(hot_fact, "key", TARGET)
+    planned_fact = (
+        hot_fact.join(F.broadcast(plan.select("key", "salt_factor")), "key", "left")
+        .withColumn("_sf", F.coalesce("salt_factor", F.lit(1)))
+        .withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.col("_sf")))
+    )
+    salted_max = max_partition_rows(planned_fact, F.col("key"), F.col("_salt"))
+    mean = N_ROWS / n_parts
+    assert salted_max <= 3 * mean, (
+        f"salted max-partition {salted_max} vs mean {mean:.0f} — "
+        "the planned salts did not spread the hot key"
+    )
+    # and the salted path is strictly, massively better than plain
+    assert salted_max * 3 < plain_max
+
+
+def test_uniform_salted_join_row_identical(spark, hot_fact, dim):
+    """The fixed-n_salts operator on the same corpus (the pre-r9
+    uniform path): still row-identical to the plain join."""
+    plain = sorted(
+        map(tuple, hot_fact.join(dim, "key").select("row_id", "dim_val").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(hot_fact, dim, "key", "row_id", n_salts=8)
+            .select("row_id", "dim_val")
+            .collect(),
+        )
+    )
+    assert plain == salted

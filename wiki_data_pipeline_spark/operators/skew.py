@@ -63,6 +63,118 @@ def salted_join(
     return f.join(d, [on, "_salt"], how).drop("_salt")
 
 
+# --- the skew DECISION RULE (r9 verdict item 4) ----------------------
+# Diagnostic -> trigger -> plan -> execution, each a named artifact:
+#   1. gini_micro(df, key) measures per-key volume concentration
+#      (exact integer micro-Gini, the skew_gini_coefficient formula);
+#   2. >= GINI_SALT_TRIGGER_MICRO routes the join through salting
+#      (below it, plain hash partitioning + AQE's runtime splitting
+#      are enough — salting's dim replication isn't free);
+#   3. plan_salts() emits ceil(n/target) per hot key (the
+#      skew_salting_plan shape, heavy-hitter-sized and broadcastable);
+#   4. salted_join_planned() executes with PER-KEY salt factors — hot
+#      keys spread across exactly their planned slices, cold keys pay
+#      zero replication (vs salted_join's uniform n_salts, which
+#      replicates the whole dim n times).
+# End-to-end wall-clock evidence: tools/skew_probe.py, table in
+# SCALE.md §r9; per-task balance pinned in tests/test_skew_validation.py.
+
+GINI_SALT_TRIGGER_MICRO = 400_000  # Gini >= 0.40 over per-key counts
+
+
+def gini_micro(df: DataFrame, key: str) -> int:
+    """Exact integer micro-Gini of per-``key`` row counts (0 uniform,
+    -> 1e6 concentrated): G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    counts ranked ascending, every term BIGINT, half-up division —
+    the skew_gini_coefficient discipline on an arbitrary frame."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key).agg(F.count("*").alias("x"))
+    ranked = per_key.withColumn(
+        "i", F.row_number().over(Window.orderBy("x", key))
+    )
+    row = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    ).select(
+        F.expr(
+            "(2 * 1000000 * (2 * six - (n + 1) * sx) + n * sx)"
+            " div (2 * n * sx)"
+        ).cast("bigint").alias("g")
+    ).first()
+    return int(row["g"])
+
+
+def plan_salts(
+    df: DataFrame, key: str, target_rows: int
+) -> DataFrame:
+    """(key, n_rows, salt_factor) for every key whose row count
+    exceeds ``target_rows``: salt_factor = ceil(n/target) via the
+    integer identity (n + t - 1) div t. Heavy-hitter-sized output —
+    broadcast it into :func:`salted_join_planned`."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > target_rows)
+        .withColumn(
+            "salt_factor",
+            F.expr(f"(n_rows + {target_rows} - 1) div {target_rows}").cast(
+                "int"
+            ),
+        )
+    )
+
+
+def salted_join_planned(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_row_key: str,
+    plan: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with PER-KEY salt factors from ``plan`` (the
+    :func:`plan_salts` shape). Hot keys split into exactly
+    ``salt_factor`` slices; keys absent from the plan get factor 1 —
+    no dim replication, no extra shuffle width. Row-identical to the
+    plain join for the fact-preserving modes (same restriction as
+    :func:`salted_join`).
+
+    Scale: the plan is heavy-hitter-sized, so both plan joins are
+    broadcasts; the only big-data movement is the one fact shuffle on
+    (key, salt) — which is the point."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join_planned: how={how!r} would duplicate unmatched "
+            f"dim rows across salts; use one of {sorted(allowed)}"
+        )
+    p = F.broadcast(plan.select(on, "salt_factor"))
+    f = (
+        fact.join(p, on, "left")
+        .withColumn("_sf", F.coalesce("salt_factor", F.lit(1)))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(fact_row_key)), F.col("_sf")).cast("int"),
+        )
+        .drop("salt_factor", "_sf")
+    )
+    d = (
+        dim.join(p, on, "left")
+        .withColumn("_sf", F.coalesce("salt_factor", F.lit(1)))
+        .withColumn(
+            # generators can't nest in expressions; _sf is int so the
+            # sequence elements are already int
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.col("_sf") - 1)),
+        )
+        .drop("salt_factor", "_sf")
+    )
+    return f.join(d, [on, "_salt"], how).drop("_salt")
+
+
 def salted_distinct_count(
     df: DataFrame, group_col: str, value_col: str, n_salts: int = 8
 ) -> DataFrame:
