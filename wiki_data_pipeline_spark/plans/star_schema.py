@@ -561,6 +561,46 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join_planned",
+    oracle="""
+    SELECT e.event_id, e.user_id, u.n_events_of_user, u.user_total_value
+    FROM events e
+    JOIN (
+      SELECT user_id, count(*) AS n_events_of_user,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS user_total_value
+      FROM events GROUP BY user_id
+    ) u ON e.user_id = u.user_id
+    WHERE e.event_id < 2000
+    """,
+)
+def skew_salted_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAN-DRIVEN salted join (operators/skew.py r9 — the execution
+    end of the Gini-trigger -> plan_salts -> salted_join_planned
+    decision rule): per-key salt factors ceil(n/target) from the
+    broadcast salting plan, so hot users split into exactly their
+    planned slice count and cold users pay ZERO dim replication —
+    vs ``skew_salted_join``'s uniform n_salts, which replicates the
+    whole dim n times. Oracle is the unsalted join: salting must be
+    row-invisible. Balance + wall-clock evidence:
+    tests/test_skew_validation.py, tools/skew_probe.py, SCALE.md."""
+    from wiki_data_pipeline_spark.operators.skew import (
+        plan_salts,
+        salted_join_planned,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events_of_user"),
+        dsum(F.col("value"), "user_total_value"),
+    )
+    fact = events.filter(F.col("event_id") < 2000).select("event_id", "user_id")
+    plan = plan_salts(events, "user_id", target_rows=60)
+    return salted_join_planned(
+        fact, profile, on="user_id", fact_row_key="event_id", plan=plan
+    ).select("event_id", "user_id", "n_events_of_user", "user_total_value")
+
+
+@query(
     "skew_salted_distinct",
     oracle="""
     SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
