@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from wiki_data_pipeline_spark.operators.skew import (
     GINI_SALT_TRIGGER_MICRO,
     gini_micro,
+    needs_salting,
     plan_salts,
     salted_join,
     salted_join_planned,
@@ -51,18 +52,37 @@ def dim(spark):
     )
 
 
-def test_gini_trigger_fires_on_hot_corpus(spark, hot_fact):
-    """30%-hot corpus concentrates volume far past the 0.40 trigger;
-    a uniform corpus of the same size stays far below it. The trigger
-    separates the two regimes with wide margin on both sides."""
+def test_skew_gate_and_gini_prescreen(spark, hot_fact):
+    """The GATE (needs_salting: any key past the per-slice target)
+    fires on the hot corpus and stays quiet on a uniform one. The
+    Gini prescreen agrees here (5k cold keys) — but the gate, not
+    Gini, is the decision: gini is RELATIVE concentration and reads
+    below the prescreen line when the same 30%-hot key hides among
+    200k cold keys (measured in tools/skew_probe.py at 20M rows,
+    where salting still cut max-task runtime 2.4x)."""
+    assert needs_salting(hot_fact, "key", TARGET)
     g_hot = gini_micro(hot_fact, "key")
     assert g_hot >= GINI_SALT_TRIGGER_MICRO, g_hot
     uniform = spark.range(N_ROWS).select(
         F.col("id").alias("row_id"),
         F.pmod(F.xxhash64("id"), F.lit(N_COLD_KEYS)).alias("key"),
     )
+    assert not needs_salting(uniform, "key", TARGET)
     g_uni = gini_micro(uniform, "key")
     assert g_uni < GINI_SALT_TRIGGER_MICRO // 2, g_uni
+    # the shape Gini under-fires on: same 30%-hot key, but the cold
+    # mass spread at ~50 rows/key (the probe's 20M/200k shape scaled
+    # down preserving rows-per-cold-key — low cold-side inequality
+    # pulls the corpus Gini under the prescreen line while the hot
+    # task is still 400x the target)
+    many_cold = spark.range(N_ROWS).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < int(N_ROWS * HOT_SHARE), F.lit(0))
+        .otherwise(1 + F.pmod(F.xxhash64("id"), F.lit(1_400)))
+        .alias("key"),
+    )
+    assert gini_micro(many_cold, "key") < GINI_SALT_TRIGGER_MICRO
+    assert needs_salting(many_cold, "key", TARGET)  # the gate still fires
 
 
 def test_salting_plan_targets_only_hot_keys(hot_fact):

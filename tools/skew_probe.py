@@ -80,6 +80,7 @@ def main() -> None:
     from wiki_data_pipeline_spark.operators.skew import (
         GINI_SALT_TRIGGER_MICRO,
         gini_micro,
+        needs_salting,
         plan_salts,
         salted_join,
         salted_join_planned,
@@ -117,7 +118,10 @@ def main() -> None:
                 "hot_share": HOT_SHARE,
                 "gini_micro": g,
                 "trigger_micro": GINI_SALT_TRIGGER_MICRO,
-                "salting_triggered": g >= GINI_SALT_TRIGGER_MICRO,
+                "gini_prescreen_fired": g >= GINI_SALT_TRIGGER_MICRO,
+                "salting_gate_fired": needs_salting(
+                    fact, "key", TARGET_ROWS
+                ),
                 "planned_hot_keys": plan.count(),
             }
         )

@@ -64,14 +64,20 @@ def salted_join(
 
 
 # --- the skew DECISION RULE (r9 verdict item 4) ----------------------
-# Diagnostic -> trigger -> plan -> execution, each a named artifact:
-#   1. gini_micro(df, key) measures per-key volume concentration
-#      (exact integer micro-Gini, the skew_gini_coefficient formula);
-#   2. >= GINI_SALT_TRIGGER_MICRO routes the join through salting
-#      (below it, plain hash partitioning + AQE's runtime splitting
-#      are enough — salting's dim replication isn't free);
+# Diagnostic -> gate -> plan -> execution, each a named artifact:
+#   1. gini_micro(df, key) is the fleet-level PRESCREEN (exact integer
+#      micro-Gini, the skew_gini_coefficient formula) — cheap to rank
+#      many tables by concentration and decide which to inspect;
+#   2. the GATE is needs_salting(): does ANY key exceed the per-slice
+#      row target? Gini alone cannot gate — it measures relative
+#      concentration, so one 30%-hot key among 200k uniform cold keys
+#      reads "only" ~0.35 while its task runs 13x the mean (measured:
+#      tools/skew_probe.py at 20M rows — salting cut max-task runtime
+#      2.4x on a corpus BELOW the 0.40 Gini line). Absolute per-key
+#      volume, not relative inequality, is what melts a reducer;
 #   3. plan_salts() emits ceil(n/target) per hot key (the
-#      skew_salting_plan shape, heavy-hitter-sized and broadcastable);
+#      skew_salting_plan shape, heavy-hitter-sized and broadcastable) —
+#      the gate and the plan are the same aggregate, so gating is free;
 #   4. salted_join_planned() executes with PER-KEY salt factors — hot
 #      keys spread across exactly their planned slices, cold keys pay
 #      zero replication (vs salted_join's uniform n_salts, which
@@ -79,7 +85,19 @@ def salted_join(
 # End-to-end wall-clock evidence: tools/skew_probe.py, table in
 # SCALE.md §r9; per-task balance pinned in tests/test_skew_validation.py.
 
-GINI_SALT_TRIGGER_MICRO = 400_000  # Gini >= 0.40 over per-key counts
+GINI_SALT_TRIGGER_MICRO = 400_000  # prescreen: Gini >= 0.40 -> inspect
+
+
+def needs_salting(df: DataFrame, key: str, target_rows: int) -> bool:
+    """The salting GATE: true iff some key's row count exceeds the
+    per-slice target (== :func:`plan_salts` would be non-empty). One
+    aggregate whose result the plan reuses."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > target_rows)
+        .take(1)
+    ) != []
 
 
 def gini_micro(df: DataFrame, key: str) -> int:
