@@ -136,7 +136,7 @@ SENTINELS = ["q1_pricing_summary", "q3_top_orders", "dedup_exact"]
 
 # Sanity bound on the normalization itself (r8 advice): sentinels
 # cannot distinguish host load from a GENUINE code-wide slowdown (a
-# global conf change slowing all 201 queries — sentinels included —
+# global conf change slowing the whole registry — sentinels included —
 # divides itself away). Driver-round host load has measured
 # 1.27–1.33x; anything past this bound forces a human look instead of
 # silent normalization. The raw sentinel ratios ship in the gate line

@@ -30,14 +30,18 @@ def build_ivf_index(
     sf_dir: str,
     index_dir: str,
     centroid_mod: int = 100,
+    n_centroids: int = 20,
 ) -> None:
     """Assign every embedding to its nearest deterministic centroid
-    (every ``centroid_mod``-th vector — the k-means stand-in of
-    sim_ann_ivf) and persist centroids + cid-partitioned postings."""
+    (the first ``n_centroids`` vectors at vec_id % ``centroid_mod``
+    == 0 — the k-means stand-in of sim_ann_ivf; k is FIXED, an index
+    parameter independent of corpus size, else assignment is
+    O(N²/mod)) and persist centroids + cid-partitioned postings."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
-    )
+    cent = emb.filter(
+        (F.col("vec_id") % centroid_mod == 0)
+        & (F.col("vec_id") < centroid_mod * n_centroids)
+    ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
     v = emb.select("vec_id", as_double("embedding").alias("ve"))
     s = F.round(cosine(F.col("ve"), F.col("ce")), 6)
     assign = (

@@ -604,6 +604,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CENTROIDS_MOD = 100  # vec_id % 100 == 0 → deterministic "trained" centroids
+# k is an INDEX PARAMETER, never a function of corpus size: the r9 sf1
+# gate caught the unbounded `vec_id % mod == 0` rule growing k with N,
+# making the vectors×centroids assignment O(N²/mod) — 10x data ran
+# 50x slower. The cap (first _N_CENTROIDS multiples of the mod, a
+# scan-pushed filter — no TopK pass) binds only above the bench SF, so
+# every ≤sf0.1 result is unchanged; at 100 TB you'd RAISE k explicitly
+# (still broadcast-sized), never let it track N.
+_N_CENTROIDS = 20
+_CENT_ID_CAP = _N_CENTROIDS_MOD * _N_CENTROIDS  # vec_id < 2000
 # nprobe=3: chosen by measured recall@5 vs the exact baseline — at the
 # unit/driver fixtures (500 vectors, 5 cells) nprobe=2 left some
 # queries at 0.4 recall; 3 clears the 0.6 floor on every query. The
@@ -619,7 +628,8 @@ _NPROBE = 3
     "sim_ann_ivf",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                  WHERE vec_id % {_N_CENTROIDS_MOD} = 0),
+                  WHERE vec_id % {_N_CENTROIDS_MOD} = 0
+                    AND vec_id < {_CENT_ID_CAP}),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
@@ -664,12 +674,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     search only those posting lists.
 
     Scale path: assignment is a broadcast join vectors×centroids (one
-    map pass); the probe search is an equi-join on cell id — search
-    cost drops from O(N) to O(N·nprobe/k) per query. Cell skew → AQE."""
+    map pass, k FIXED — see _N_CENTROIDS; an unbounded every-Nth rule
+    is O(N²/mod) and the sf1 gate measured it 50x at 10x data); the
+    probe search is an equi-join on cell id — search cost drops from
+    O(N) to O(N·nprobe/k) per query. Cell skew → AQE."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
-        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
-    )
+    cent = emb.filter(
+        (F.col("vec_id") % _N_CENTROIDS_MOD == 0)
+        & (F.col("vec_id") < _CENT_ID_CAP)
+    ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
     v = emb.select("vec_id", as_double("embedding").alias("ve"))
 
     # Nearest centroid via max_by over (score, -cid) — one hash
@@ -1810,7 +1823,11 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
 # K-means clustering over embeddings (iterative centroid refinement).
 # ---------------------------------------------------------------------------
 
-_KM_CENTROID_MOD = 100  # vec_id % 100 == 0 → deterministic seeds (k = N/100)
+_KM_CENTROID_MOD = 100  # vec_id % 100 == 0 → deterministic seed positions
+_KM_K = 20  # fixed k: a training parameter, never a function of N
+# (same O(N²/mod) hazard and same fix as _N_CENTROIDS — see that
+# comment; cap binds only above the bench SF)
+_KM_ID_CAP = _KM_CENTROID_MOD * _KM_K
 _KM_ITERS = 2
 
 
@@ -1858,7 +1875,7 @@ def _km_update_sql(assign: str) -> str:
     ),
     cent0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id % {_KM_CENTROID_MOD} = 0
+      WHERE vec_id % {_KM_CENTROID_MOD} = 0 AND vec_id < {_KM_ID_CAP}
     ),
     assign0 AS {_km_assign_sql('cent0')},
     cent1 AS {_km_update_sql('assign0')},
@@ -1874,7 +1891,10 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative-refinement ML surface a training-data pipeline uses
     for corpus bucketing / IVF index training — the offline step
     sim_ann_ivf's docstring defers to). Deterministic end to end:
-    seeds are every {_KM_CENTROID_MOD}th vector, {_KM_ITERS} Lloyd
+    seeds are the first {_KM_K} vectors at vec_id % {_KM_CENTROID_MOD}
+    == 0 (k FIXED — a training parameter; an unbounded every-Nth rule
+    made assignment O(N²/mod), 46x at 10x data per the sf1 gate),
+    {_KM_ITERS} Lloyd
     iterations (fixed — no data-dependent stop), squared-L2 rounded to
     6 decimals with lowest-cid tie-break, and centroid means computed
     as decimal-exact component sums divided in double, so Spark's
@@ -1902,9 +1922,10 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double("embedding").alias("ve"))
         .cache()
     )
-    cent = emb.filter(F.col("vec_id") % _KM_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("ve").alias("ce")
-    )
+    cent = emb.filter(
+        (F.col("vec_id") % _KM_CENTROID_MOD == 0)
+        & (F.col("vec_id") < _KM_ID_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
 
     def assign(cent_df: DataFrame, keep_dist: bool = False) -> DataFrame:
         d = F.round(sq_dist(F.col("ve"), F.col("ce")), 6)

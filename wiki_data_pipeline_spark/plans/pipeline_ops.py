@@ -2389,6 +2389,7 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from wiki_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
+    _CENT_ID_CAP,
     _N_CENTROIDS_MOD,
 )
 
@@ -2397,7 +2398,8 @@ from wiki_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
     "sim_ivf_cell_stats",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                  WHERE vec_id % {_N_CENTROIDS_MOD} = 0),
+                  WHERE vec_id % {_N_CENTROIDS_MOD} = 0
+                    AND vec_id < {_CENT_ID_CAP}),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
@@ -2433,9 +2435,10 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one broadcast assignment pass (the registered sim_ann_ivf
     stage) + a k-row aggregate — the audit rides the index build."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
-        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
-    )
+    cent = emb.filter(
+        (F.col("vec_id") % _N_CENTROIDS_MOD == 0)
+        & (F.col("vec_id") < _CENT_ID_CAP)
+    ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
     v = emb.select("vec_id", as_double("embedding").alias("ve"))
     score = F.round(cosine(F.col("ve"), F.col("ce")), 6)
     assign = (
