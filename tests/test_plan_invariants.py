@@ -167,8 +167,12 @@ MANIFEST: dict[str, dict] = {
         "group-by — the claimed single fact-side shuffle",
     ),
     "q20_dominant_suppliers": dict(
-        max_exchanges=2, max_scans=4, min_bhj=3, max_smj=0, pushdown=True,
-        note="nested-agg semi-join chain, dims broadcast",
+        max_exchanges=3, max_scans=4, min_bhj=3, max_smj=0, pushdown=True,
+        note="nested-agg semi-join chain, dims broadcast; the 3rd "
+        "exchange is the qualifying-suppkey DISTINCT (r9: added so "
+        "the semi-join build side is bounded by the supplier dim and "
+        "the broadcast survives 10x stats — the x10 sweep caught the "
+        "un-distinct-ed set flipping to SMJ)",
     ),
     "q6_forecast_revenue": dict(
         max_exchanges=1, max_scans=1, pushdown=True,

@@ -1,0 +1,118 @@
+"""Registry-wide join-strategy diff between fixture-SF and 10x stats.
+
+The manifest-based x10 sweep (tests/test_plan_invariants_x10.py) caught
+q20's semi-join build side flipping BroadcastHashJoin -> SortMergeJoin
+once stats outgrew the broadcast threshold — but it only watches the
+~30 manifest queries. This tool compiles EVERY registered query twice
+— against the fixture SF and against the 10x replica — and reports any
+query whose join strategy degrades with scale:
+
+- BroadcastHashJoin count DECREASES (a broadcast was stats-luck), or
+- SortMergeJoin count INCREASES (where the lost broadcast went), or
+- CartesianProduct / row-at-a-time Python appears at x10.
+
+A reported query is either a latent scale defect (fix: bound the build
+side by design — DISTINCT to a dim-bounded key set, pre-aggregate,
+or an explicit hint on a provably-small frame) or an intentional
+shuffle join at scale (document it where the query is defined).
+
+Usage:
+    python tools/plan_scale_diff.py [fixture_dir] [x10_dir]
+    # defaults: /root/testdata/sf0.001  and  .scale/x10
+
+Exit 0 when no query degrades. Compile-only, except the eager-fixpoint
+queries (skipped: their rounds execute at build and the returned frame
+is a checkpoint scan carrying no join nodes) and the bucketed-warehouse
+query (fixture-bound by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tools"))
+
+from plan_audit import audit_plan  # noqa: E402
+
+SKIP = {
+    # eager fixpoints: rounds run at build; final plan is a checkpoint
+    # scan, so cross-scale join-strategy diffs are invisible anyway
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "graph_pagerank_dedup",
+    # reads the bucketed warehouse table materialized at fixture SF
+    "join_bucketed_orderkey",
+}
+
+
+def compile_audit(spark, fn, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return audit_plan(plan)
+
+
+def main() -> int:
+    fixture = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    x10 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(HERE, ".scale", "x10")
+    if not os.path.exists(os.path.join(x10, "_DONE")):
+        print(f"10x replica missing at {x10} (python bench.py --sf1 builds it)")
+        return 2
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-scale-diff")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    degraded: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    t0 = time.time()
+    names = sorted(set(queries) - SKIP)
+    for i, name in enumerate(names):
+        try:
+            a = compile_audit(spark, queries[name], fixture)
+            b = compile_audit(spark, queries[name], x10)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e)[:200]
+            continue
+        probs = []
+        if b["bhj"] < a["bhj"]:
+            probs.append(f"bhj {a['bhj']}->{b['bhj']}")
+        if b["smj"] > a["smj"]:
+            probs.append(f"smj {a['smj']}->{b['smj']}")
+        if b["cartesian"] and not a["cartesian"]:
+            probs.append(f"cartesian 0->{b['cartesian']}")
+        if b["row_python"] and not a["row_python"]:
+            probs.append(f"row_python 0->{b['row_python']}")
+        if probs:
+            degraded[name] = {"fixture": a, "x10": b, "probs": probs}
+            print(f"XX {name}: {'; '.join(probs)}")
+        if (i + 1) % 40 == 0:
+            print(f"-- {i + 1}/{len(names)} ({time.time() - t0:.0f}s)")
+
+    print(
+        f"\n{len(names) - len(degraded) - len(errors)}/{len(names)} "
+        f"scale-stable; {len(degraded)} degraded; {len(errors)} compile "
+        f"errors; skipped {sorted(SKIP)}"
+    )
+    for n, e in errors.items():
+        print(f"ERR {n}: {e}")
+    out = os.path.join(HERE, "PLAN_SCALE_DIFF.json")
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(
+            {"fixture": fixture, "x10": x10, "degraded": degraded,
+             "errors": errors, "skipped": sorted(SKIP)},
+            f, indent=1,
+        )
+    print(f"wrote {out}")
+    return 1 if degraded else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1719,10 +1719,16 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part totals as a decimal-exact window sum over the SAME pass (the
     aggregate+join-back spelling the oracle keeps would recompute the
     shipped subtree — verified via .explain), filter, then supplier
-    LEFT SEMI the qualifying suppkey set — duplicates collapse in the
-    semi-join, no DISTINCT needed. part is filtered before its
+    LEFT SEMI the qualifying suppkey set. part is filtered before its
     broadcast join; the window shuffles on partkey, a prefix of the
-    aggregate's (partkey, suppkey) key."""
+    aggregate's (partkey, suppkey) key. The qualifying set is
+    DISTINCT-ed to suppkeys before an explicit broadcast hint: the
+    raw qualifying rows scale with (part, supplier) pairs — the x10
+    plan sweep caught Catalyst flipping that semi-join to a
+    SortMergeJoin once stats outgrew the threshold — while the
+    distinct suppkey set is bounded by the supplier dim, so the
+    broadcast holds at any corpus size (duplicates collapse map-side
+    in the partial aggregate, keeping the distinct's shuffle tiny)."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     supplier = read_table(spark, sf_dir, "supplier")
@@ -1740,9 +1746,14 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .filter(F.col("supp_qty") > 0.1 * F.col("part_qty"))
         .select("l_suppkey")
+        .distinct()
     )
     return (
-        supplier.join(qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi")
+        supplier.join(
+            F.broadcast(qualifying),
+            supplier.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("s_name", "n_name")
     )
