@@ -1,0 +1,162 @@
+"""Registry-wide shuffle-volume scaling audit (r9).
+
+The scale story measures wall clock (bench.py at sf0.1, --sf1 at 10x),
+plan shape (fixture + x10 manifests), task balance (skew_probe), and
+heap (constrained-heap probe) — but not the INTERMEDIATE DATA VOLUME:
+a query whose shuffle bytes grow quadratically can still look linear in
+wall time at small SFs (the shuffle fits in page cache) and perfectly
+healthy in its compiled plan (same Exchange count, 100x the bytes
+through it). At 100 TB the shuffle IS the bottleneck, so this tool
+measures it directly:
+
+For every registered query, run once at sf0.01 and once at sf0.1 (10x
+the rows) in one session and attribute shuffle-write / input bytes per
+query by diffing the UI REST completed-stage totals around each
+execution (queries run sequentially, so the delta is the query's).
+Report, per query:
+
+- shuffle_growth: shuffle bytes at sf0.1 / bytes at sf0.01 — the
+  scaling signal; ~10 is linear in data, >20 with non-trivial absolute
+  volume is superlinear (flagged);
+- amplification: shuffle bytes / input bytes at sf0.1 — how many times
+  the data crosses the wire per scan byte (a design-review number, not
+  a gate: joins legitimately amplify, but a 10x amplifier is where to
+  look first when the cluster is network-bound).
+
+Zero-shuffle queries (broadcast-only plans like j1_enrichment_join)
+report growth 1.0 by convention (0 -> 0 bytes).
+
+Usage: python tools/shuffle_audit.py [small_dir] [big_dir]
+       defaults /root/testdata/sf0.01 and /root/testdata/sf0.1
+Artifact: SHUFFLE_SCALING.json. Exit 1 if any query is flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+GROWTH_FLAG = 20.0  # 10x data; 2x margin on linear
+ABS_FLOOR_BYTES = 10 * 1024 * 1024  # ignore sub-10MB shuffles at sf0.1
+
+
+def _stage_bytes(spark) -> dict[int, tuple[int, int]]:
+    """stageId -> (shuffleWriteBytes, inputBytes) over completed stages."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=15,
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return {}
+    out: dict[int, tuple[int, int]] = {}
+    for s in stages:
+        sid = s["stageId"]
+        w = int(s.get("shuffleWriteBytes", 0))
+        i = int(s.get("inputBytes", 0))
+        # multiple attempts: keep the max-bytes attempt
+        if sid not in out or w + i > sum(out[sid]):
+            out[sid] = (w, i)
+    return out
+
+
+def _run_measured(spark, fn, sf_dir: str) -> tuple[int, int, float]:
+    before = _stage_bytes(spark)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    after = _stage_bytes(spark)
+    new = {sid: v for sid, v in after.items() if sid not in before}
+    return (
+        sum(w for w, _ in new.values()),
+        sum(i for _, i in new.values()),
+        wall,
+    )
+
+
+def main() -> int:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        "shuffle-audit",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # full-registry runs create thousands of stages; keep them
+            # all resident so the before/after REST diffs never lose a
+            # stage of the query being measured
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not spark.sparkContext.uiWebUrl:
+        print("Spark UI unavailable — cannot read stage metrics")
+        return 2
+    queries = all_queries()
+
+    rows: dict[str, dict] = {}
+    flagged: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    t0 = time.time()
+    names = sorted(queries)
+    for n, name in enumerate(names):
+        try:
+            w_s, i_s, _ = _run_measured(spark, queries[name], small)
+            w_b, i_b, wall_b = _run_measured(spark, queries[name], big)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e)[:200]
+            continue
+        growth = round(w_b / w_s, 2) if w_s else (1.0 if not w_b else float("inf"))
+        amp = round(w_b / i_b, 3) if i_b else 0.0
+        rows[name] = {
+            "shuffle_small": w_s,
+            "shuffle_big": w_b,
+            "input_big": i_b,
+            "shuffle_growth": growth,
+            "amplification": amp,
+            "wall_big": round(wall_b, 2),
+        }
+        if growth > GROWTH_FLAG and w_b > ABS_FLOOR_BYTES:
+            flagged[name] = rows[name]
+            print(f"XX {name}: growth {growth}x, {w_b/1e6:.1f} MB at sf0.1")
+        if (n + 1) % 25 == 0:
+            print(f"-- {n + 1}/{len(names)} ({time.time() - t0:.0f}s)")
+
+    top_amp = sorted(
+        ((r["amplification"], k) for k, r in rows.items()
+         if r["shuffle_big"] > ABS_FLOOR_BYTES),
+        reverse=True,
+    )[:10]
+    print(f"\n{len(rows)}/{len(names)} measured; {len(flagged)} flagged "
+          f"superlinear; {len(errors)} errors")
+    print("top amplification (shuffle/input at sf0.1, >10MB shuffles):")
+    for a, k in top_amp:
+        print(f"  {k}: {a}x ({rows[k]['shuffle_big']/1e6:.1f} MB)")
+
+    with open(os.path.join(HERE, "SHUFFLE_SCALING.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(
+            {"small": small, "big": big, "growth_flag": GROWTH_FLAG,
+             "abs_floor_bytes": ABS_FLOOR_BYTES, "flagged": flagged,
+             "errors": errors, "queries": rows},
+            f, indent=1,
+        )
+    print("wrote SHUFFLE_SCALING.json")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

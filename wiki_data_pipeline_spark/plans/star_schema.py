@@ -574,7 +574,8 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def skew_salted_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PLAN-DRIVEN salted join (operators/skew.py r9 — the execution
+    """PLAN-DRIVEN salted join (engine extension — SURVEY.md §2.4
+    J-family at skewed-key shape; operators/skew.py r9 — the execution
     end of the Gini-trigger -> plan_salts -> salted_join_planned
     decision rule): per-key salt factors ceil(n/target) from the
     broadcast salting plan, so hot users split into exactly their
