@@ -18,16 +18,24 @@ Report, per query:
 - shuffle_growth: shuffle bytes at sf0.1 / bytes at sf0.01 — the
   scaling signal; ~10 is linear in data, >20 with non-trivial absolute
   volume is superlinear (flagged);
-- amplification: shuffle bytes / input bytes at sf0.1 — how many times
-  the data crosses the wire per scan byte (a design-review number, not
-  a gate: joins legitimately amplify, but a 10x amplifier is where to
-  look first when the cluster is network-bound).
+- amplification: shuffle bytes / on-disk bytes of the parquet files the
+  plan scans, at sf0.1 — how many times the data crosses the wire per
+  stored byte (a design-review number, not a gate: joins legitimately
+  amplify, but a 10x amplifier is where to look first when the cluster
+  is network-bound). The denominator is filesystem truth, not the
+  stage-level inputBytes metric, which undercounts ~100x for
+  sub-second local tasks (bytes-read is polled per N records); with
+  column pruning the true bytes read are <= on-disk, so amplification
+  is a lower bound.
 
 Zero-shuffle queries (broadcast-only plans like j1_enrichment_join)
 report growth 1.0 by convention (0 -> 0 bytes).
 
-Usage: python tools/shuffle_audit.py [small_dir] [big_dir]
-       defaults /root/testdata/sf0.01 and /root/testdata/sf0.1
+Usage: python tools/shuffle_audit.py [small_dir] [big_dir] [--names a,b]
+       defaults /root/testdata/sf0.01 and /root/testdata/sf0.1;
+       --names measures only the listed queries and prints their rows
+       WITHOUT touching the registry-wide artifact (for before/after
+       fix comparisons).
 Artifact: SHUFFLE_SCALING.json. Exit 1 if any query is flagged.
 """
 
@@ -35,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 import urllib.request
@@ -69,23 +78,64 @@ def _stage_bytes(spark) -> dict[int, tuple[int, int]]:
     return out
 
 
+def _scan_bytes(df) -> int:
+    """On-disk bytes of the parquet files the executed plan scans.
+
+    The stage-level `inputBytes` REST metric systematically undercounts
+    for sub-second local tasks (bytes-read is polled every N records,
+    so a task that finishes within one poll interval reports ~0), so
+    the amplification denominator is taken from the filesystem instead:
+    every file path named by the plan's scan nodes, deduplicated, summed
+    at its on-disk (compressed) size. Column pruning means the true
+    bytes read are <= this, i.e. reported amplification is a LOWER
+    bound — fine for a design-review ranking.
+    """
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return 0
+    total, seen = 0, set()
+    for m in re.finditer(r"file:(/[^\s\],)\x00]+)", plan):
+        path = m.group(1).rstrip(".")
+        if path in seen:
+            continue
+        seen.add(path)
+        if os.path.isfile(path):
+            total += os.path.getsize(path)
+        elif os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+    return total
+
+
 def _run_measured(spark, fn, sf_dir: str) -> tuple[int, int, float]:
+    df = fn(spark, sf_dir)
     before = _stage_bytes(spark)
     t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
     after = _stage_bytes(spark)
     new = {sid: v for sid, v in after.items() if sid not in before}
     return (
         sum(w for w, _ in new.values()),
-        sum(i for _, i in new.values()),
+        _scan_bytes(df),
         wall,
     )
 
 
 def main() -> int:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    only: list[str] | None = None
+    if "--names" in argv:
+        i = argv.index("--names")
+        only = argv[i + 1].split(",")
+        del argv[i:i + 2]
+    small = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    big = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
 
     from wiki_data_pipeline_spark.plans.registry import all_queries
     from wiki_data_pipeline_spark.session import get_spark
@@ -111,7 +161,7 @@ def main() -> int:
     flagged: dict[str, dict] = {}
     errors: dict[str, str] = {}
     t0 = time.time()
-    names = sorted(queries)
+    names = only if only is not None else sorted(queries)
     for n, name in enumerate(names):
         try:
             w_s, i_s, _ = _run_measured(spark, queries[name], small)
@@ -124,7 +174,7 @@ def main() -> int:
         rows[name] = {
             "shuffle_small": w_s,
             "shuffle_big": w_b,
-            "input_big": i_b,
+            "scan_disk_big": i_b,
             "shuffle_growth": growth,
             "amplification": amp,
             "wall_big": round(wall_b, 2),
@@ -142,19 +192,23 @@ def main() -> int:
     )[:10]
     print(f"\n{len(rows)}/{len(names)} measured; {len(flagged)} flagged "
           f"superlinear; {len(errors)} errors")
-    print("top amplification (shuffle/input at sf0.1, >10MB shuffles):")
+    print("top amplification (shuffle/scanned-disk at sf0.1, >10MB shuffles):")
     for a, k in top_amp:
         print(f"  {k}: {a}x ({rows[k]['shuffle_big']/1e6:.1f} MB)")
 
-    with open(os.path.join(HERE, "SHUFFLE_SCALING.json"), "w",
-              encoding="utf-8") as f:
-        json.dump(
-            {"small": small, "big": big, "growth_flag": GROWTH_FLAG,
-             "abs_floor_bytes": ABS_FLOOR_BYTES, "flagged": flagged,
-             "errors": errors, "queries": rows},
-            f, indent=1,
-        )
-    print("wrote SHUFFLE_SCALING.json")
+    if only is not None:
+        for k, r in rows.items():
+            print(f"{k}: {json.dumps(r)}")
+    else:
+        with open(os.path.join(HERE, "SHUFFLE_SCALING.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(
+                {"small": small, "big": big, "growth_flag": GROWTH_FLAG,
+                 "abs_floor_bytes": ABS_FLOOR_BYTES, "flagged": flagged,
+                 "errors": errors, "queries": rows},
+                f, indent=1,
+            )
+        print("wrote SHUFFLE_SCALING.json")
     return 1 if flagged else 0
 
 

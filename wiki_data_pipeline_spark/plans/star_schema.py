@@ -1528,12 +1528,53 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation), so the double-equality rendezvous is bit-exact on both
     engines. Supplier/nation/region/part dims all broadcast; the
     shuffles are the (partkey, suppkey) aggregate then the partkey
-    window."""
+    window.
+
+    Both dim predicates are additionally pushed BELOW the aggregate as
+    broadcast LEFT SEMI joins on the grouping keys (r9 shuffle audit:
+    the post-agg spelling shuffled 100% of lineitem when only
+    EU-supplier x selected-size rows survive). Exact because both
+    filters are functions of grouping columns, and the partkey window
+    only ever loses whole partitions (size is per-part) or computes
+    over exactly the EU rows it is defined over (region is
+    per-supplier, applied before the window either way). Dims are
+    broadcast-sized by construction, so the pushdown holds at any
+    corpus size."""
     li = read_table(spark, sf_dir, "lineitem")
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25))
+    # fresh READS (not just fresh aliases) for the pushdown branch:
+    # supplier and nation are joined again after the aggregate, and the
+    # ambiguous-self-join analyzer tracks dataset identity, so reusing
+    # those DataFrames here — even behind renames — is rejected; the
+    # renamed output columns keep the final plan self-describing
+    supplier_b = read_table(spark, sf_dir, "supplier")
+    nation_b = read_table(spark, sf_dir, "nation")
+    region_b = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_suppkeys = (
+        supplier_b.join(
+            F.broadcast(nation_b),
+            supplier_b.s_nationkey == nation_b.n_nationkey,
+        )
+        .join(
+            F.broadcast(region_b),
+            nation_b.n_regionkey == region_b.r_regionkey,
+        )
+        .select(F.col("s_suppkey").alias("_eu_suppkey"))
+    )
+    li = li.join(
+        F.broadcast(eu_suppkeys),
+        li.l_suppkey == F.col("_eu_suppkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(part.select(F.col("p_partkey").alias("_sel_partkey"))),
+        F.col("l_partkey") == F.col("_sel_partkey"),
+        "left_semi",
+    )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         # try_divide: a zero-quantity line would ANSI-crash a plain /;
         # DuckDB yields NULL there and min() skips it — try_divide
@@ -1729,11 +1770,25 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortMergeJoin once stats outgrew the threshold — while the
     distinct suppkey set is bounded by the supplier dim, so the
     broadcast holds at any corpus size (duplicates collapse map-side
-    in the partial aggregate, keeping the distinct's shuffle tiny)."""
+    in the partial aggregate, keeping the distinct's shuffle tiny).
+
+    The blue-part predicate is pushed BELOW the aggregate as a
+    broadcast LEFT SEMI join on l_partkey (r9 shuffle audit: the
+    post-window inner join shuffled every (part, supplier) pair when
+    only blue parts survive). Exact: the predicate is a function of
+    the grouping/window-partition key, so the pushdown removes whole
+    window partitions and never changes a surviving part's total; the
+    former inner join with `part` contributed no columns (p_partkey is
+    the dim PK, join ≡ filter) and is dropped outright."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == part.p_partkey,
+        "left_semi",
+    )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         dsum(F.col("l_quantity"), "supp_qty")
     )
@@ -1744,7 +1799,6 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualifying = (
         shipped.withColumn("part_qty", part_qty)
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .filter(F.col("supp_qty") > 0.1 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
