@@ -111,13 +111,25 @@ MANIFEST: dict[str, dict] = {
         note="importance ratios via broadcast n-gram LMs",
     ),
     # -- pipeline rollups --
+    "quality_gopher_filters": dict(
+        max_exchanges=1, max_scans=1, max_smj=0,
+        note="r9 shuffle-audit rewrite: MAP-ONLY per-doc quality gate "
+        "(array_sort + linear aggregate run-length pass instead of "
+        "explode->groupBy — was re-shuffling 14x the corpus bytes); "
+        "the ONE exchange is _spread's fixture-parallelism repartition "
+        "of raw doc rows",
+    ),
     "pipeline_yield_report": dict(
-        max_exchanges=12, max_scans=7, min_bhj=6, pushdown=True,
-        note="stage-yield funnel; stage filters pushed to scan",
+        max_exchanges=7, max_scans=6, min_bhj=5, pushdown=True,
+        note="stage-yield funnel; stage filters pushed to scan "
+        "(r9: gopher stage went map-only — one exchange and one "
+        "BHJ fewer)",
     ),
     "pipeline_quality_gate": dict(
-        max_exchanges=7, max_scans=4, min_bhj=3, pushdown=True,
-        note="gate thresholds broadcast against the scored corpus",
+        max_exchanges=2, max_scans=3, min_bhj=2, pushdown=True,
+        note="gate thresholds broadcast against the scored corpus "
+        "(r9: gopher stage went map-only — both remaining exchanges "
+        "are _spread repartitions)",
     ),
     "contamination_apply_clean": dict(
         max_exchanges=5, max_scans=3, min_bhj=2, max_smj=0, pushdown=True,

@@ -2836,47 +2836,90 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-gram fraction (Gopher's repeated-n-gram signal), plus the
     composed pass/fail flag.
 
-    Scale design: NOT the narrow quadratic form (``transform(distinct,
-    t -> size(filter(toks, =t)))`` is O(distinct·len) per doc — a
-    10k-token doc costs 10⁸ comparisons). Instead both signals ride
-    decomposable explode→groupBy aggregations: unigram counts shuffle
-    (doc_id, tok) once with map-side partials, and ALL unigram-derived
-    metrics (n_words, top count, char sum, stopword count) come out of
-    that ONE shuffled table's second aggregate; bigram stats are the
-    same shape over 2-gram keys. The final assembly is a co-keyed
-    doc_id join. Everything JVM-side; ratios are exact int/int double
-    divisions so the oracle hash-matches bitwise."""
+    Scale design: MAP-ONLY. Every metric is a per-document function of
+    the token array, so no byte of token data ever crosses the wire —
+    the r9 shuffle audit showed the previous explode→groupBy spelling
+    re-shuffling 14x the corpus bytes (8.3 MB for a 0.59 MB table at
+    sf0.1; petabytes at 100 TB) for what a single projection computes.
+    Also NOT the narrow quadratic form (``transform(distinct, t ->
+    size(filter(toks, =t)))`` is O(distinct·len) per doc): the
+    top-unigram count rides ``array_sort`` + ONE linear ``aggregate``
+    run-length pass (O(n log n) per doc, JVM codegen), and the distinct
+    bigram count is adjacent-inequality over the sorted bigram array
+    via index-aware ``filter``. The only exchange left is `_spread`'s
+    tiny fixture-parallelism repartition of raw doc rows. Everything
+    JVM-side; ratios are exact int/int double divisions so the oracle
+    hash-matches bitwise."""
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    tok_tbl = _spread(docs).select("doc_id", F.explode(toks).alias("tok"))
-    uni = tok_tbl.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    uni_stats = uni.groupBy("doc_id").agg(
-        F.sum("cnt").cast("bigint").alias("n_words"),
-        F.max("cnt").cast("bigint").alias("top_cnt"),
-        F.sum(F.col("cnt") * F.length("tok")).cast("bigint").alias("char_sum"),
-        F.sum(
-            F.when(F.col("tok").isin("the", "a"), F.col("cnt")).otherwise(F.lit(0))
-        ).cast("bigint").alias("stop_cnt"),
-    )
-    # bigrams: hoist the token array into its own projection (lambda
-    # re-evaluation hazard — see _shingles) before the window transform
-    hoisted = F.col("toks")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(hoisted) - 2),
-        lambda i: F.concat_ws(" ", F.get(hoisted, i), F.get(hoisted, i + 1)),
-    )
-    bg_tbl = (
+    # NULL text drops the doc (explode/unnest semantics both engines)
+    base = (
         _spread(docs)
         .select("doc_id", toks.alias("toks"))
-        .filter(F.size(hoisted) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .filter(F.col("toks").isNotNull())
     )
-    bgc = bg_tbl.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    bi_stats = bgc.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_bi"),
-        F.count(F.lit(1)).cast("bigint").alias("n_bi_distinct"),
+    one = F.lit(1).cast("bigint")
+
+    def _run_step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + one).otherwise(one)
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(
+        F.array_sort("toks"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
     )
-    j = uni_stats.join(bi_stats, "doc_id", "left")
+    # sorted bigram array; NULL (not empty) when <2 tokens so the
+    # downstream ratios go NULL exactly like the old LEFT JOIN miss
+    bigrams_sorted = F.when(
+        F.size("toks") >= 2,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1)
+                ),
+            )
+        ),
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).alias("char_sum"),
+        F.size(F.filter("toks", lambda t: t.isin("the", "a")))
+        .cast("bigint")
+        .alias("stop_cnt"),
+        top_cnt.alias("top_cnt"),
+        bigrams_sorted.alias("sb"),
+    )
+    dup_bi_cnt = F.size(
+        F.filter(
+            "sb",
+            lambda x, i: (i > F.lit(0)) & (x == F.get(F.col("sb"), i - 1)),
+        )
+    ).cast("bigint")
+    j = stats.select(
+        "doc_id",
+        "n_words",
+        "char_sum",
+        "stop_cnt",
+        "top_cnt",
+        F.size("sb").cast("bigint").alias("n_bi"),
+        (F.size("sb").cast("bigint") - dup_bi_cnt).alias("n_bi_distinct"),
+    )
     mwl = F.col("char_sum") / F.col("n_words")
     stop_r = F.col("stop_cnt") / F.col("n_words")
     top_r = F.col("top_cnt") / F.col("n_words")
