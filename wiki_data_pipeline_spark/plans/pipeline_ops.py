@@ -1408,29 +1408,76 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer inputs → identical double division/ln/product → identical
     rounding), then summed as BIGINT — partitioning-independent.
 
-    Scale: the char explode is narrow; the (doc, char) aggregate
-    collapses map-side to ≤ |alphabet| rows per doc before its
-    shuffle, and the per-doc rollup shuffles tiny count rows. No
-    Python anywhere."""
+    Scale: MAP-ONLY (r9 shuffle-audit rewrite — the explode→groupBy
+    spelling re-shuffled 4.6x the corpus bytes for a per-document
+    metric). The char histogram is a run-length pass over the SORTED
+    char array: one `array_sort` + one linear `aggregate` per doc,
+    JVM codegen, no join, no explode; the only exchange is `_spread`'s
+    raw-row fixture repartition. Run lengths in the sorted array ARE
+    the per-char counts, each -p·ln(p) term is quantized to BIGINT
+    micro-units from the same (run, n) integers the oracle's (cnt, n)
+    produce, and integer summation makes the differing term order
+    (sorted char order vs group order) invisible. No Python
+    anywhere."""
     docs = read_table(spark, sf_dir, "documents")
-    ch = _spread(docs).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("c"),
-    )
-    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
-    tot = cc.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n"))
-    p = F.col("cnt").cast("double") / F.col("n")
-    term_micro = F.round(p * -F.log(p) * 1000000, 0).cast("bigint")
-    return (
-        cc.join(tot, on="doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("n").alias("n_chars"),
-            F.count("*").cast("bigint").alias("n_distinct_chars"),
-            F.sum(term_micro).cast("bigint").alias("entropy_micro"),
+    # length >= 1 up front: the oracle's generate_series(1, 0) is empty
+    # (doc dropped) but Spark's sequence(1, 0) DESCENDS — never build
+    # the char array for empty/NULL text
+    base = (
+        _spread(docs)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " i -> substring(text, i, 1))"
+                )
+            ).alias("cs"),
         )
+    )
+    n = F.size("cs").cast("bigint")
+    one = F.lit(1).cast("bigint")
+
+    def _term(run):
+        p = run.cast("double") / n.cast("double")
+        return F.round(p * -F.log(p) * 1000000, 0).cast("bigint")
+
+    def _step(acc, c):
+        is_run = c == acc["prev"]
+        return F.struct(
+            c.alias("prev"),
+            F.when(is_run, acc["run"] + one).otherwise(one).alias("run"),
+            F.when(is_run, acc["distinct"])
+            .otherwise(acc["distinct"] + one)
+            .alias("distinct"),
+            F.when(is_run, acc["micro"])
+            .otherwise(
+                acc["micro"]
+                + F.when(acc["run"] > 0, _term(acc["run"])).otherwise(F.lit(0))
+            )
+            .alias("micro"),
+        )
+
+    stats = F.aggregate(
+        "cs",
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("distinct"),
+            F.lit(0).cast("bigint").alias("micro"),
+        ),
+        _step,
+        lambda acc: F.struct(
+            acc["distinct"].alias("distinct"),
+            (acc["micro"] + _term(acc["run"])).alias("micro"),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        n.alias("n_chars"),
+        stats["distinct"].alias("n_distinct_chars"),
+        stats["micro"].alias("entropy_micro"),
     )
 
 
