@@ -307,3 +307,85 @@ def test_golden_cosine(spark):
     )
     got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
     assert got == pytest.approx(24 / 25, abs=0, rel=1e-15)
+
+
+# ---------------------------------------------------------------------
+# sorted-array run-length aggregates (r9 map-only rewrites) —
+# plans/llm_ops.py quality_gopher_filters, plans/pipeline_ops.py
+# text_char_entropy
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture()
+def _doc_dir(spark, tmp_path):
+    """Write a literal 4-doc documents table and return its sf_dir."""
+
+    def write(texts):
+        rows_ = [
+            (i, t, "en", "golden", len(t)) for i, t in enumerate(texts, 1)
+        ]
+        spark.createDataFrame(
+            rows_, "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    return write
+
+
+def test_golden_gopher_run_length_metrics(spark, _doc_dir):
+    """doc 1: 'the cat the cat the' -> toks [the,cat,the,cat,the]:
+    n_words 5, char_sum 3*5=15, mean 3.0, stop_cnt 3 ('the' x3),
+    top_cnt 3 (the), bigrams [the cat, cat the, the cat, cat the]:
+    n_bi 4, distinct 2, dup ratio (4-2)/4 = 0.5.
+    doc 2: 'aa' -> single token: n_words 1, n_bi NULL (no bigrams),
+    top_cnt 1, stop 0, mean 2.0; passes is 0 not NULL — the failed
+    n_words BETWEEN makes FALSE AND NULL = FALSE (both engines).
+    doc 3: 'x y z' -> all distinct: top_cnt 1, n_bi 2, distinct 2,
+    dup 0.0."""
+    from wiki_data_pipeline_spark.plans.llm_ops import quality_gopher_filters
+
+    sf = _doc_dir(["the cat the cat the", "aa", "x y z"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_gopher_filters(spark, sf).collect()
+    }
+    d1 = got[1]
+    assert (d1["n_words"], d1["mean_word_len"], d1["stopword_ratio"]) == (
+        5, 3.0, 3 / 5,
+    )
+    assert (d1["top_unigram_ratio"], d1["dup_bigram_ratio"]) == (3 / 5, 0.5)
+    d2 = got[2]
+    assert (d2["n_words"], d2["top_unigram_ratio"]) == (1, 1.0)
+    assert d2["dup_bigram_ratio"] is None and d2["passes"] == 0
+    d3 = got[3]
+    assert (d3["top_unigram_ratio"], d3["dup_bigram_ratio"]) == (1 / 3, 0.0)
+
+
+def test_golden_char_entropy_run_length(spark, _doc_dir):
+    """doc 1 'aab': counts a:2 b:1, n=3. By hand:
+    term(a) = round(2/3 * -ln(2/3) * 1e6) = round(0.27031007...e6)
+            = 270310; term(b) = round(1/3 * -ln(1/3) * 1e6)
+            = round(366204.096...) = 366204; sum 636514, distinct 2.
+    doc 2 'zzzz': p=1, -p*ln(p)=0 -> entropy 0, distinct 1.
+    doc 3 '' (empty): dropped (oracle generate_series(1,0) is empty)."""
+    import math
+
+    from wiki_data_pipeline_spark.plans.pipeline_ops import text_char_entropy
+
+    t_a = round(2 / 3 * -math.log(2 / 3) * 1e6)
+    t_b = round(1 / 3 * -math.log(1 / 3) * 1e6)
+    sf = _doc_dir(["aab", "zzzz", ""])
+    got = {
+        r["doc_id"]: r.asDict() for r in text_char_entropy(spark, sf).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_chars": 3, "n_distinct_chars": 2,
+        "entropy_micro": t_a + t_b,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_chars": 4, "n_distinct_chars": 1, "entropy_micro": 0,
+    }
+    assert 3 not in got
