@@ -389,3 +389,46 @@ def test_golden_char_entropy_run_length(spark, _doc_dir):
         "doc_id": 2, "n_chars": 4, "n_distinct_chars": 1, "entropy_micro": 0,
     }
     assert 3 not in got
+
+
+# ---------------------------------------------------------------------
+# segment-blocked Hamming title join — plans/pipeline_ops.py
+# ---------------------------------------------------------------------
+
+
+def test_golden_title_hamming_pigeonhole(spark, tmp_path):
+    """Titles are the lowercased first 24 chars. By hand (0-indexed
+    diffs vs doc 1 'abcdefgh' + 'ijklmnop' + 'qrstuvwx'):
+    doc 2 differs at positions 0 and 23 only -> hamming 2 (segments 2
+    of 3 intact: candidate found via middle segment), kept;
+    doc 3 differs from doc 1 at one position per segment -> hamming 3:
+    no segment matches doc 1, so the pair is never even a candidate —
+    but doc 3 vs doc 2 share two segments and differ ONLY at position
+    15 -> hamming 1, kept;
+    doc 4 is an exact duplicate of doc 1 -> hamming 0, kept (and vs
+    doc 2 it mirrors doc 1's hamming 2);
+    doc 5 is shorter than 24 chars -> excluded entirely."""
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        dedup_title_hamming,
+    )
+
+    t1 = "abcdefghijklmnopqrstuvwx"
+    t2 = "XbcdefghijklmnopqrstuvwZ"   # pos 0, 23 (lowercased x/z)
+    t3 = "XbcdefghijklmnoxqrstuvwZ"   # one diff in every segment
+    rows_ = [
+        (1, t1 + " tail", "en", "g", 29),
+        (2, t2 + " tail", "en", "g", 29),
+        (3, t3 + " tail", "en", "g", 29),
+        (4, t1 + " other tail", "en", "g", 35),
+        (5, "short text", "en", "g", 10),
+    ]
+    spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = rows(
+        dedup_title_hamming(spark, str(tmp_path)), "doc_a", "doc_b", "hamming"
+    )
+    assert got == [(1, 2, 2), (1, 4, 0), (2, 3, 1), (2, 4, 2)]

