@@ -178,6 +178,12 @@ MANIFEST: dict[str, dict] = {
         note="all four dims broadcast; the ONE exchange is the final "
         "group-by — the claimed single fact-side shuffle",
     ),
+    "sample_weighted_topk": dict(
+        max_exchanges=0, max_scans=1, max_smj=0,
+        note="A-ES weighted sample: orderBy+limit MUST compile to "
+        "TakeOrderedAndProject (per-partition heap of k) — an Exchange "
+        "here means a global sort snuck in",
+    ),
     "q2_min_cost_supplier": dict(
         max_exchanges=2, max_scans=9, min_bhj=8, max_smj=0, pushdown=True,
         note="correlated-MIN decorrelated to one (partkey,suppkey) agg "

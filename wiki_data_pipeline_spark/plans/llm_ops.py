@@ -2077,6 +2077,73 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ES_SAMPLE_K = 50
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+        greatest(n_chars, 1) AS weight,
+        -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             + 0.5) / 4294967296.0)
+          / greatest(n_chars, 1) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, weight,
+      CAST(round(es_key * 1000000) AS BIGINT) AS es_key_micro
+    FROM keyed
+    ORDER BY es_key, doc_id
+    LIMIT {_ES_SAMPLE_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential jitter —
+    the Efraimidis–Spirakis A-ES scheme (engine extension per
+    SURVEY.md §2: the curation step that subsamples a corpus
+    proportionally to per-doc weight, here n_chars, in one
+    distributed pass). Each doc draws u from md5(doc_id) (the
+    sample_stable_hash primitive: deterministic across engines,
+    reruns, partitionings — never an RNG stream) and gets key
+    -ln(u)/w; the k smallest keys ARE a weight-proportional sample
+    without replacement. Heavier docs get proportionally smaller
+    keys, and the whole draw is reproducible: re-running on a grown
+    corpus re-ranks but never re-rolls.
+
+    Scale: map-only key computation, then global top-k — Spark
+    compiles orderBy+limit to TakeOrderedAndProject (per-partition
+    heap of k, merge at the driver-side of one stage), NOT a global
+    sort: no full-corpus shuffle at any size. The raw double key
+    orders the heap; the emitted column is the micro-quantized BIGINT
+    (the surprisal discipline — identical integer hash inputs →
+    identical ln/division doubles on both engines → identical
+    rounding)."""
+    docs = read_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h32.cast("double") + 0.5) / F.lit(4294967296.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = -F.log(u) / w.cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("weight"),
+            key.alias("_es_key"),
+        )
+        .orderBy("_es_key", "doc_id")
+        .limit(_ES_SAMPLE_K)
+        .select(
+            "doc_id",
+            "weight",
+            F.round(F.col("_es_key") * 1000000)
+            .cast("bigint")
+            .alias("es_key_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (training-data scrubbing).
 # ---------------------------------------------------------------------------
