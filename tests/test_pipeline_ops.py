@@ -213,6 +213,19 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert all(r.est_count >= r.true_count for r in rows)
 
 
+def test_cms_join_cardinality_never_underestimates(spark, sf_dir):
+    """CMS inner product's one-sided guarantee: colliding keys only
+    ADD cross terms, so est_card ≥ true_card always — and the true
+    F2 is itself ≥ the table row count (every key contributes at
+    least f(k) ≥ 1 pair per row)."""
+    from wiki_data_pipeline_spark.io import read_table
+
+    [row] = get("sketch_cms_join_cardinality").fn(spark, sf_dir).collect()
+    assert row.overestimate >= 0
+    assert row.est_card >= row.true_card
+    assert row.true_card >= read_table(spark, sf_dir, "lineitem").count()
+
+
 def test_cdc_merge_apply_equals_recompute(spark, sf_dir):
     """MERGE ≡ RECOMPUTE (the incr_agg_merge discipline): applying the
     delta batch onto the compacted historical state must produce the
