@@ -2078,6 +2078,7 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ES_SAMPLE_K = 50
+_ES_STRATUM_K = 20
 
 
 @query(
@@ -2141,6 +2142,61 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("es_key_micro"),
         )
+    )
+
+
+@query(
+    "sample_weighted_per_stratum",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+        greatest(n_chars, 1) AS weight,
+        -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             + 0.5) / 4294967296.0)
+          / greatest(n_chars, 1) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, weight FROM (
+      SELECT doc_id, lang, weight,
+        row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id)
+          AS rn
+      FROM keyed
+    )
+    WHERE rn <= {_ES_STRATUM_K}
+    """,
+)
+def sample_weighted_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement — an EXACT
+    k-per-language quota where, inside each language, selection
+    probability is proportional to doc weight (the A-ES key of
+    sample_weighted_topk, ranked within the stratum instead of
+    globally). This is the domain-mix curation step: hit the language
+    quota exactly (sample_stratified_by_lang's property) while
+    preferring substantial documents within it (sample_weighted_topk's
+    property); deterministic md5 jitter keeps every draw reproducible.
+
+    Scale: one shuffle on lang, then a per-stratum rank — the same
+    shape and the same skew note as sample_stratified_by_lang (a
+    dominant language is a big sort partition; at 100 TB pre-filter
+    each stratum to its approximate top fraction by a per-stratum key
+    threshold from a count pass before the exact rank)."""
+    docs = read_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h32.cast("double") + 0.5) / F.lit(4294967296.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = -F.log(u) / w.cast("double")
+    win = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            w.alias("weight"),
+            F.row_number().over(win).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= _ES_STRATUM_K)
+        .select("doc_id", "lang", "weight")
     )
 
 
