@@ -2166,8 +2166,9 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_weighted_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum weighted sampling without replacement — an EXACT
-    k-per-language quota where, inside each language, selection
+    """Per-stratum weighted sampling without replacement (engine
+    extension per SURVEY.md §2 — no sampling in the reference): an
+    EXACT k-per-language quota where, inside each language, selection
     probability is proportional to doc weight (the A-ES key of
     sample_weighted_topk, ranked within the stratum instead of
     globally). This is the domain-mix curation step: hit the language
