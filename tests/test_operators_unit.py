@@ -137,14 +137,76 @@ def _pil_available() -> bool:
 
 def test_decode_media_stub_contract():
     assert decode_media(b"abc", "text/plain") == b"abc"
-    # audio/video codecs are always stubbed (librosa/av)
+    # compressed audio / video codecs are stubbed (librosa/av); PCM WAV
+    # is REAL via the stdlib wave module (see test_wav_codec_golden)
     with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF", "audio/wav")
+        decode_media(b"\xff\xfb", "audio/mpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
     if not _pil_available():
         # the image gate must fail LOUDLY (documented stub), never
         # silently pass bytes through as if they were decoded
         with pytest.raises(NotImplementedError):
             decode_media(b"\x89PNG", "image/png")
+
+
+def test_wav_codec_golden():
+    """Hand-computed golden for the stdlib PCM16 WAV codec: encode →
+    RIFF container → decode roundtrips exactly, and decode_media
+    returns the raw little-endian frame bytes (REAL decode — the audio
+    branch is no longer a stub)."""
+    import math
+
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 16384, -32768, 255]
+    wav = encode_wav_pcm16(samples, rate=8000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"  # genuine container
+    got, rate = decode_wav_pcm16(wav)
+    assert got == samples and rate == 8000
+    # decode_media → raw PCM frame bytes (little-endian int16)
+    raw = decode_media(wav, "audio/wav")
+    assert raw == b"\x00\x00\x00\x40\x00\x80\xff\x00"
+    # hand-computed stats the audio_stats operator must reproduce
+    rms = math.sqrt((0 + 16384**2 + 32768**2 + 255**2) / 4)
+    assert abs(rms - 18318.31) < 0.01
+
+
+def test_audio_stats_golden(spark):
+    """audio_stats through the Arrow mapInPandas path on a hand-built
+    WAV: duration/RMS/peak match hand-computed values; the empty WAV
+    yields 0 samples + NULL rms/peak, and non-WAV audio raises the
+    documented stub error."""
+    import math
+
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        audio_stats,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16([0, 16384, -32768, 255], rate=8000)
+    empty = encode_wav_pcm16([], rate=16000)
+    media = spark.createDataFrame(
+        [(1, wav, "audio/wav"), (2, empty, "audio/x-wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r.doc_id: r for r in audio_stats(media).collect()}
+    assert rows[1].n_samples == 4 and rows[1].sample_rate == 8000
+    assert rows[1].duration_sec == 4 / 8000.0
+    assert rows[1].peak == 32768
+    assert rows[1].rms == math.sqrt((16384**2 + 32768**2 + 255**2) / 4)
+    assert rows[2].n_samples == 0 and rows[2].rms is None
+    assert rows[2].duration_sec == 0.0 and rows[2].sample_rate == 16000
+
+    bad = spark.createDataFrame(
+        [(3, b"\xff\xfb\x90", "audio/mpeg")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        audio_stats(bad).collect()
 
 
 def test_image_decode_without_pil_raises_in_worker(spark):

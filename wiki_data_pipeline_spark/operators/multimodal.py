@@ -10,10 +10,12 @@ columnar form, never row-at-a-time. Codecs are import-gated per worker
 when it is installed (real pixel bytes), and raises a clearly-marked
 ``NotImplementedError`` when it is not — so the same plumbing (schema,
 batch shape, partitioning) runs everywhere, and environments with the
-codec get real decode with no code change. Audio/video (librosa/av)
-remain stubbed pending those libraries. The byte-identity stub types
-are always supported and are what the deterministic hash-checked tests
-use.
+codec get real decode with no code change. ``audio/wav`` decodes
+through the stdlib ``wave`` + ``struct`` modules (PCM16 — zero new
+dependencies, real everywhere); compressed audio (librosa) and video
+(av) remain stubbed pending those libraries. The byte-identity stub
+types are always supported and are what the deterministic hash-checked
+tests use.
 """
 
 from __future__ import annotations
@@ -30,13 +32,60 @@ FEATURE_SCHEMA = (
 _STUB_TYPES = {"text/plain", "application/octet-stream"}
 
 
+def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Encode signed-16-bit mono PCM samples as a WAV container using
+    only the stdlib (``wave`` + ``struct``). The inverse of
+    :func:`decode_wav_pcm16`; used to synthesize deterministic audio
+    fixtures so the decode path is exercised with REAL codec bytes."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[list[int], int]:
+    """Decode a PCM16 mono WAV container → (samples, sample_rate).
+
+    Pure-stdlib real codec (``wave`` parses the RIFF header, ``struct``
+    unpacks the little-endian frames) — no external dependency, so the
+    audio branch of the multimodal surface is NOT a stub anywhere."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError(
+                "decode_wav_pcm16 handles 16-bit mono PCM; got "
+                f"width={w.getsampwidth()} channels={w.getnchannels()}"
+            )
+        n = w.getnframes()
+        raw = w.readframes(n)
+        return list(struct.unpack(f"<{n}h", raw)), w.getframerate()
+
+
 def decode_media(payload: bytes, media_type: str) -> bytes:
     """Decode one media payload to raw bytes. Byte-identity stub types
     pass through; ``image/*`` decodes to raw RGB pixel bytes via PIL
     when installed (import-gated, the functions/wikitext.py pattern);
-    audio/video raise a clearly-marked stub error pending librosa/av."""
+    ``audio/wav`` decodes to raw PCM16 frame bytes via the stdlib
+    ``wave`` module (real everywhere); compressed audio/video raise a
+    clearly-marked stub error pending librosa/av."""
     if media_type in _STUB_TYPES:
         return payload
+    if media_type in ("audio/wav", "audio/x-wav"):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.readframes(w.getnframes())
     if media_type.startswith("image/"):
         try:
             import io
@@ -280,6 +329,123 @@ def sample_frames(
             )
 
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate int, "
+    "duration_sec double, rms double, peak int"
+)
+
+
+def synthesize_wav_corpus(
+    docs: DataFrame, max_bytes: int = 512, rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV corpus over (doc_id, text): each document's
+    first ``max_bytes`` UTF-8 bytes become PCM16 samples
+    ``(byte - 128) * 256`` inside a REAL stdlib-``wave`` RIFF container
+    tagged ``audio/wav``. The derivation is byte-wise SQL-expressible,
+    which is what lets a DuckDB oracle hash-check the full
+    encode → decode → aggregate audio path. Pure map stage (Arrow
+    batches, no shuffle); self-contained closure — workers never
+    import this package."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def _wav(text: str) -> bytes:
+            bs = text.encode("utf-8")[:max_bytes] if text is not None else b""
+            samples = [(b - 128) * 256 for b in bs]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [_wav(t) for t in pdf["text"]],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth, schema="doc_id bigint, payload binary, media_type string"
+    )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over (doc_id, payload, media_type):
+    decode PCM16 WAV via the stdlib ``wave``/``struct`` codec (REAL —
+    no stub) and emit duration, RMS, and peak amplitude per document.
+
+    Arrow-batched mapInPandas; numpy vectorizes the per-payload RMS so
+    the only Python-level loop is per document, not per sample. Pure
+    map stage — no shuffle; at 100 TB this scales linearly with input
+    bytes and composes with resize/frame-sample as further maps.
+    Self-contained closure (workers never import this package).
+
+    Float determinism: sample values are integers ≤ 2^15, squares ≤ 2^30;
+    the sum of ≤ 2^23 of them is exact in float64, the single division
+    and IEEE sqrt are bitwise-reproducible across engines — so a SQL
+    oracle hash-matches the decoded output exactly."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        def _decode(payload: bytes, media_type: str) -> tuple:
+            """→ (n_samples, rate, duration, rms, peak) or Nones."""
+            if payload is None:
+                return None, None, None, None, None
+            if media_type not in ("audio/wav", "audio/x-wav"):
+                raise NotImplementedError(
+                    f"audio stats for {media_type!r} requires a codec "
+                    "library not present in this environment (librosa); "
+                    "PCM WAV decodes via the stdlib everywhere"
+                )
+            with wave.open(io.BytesIO(payload)) as w:
+                n = w.getnframes()
+                rate = w.getframerate()
+                raw = w.readframes(n)
+            s = np.array(struct.unpack(f"<{n}h", raw), dtype=np.float64)
+            dur = n / float(rate)
+            if n == 0:
+                return 0, rate, dur, None, None
+            rms = float(np.sqrt(np.sum(s * s) / n))
+            peak = int(np.max(np.abs(s)))
+            return n, rate, dur, rms, peak
+
+        for pdf in batches:
+            rows = [
+                _decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": pd.Series(
+                        [r[0] for r in rows], dtype="Int64"
+                    ),
+                    "sample_rate": pd.Series(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "duration_sec": pd.Series(
+                        [r[2] for r in rows], dtype="Float64"
+                    ),
+                    "rms": pd.Series([r[3] for r in rows], dtype="Float64"),
+                    "peak": pd.Series([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=AUDIO_SCHEMA)
 
 
 def label_centroid_residuals(emb_df):

@@ -2899,6 +2899,65 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_MAX_BYTES = 512
+_AUDIO_RATE = 8000
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        list_transform(string_split(substr(text, 1, {_AUDIO_MAX_BYTES}), ''),
+                       c -> (ascii(c) - 128) * 256) AS smp
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(smp) AS BIGINT) AS n_samples,
+      CAST({_AUDIO_RATE} AS INT) AS sample_rate,
+      len(smp) / {_AUDIO_RATE}.0 AS duration_sec,
+      CASE WHEN len(smp) = 0 THEN NULL
+           ELSE sqrt(list_aggregate(
+                  list_transform(smp, x -> CAST(x AS DOUBLE) * x), 'sum')
+                / len(smp)) END AS rms,
+      CAST(CASE WHEN len(smp) = 0 THEN NULL
+                ELSE list_aggregate(list_transform(smp, x -> abs(x)), 'max')
+           END AS INT) AS peak
+    FROM s
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end (multimodal family — de-stubs the
+    audio branch): each document's leading bytes become PCM16 samples
+    inside a genuine stdlib-``wave`` RIFF container (`audio/wav`), then
+    ``audio_stats`` decodes the container back through ``wave``/
+    ``struct`` and emits duration, RMS, and peak per document. Because
+    the sample derivation is byte-wise SQL-expressible, the DuckDB
+    oracle hash-checks the full encode → RIFF parse → decode →
+    aggregate path — real codec bytes, not a byte-identity stub
+    (operators/multimodal.py:synthesize_wav_corpus/audio_stats).
+
+    Float determinism: samples are integers ≤ 2^15, squared sums over
+    ≤ {_AUDIO_MAX_BYTES} samples are exact in float64, so one division
+    + IEEE sqrt is bitwise-identical across engines.
+
+    Scale: two composed map stages (synthesize → decode), zero
+    shuffles; linear in input bytes at 100 TB, and the
+    {_AUDIO_MAX_BYTES}-byte cap bounds per-row work regardless of
+    document length."""
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_wav_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # no _spread — see multimodal_resize_stats (cold worker spawns)
+    media = synthesize_wav_corpus(
+        docs, max_bytes=_AUDIO_MAX_BYTES, rate=_AUDIO_RATE
+    )
+    return audio_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # Gopher/C4-style heuristic quality filters (repetition + stopword
 # signals) — the document-level gate a pretraining pipeline runs
