@@ -167,3 +167,80 @@ def test_uniform_salted_join_row_identical(spark, hot_fact, dim):
         )
     )
     assert plain == salted
+
+
+def test_title_hamming_salted_on_hot_segment_corpus(spark, tmp_path):
+    """The r9 verdict's documented-but-unwired hazard, now wired: a
+    synthesized corpus where ONE title segment value owns 30% of all
+    documents (boilerplate 'aaaaaaaa' prefix). The planned-salted
+    candidate join must be row-identical to the plain one (salting is
+    row-invisible), and the salting plan must bound every slice of the
+    hot block near the per-slice target instead of leaving one
+    quadratic 300-row block."""
+    import hashlib
+
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        dedup_title_hamming,
+        dedup_title_hamming_salted_frame,
+        title_segments,
+    )
+
+    n_docs, n_hot, target = 1_000, 300, 64
+
+    def title(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return ("aaaaaaaa" + h[:16]) if i < n_hot else h[:24]
+
+    rows_ = [(i, title(i) + " tail", "en", "g", 29) for i in range(n_docs)]
+    spark.createDataFrame(
+        rows_,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    # 1. row-invisibility: salted ≡ plain on the skewed corpus
+    plain = sorted(
+        map(tuple, dedup_title_hamming(spark, str(tmp_path)).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            dedup_title_hamming_salted_frame(docs, target_rows=target)
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+    # 2. the plan fires on exactly the hot segment and sizes it
+    segs = title_segments(docs)
+    plan = {
+        r.bk: (r.n_rows, r.salt_factor)
+        for r in plan_salts(segs, "bk", target).collect()
+    }
+    assert plan == {"0:aaaaaaaa": (n_hot, -(-n_hot // target))}  # ceil -> 5
+
+    # 3. bounded max-block probe: after planned salting, no
+    # (block key, salt) slice is materially above the per-slice target
+    # (hash-split variance allowed; the unsalted block was 300)
+    sliced = (
+        segs.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(k, f) for k, (_, f) in plan.items()],
+                    "bk string, salt_factor int",
+                )
+            ),
+            "bk",
+            "left",
+        )
+        .withColumn("_sf", F.coalesce("salt_factor", F.lit(1)))
+        .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.col("_sf")))
+        .groupBy("bk", "_salt")
+        .count()
+    )
+    max_slice = sliced.agg(F.max("count")).first()[0]
+    assert max_slice <= 2 * target, (
+        f"max salted slice {max_slice} not bounded near target {target}"
+    )
