@@ -432,3 +432,84 @@ def test_golden_title_hamming_pigeonhole(spark, tmp_path):
         dedup_title_hamming(spark, str(tmp_path)), "doc_a", "doc_b", "hamming"
     )
     assert got == [(1, 2, 2), (1, 4, 0), (2, 3, 1), (2, 4, 2)]
+
+
+# ---------------------------------------------------------------------
+# A-ES weighted sampling + CMS join cardinality (r10 verdict item 8):
+# the plan and oracle share the md5-jitter / salted-bucket derivation,
+# so these literals come from a THIRD implementation — calculator math
+# over the published md5 digests, no Spark/DuckDB code in common.
+# ---------------------------------------------------------------------
+
+# md5("1")[:8]=c4ca4238 -> u=(3301917240+.5)/2^32=0.7687772 -> -ln(u)=0.2629399...
+# keys (-ln(u)/w, micro-rounded):
+#   doc 1 w=2   -> 131520      doc 2 w=1 -> 246266
+#   doc 3 w=10  ->   7798      doc 4 w=1 -> 418243
+#   doc 5 w=100 ->   1121      doc 6 w=5 -> 486574
+_ES_DOCS = [
+    # (doc_id, lang, n_chars=weight)
+    (1, "en", 2), (2, "en", 1), (3, "en", 10),
+    (4, "de", 1), (5, "de", 100), (6, "de", 5),
+]
+
+
+def _write_es_docs(spark, tmp_path):
+    spark.createDataFrame(
+        [(d, "x" * w, lang, "g", w) for d, lang, w in _ES_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def test_golden_weighted_topk(spark, tmp_path, monkeypatch):
+    """A-ES global top-k with k=2: ascending key order is
+    5 (1121) < 3 (7798) < 1 (131520) < 2 < 4 < 6, so the sample is
+    docs {5, 3} with the literal micro keys above — the heavy docs
+    (w=100, w=10) win exactly as weight-proportional sampling must."""
+    from wiki_data_pipeline_spark.plans import llm_ops
+
+    monkeypatch.setattr(llm_ops, "_ES_SAMPLE_K", 2)
+    _write_es_docs(spark, tmp_path)
+    got = rows(
+        llm_ops.sample_weighted_topk(spark, str(tmp_path)),
+        "doc_id", "weight", "es_key_micro",
+    )
+    assert got == [(3, 10, 7798), (5, 100, 1121)]
+
+
+def test_golden_weighted_per_stratum(spark, tmp_path, monkeypatch):
+    """A-ES per-stratum quota with k=1: within en the min key is
+    doc 3 (7798 < 131520 < 246266); within de it is doc 5
+    (1121 < 418243 < 486574). Exactly one winner per language."""
+    from wiki_data_pipeline_spark.plans import llm_ops
+
+    monkeypatch.setattr(llm_ops, "_ES_STRATUM_K", 1)
+    _write_es_docs(spark, tmp_path)
+    got = rows(
+        llm_ops.sample_weighted_per_stratum(spark, str(tmp_path)),
+        "doc_id", "lang", "weight",
+    )
+    assert got == [(3, "en", 10), (5, "de", 100)]
+
+
+def test_golden_cms_join_cardinality(spark, tmp_path):
+    """l_partkey frequencies 3,2,1 -> true self-join cardinality
+    3²+2²+1² = 14. The three keys land in distinct buckets in every
+    sketch row (md5('1#r')..('3#r') % 1024 checked off-engine:
+    {386,785,108}, {745,593,115}, {468,505,948}), so the inner-product
+    estimate is exactly 14 and the one-sided error is 0."""
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        sketch_cms_join_cardinality,
+    )
+
+    spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (2,), (3,)], "l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = rows(
+        sketch_cms_join_cardinality(spark, str(tmp_path)),
+        "true_card", "est_card", "overestimate",
+    )
+    assert got == [(14, 14, 0)]

@@ -72,9 +72,11 @@ def probe_ivf(
     topk: int = 5,
 ) -> DataFrame:
     """Top-k cosine search over the persisted index for a
-    (query_id, qe) DataFrame. The postings scan carries
-    ``cid IN (probed cells)`` — partition pruning reads only those
-    directories (PartitionFilters in the scan node). Scoring, rounding
+    (query_id, qe) DataFrame. The probed-cell restriction reaches the
+    postings scan as DYNAMIC partition pruning: the broadcast probe
+    set becomes a ``dynamicpruningexpression(cid IN ...)`` partition
+    filter, so only probed directories are read and no centroid id is
+    collected driver-side. Scoring, rounding
     and tie-breaks replicate sim_ann_ivf exactly; ``nprobe`` defaults
     to the SAME constant the inline query uses so index probes and
     sim_ann_ivf stay result-identical."""
@@ -93,12 +95,17 @@ def probe_ivf(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "cid")
     )
-    probed_cids = [r.cid for r in probes.select("cid").distinct().collect()]
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("cid").isin(probed_cids)
-    )
+    # Join-based pruning (r9 verdict item 7): broadcasting the probe
+    # set makes Catalyst's Dynamic Partition Pruning inject the
+    # broadcast result as a partition filter on the cid-partitioned
+    # postings scan (`dynamicpruningexpression(cid IN ...)` in
+    # PartitionFilters) — unprobed directories are never read, and no
+    # centroid id round-trips through the driver, so a large probe
+    # batch stays fully distributed.
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     cand = (
-        probes.join(postings, on="cid")
+        F.broadcast(probes)
+        .join(postings, on="cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "ve")
     )
