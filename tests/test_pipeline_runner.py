@@ -699,13 +699,16 @@ def test_pipeline_stale_lease_reaped(spark, sf_dir, tmp_path):
     assert s["processed"] == 5
     assert not os.path.exists(lock)
 
-    # garbage-content lock: unreadable holder == not provably alive ->
-    # reaped (a truncated write from a crash mid-acquire)
+    # garbage-content lock: r10 flips this to CONSERVATIVE (ADVICE r9)
+    # — lock creation is now atomic-with-content, so an unparseable
+    # lock cannot be a mid-acquire crash; treat it as alive and fail
+    # fast instead of reaping on a guess
     with open(lock, "w", encoding="utf-8") as f:
         f.write("not-a-pid")
-    s2 = run_pipeline(spark, sf_dir, out, limit=10)
-    assert s2["processed"] == 5
-    assert not os.path.exists(lock)
+    with pytest.raises(CheckpointLeaseError):
+        run_pipeline(spark, sf_dir, out, limit=10)
+    assert os.path.exists(lock)
+    os.unlink(lock)
 
     # live-pid lock (our own pid): honored, not reaped
     with open(lock, "w", encoding="utf-8") as f:
@@ -732,12 +735,14 @@ def test_pipeline_stale_lease_reaped(spark, sf_dir, tmp_path):
 
 
 def test_stale_lease_reap_is_race_safe(tmp_path):
-    """Pin the TOCTOU fix (r8 advice): the stale-lock reap is claimed
-    by atomic RENAME, so (a) a contender that loses the rename race
-    reports contention instead of unlinking the winner's fresh LIVE
-    lock, and (b) a contender whose observed-dead lock was already
-    replaced by a live one restores it untouched — never two holders
-    of the single-writer lease."""
+    """Pin the r10 link-first reap protocol (ADVICE r9: the r8 rename
+    protocol's restore path left lock_path briefly missing): (a) a
+    contender whose lock vanished reports contention; (b) a lock
+    replaced by a LIVE holder between the dead-pid check and the claim
+    is left untouched — the original never leaves its place; (c) the
+    clean reap works end-to-end; (d) a claim orphaned by a crashed
+    reaper blocks reaps while fresh-and-matching but is cleaned up
+    once it no longer matches the current lock inode."""
     import subprocess
 
     from wiki_data_pipeline_spark.streaming.checkpoint import (
@@ -750,17 +755,18 @@ def test_stale_lease_reap_is_race_safe(tmp_path):
     proc.wait()
     dead_pid = proc.pid
 
-    # (a) lost the rename race: lock already gone -> contention, and
-    # acquire() then succeeds cleanly on the now-free path
+    # (a) lock already gone -> contention, and acquire() then
+    # succeeds cleanly on the now-free path
     assert ckpt._reap_stale(dead_pid) is False
     ckpt.acquire()
     ckpt.release()
 
-    # (b) observed-dead lock replaced by a LIVE one between the read
-    # and the rename: reap must restore the live lock and yield
+    # (b) observed-dead lock replaced by a LIVE one between the check
+    # and the claim: reap must leave the live lock in place and yield
     with open(ckpt.lock_path, "w", encoding="utf-8") as f:
         f.write(str(os.getpid()))  # the "new holder" (alive)
     assert ckpt._reap_stale(dead_pid) is False
+    assert not os.path.exists(ckpt.lock_path + ".reap")  # claim cleaned
     with open(ckpt.lock_path, encoding="utf-8") as f:
         assert f.read().strip() == str(os.getpid())  # holder intact
     with pytest.raises(CheckpointLeaseError):
@@ -768,12 +774,28 @@ def test_stale_lease_reap_is_race_safe(tmp_path):
     os.unlink(ckpt.lock_path)
 
     # (c) the clean reap still works end-to-end: dead-pid lock ->
-    # reaped by rename-claim -> acquired
+    # link-claimed, verified, reaped -> acquired
     with open(ckpt.lock_path, "w", encoding="utf-8") as f:
         f.write(str(dead_pid))
     ckpt.acquire()
     with open(ckpt.lock_path, encoding="utf-8") as f:
         assert f.read().strip() == str(os.getpid())
+    ckpt.release()
+
+    # (d) orphaned claim from a crashed reaper: while it matches the
+    # current lock inode and is fresh, contenders yield (no double
+    # reap); once the lock it claimed is gone, the next contender
+    # clears it and the path un-wedges
+    with open(ckpt.lock_path, "w", encoding="utf-8") as f:
+        f.write(str(dead_pid))
+    claim = ckpt.lock_path + ".reap"
+    os.link(ckpt.lock_path, claim)  # simulated crash mid-reap
+    assert ckpt._reap_stale(dead_pid) is False  # blocked, nothing broken
+    assert os.path.exists(ckpt.lock_path) and os.path.exists(claim)
+    os.unlink(ckpt.lock_path)  # the claimed lock goes away
+    assert ckpt._reap_stale(dead_pid) is False  # cleans the stale claim
+    assert not os.path.exists(claim)
+    ckpt.acquire()  # and the lease is takeable again
     ckpt.release()
 
 

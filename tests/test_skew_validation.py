@@ -244,3 +244,38 @@ def test_title_hamming_salted_on_hot_segment_corpus(spark, tmp_path):
     assert max_slice <= 2 * target, (
         f"max salted slice {max_slice} not bounded near target {target}"
     )
+
+
+def test_gini_count_of_counts_matches_per_key_ranking(spark):
+    """r10 rewrite equivalence pin: the count-of-counts Σi·x (tie
+    blocks contribute x·(m·R + m(m+1)/2)) must equal the per-key
+    row_number ranking on a frame dense with ties."""
+    from pyspark.sql import Window
+
+    # counts per key: 1,1,1,2,2,5  (ties everywhere)
+    rows_ = (
+        [(k, 0) for k in (1, 2, 3)]
+        + [(k, 0) for k in (4, 5) for _ in range(2)]
+        + [(6, 0)] * 5
+    )
+    df = spark.createDataFrame(rows_, "key long, v int")
+    got = gini_micro(df, "key")
+
+    per_key = df.groupBy("key").agg(F.count("*").alias("x"))
+    ranked = per_key.withColumn(
+        "i", F.row_number().over(Window.orderBy("x", "key"))
+    )
+    row = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    ).select(
+        F.expr(
+            "(2 * 1000000 * (2 * six - (n + 1) * sx) + n * sx)"
+            " div (2 * n * sx)"
+        ).alias("g")
+    ).first()
+    assert got == int(row["g"])
+    # and by hand: x asc = [1,1,1,2,2,5], Σx=12, Σi·x=1+2+3+8+10+30=54,
+    # G = (2·54 − 7·12)/(6·12) = 24/72 = 1/3 -> 333333 micro
+    assert got == 333333

@@ -104,17 +104,34 @@ def gini_micro(df: DataFrame, key: str) -> int:
     """Exact integer micro-Gini of per-``key`` row counts (0 uniform,
     -> 1e6 concentrated): G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
     counts ranked ascending, every term BIGINT, half-up division —
-    the skew_gini_coefficient discipline on an arbitrary frame."""
+    the skew_gini_coefficient discipline on an arbitrary frame.
+
+    Σi·x is computed over the COUNT-OF-COUNTS frame, not per key
+    (ADVICE r9: a high-cardinality key column made the diagnostic's
+    own global rank window a straggler): keys sharing a count value x
+    occupy a consecutive rank block [R+1, R+m], and since their x is
+    equal, Σi·x over the block is x·(m·R + m(m+1)/2) regardless of
+    order within the tie — identical to the per-key ranking, exactly.
+    The one remaining global window runs over DISTINCT count values
+    (≤ a few thousand for any realistic corpus, vs n keys before);
+    every term stays BIGINT."""
     from pyspark.sql import Window
 
     per_key = df.groupBy(key).agg(F.count("*").alias("x"))
-    ranked = per_key.withColumn(
-        "i", F.row_number().over(Window.orderBy("x", key))
+    coc = per_key.groupBy("x").agg(F.count("*").cast("bigint").alias("m"))
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    row = ranked.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    blocks = coc.withColumn(
+        "r0", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("bigint")
+    )
+    row = blocks.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("x") * F.col("m")).cast("bigint").alias("sx"),
+        F.sum(
+            F.expr("x * (m * r0 + (m * (m + 1)) div 2)")
+        ).cast("bigint").alias("six"),
     ).select(
         F.expr(
             "(2 * 1000000 * (2 * six - (n + 1) * sx) + n * sx)"

@@ -61,16 +61,26 @@ class HighWatermarkCheckpoint:
         return self.path + ".lock"
 
     def _try_acquire(self) -> bool:
+        """Create the lock ATOMICALLY WITH its pid content: the pid is
+        written to a private temp file first and link()ed into place,
+        so no contender can ever observe an existing-but-empty lock
+        (the pre-r10 O_CREAT-then-write sequence had a window where a
+        reader parsed the momentarily-empty file as pid -1 = dead and
+        reaped a live holder)."""
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(self.lock_path) or "."
+        )
         try:
-            fd = os.open(
-                self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(str(os.getpid()))
-        return True
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(str(os.getpid()))
+            try:
+                os.link(tmp, self.lock_path)  # atomic: content + name
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
 
     def acquire(self) -> None:
         """Take the single-writer lease or raise CheckpointLeaseError.
@@ -84,20 +94,18 @@ class HighWatermarkCheckpoint:
         surfaces it."""
         if self._try_acquire():
             return
-        try:
-            with open(self.lock_path, encoding="utf-8") as f:
-                pid = int(f.read().strip() or "-1")
-        except (OSError, ValueError):
-            pid = -1
-        alive = False
-        if pid > 0:
+        pid = self._read_pid(self.lock_path)
+        # pid None (unreadable/vanished-mid-read) is treated as ALIVE:
+        # lock creation is atomic-with-content now, so an unparseable
+        # lock is an anomaly — fail fast rather than reap on a guess.
+        alive = True
+        if pid is not None:
             try:
                 os.kill(pid, 0)
-                alive = True
             except ProcessLookupError:
                 alive = False
             except PermissionError:
-                alive = True  # exists, owned by someone else
+                pass  # exists, owned by someone else
         if not alive and self._reap_stale(pid) and self._try_acquire():
             return
         raise CheckpointLeaseError(
@@ -106,41 +114,86 @@ class HighWatermarkCheckpoint:
             "on one checkpoint would double-process the same delta"
         )
 
-    def _reap_stale(self, dead_pid: int) -> bool:
-        """Remove a lock whose holder pid is dead. Claimed by RENAME,
-        not unlink: two contenders that both observed the dead pid
-        would otherwise both unlink-and-acquire — the second unlink
-        removing the first's fresh LIVE lock, yielding two concurrent
-        'single-writer' holders (TOCTOU). rename() is atomic, so
-        exactly one contender wins the reap; the loser sees
-        FileNotFoundError and treats it as contention.
-
-        After the rename we re-verify the claimed file still names the
-        dead pid: if another contender already reaped and a NEW holder
-        acquired in between, we just stole a live lock — restore it
-        with link() (atomic, refuses to clobber a newer lock) and
-        report contention."""
-        claim = f"{self.lock_path}.reap.{os.getpid()}"
+    @staticmethod
+    def _read_pid(path: str) -> int | None:
         try:
-            os.rename(self.lock_path, claim)
-        except FileNotFoundError:
-            return False  # another contender reaped first
-        try:
-            with open(claim, encoding="utf-8") as f:
-                claimed_pid = int(f.read().strip() or "-1")
+            with open(path, encoding="utf-8") as f:
+                txt = f.read().strip()
+            return int(txt) if txt else None
         except (OSError, ValueError):
-            claimed_pid = -1
-        if claimed_pid == dead_pid:
-            os.unlink(claim)
-            return True
-        # Stole a re-created (live) lock: put it back without
-        # clobbering anything newer, then yield.
+            return None
+
+    _REAP_CLAIM_MAX_AGE_S = 30.0
+
+    def _reap_stale(self, dead_pid: int) -> bool:
+        """Remove a lock whose holder pid is dead — link-FIRST claim
+        (r10, replacing the r9 rename protocol whose restore path left
+        lock_path briefly nonexistent, letting a third contender
+        acquire alongside a restored holder):
+
+        1. link(lock_path, claim) with ONE shared claim name — atomic,
+           so exactly one contender holds the reap critical section;
+           the ORIGINAL LOCK NEVER LEAVES ITS PLACE, so no acquire can
+           slip through a missing-lock window.
+        2. Verify the claimed inode IS the current lock (stat compare)
+           and still names the dead pid. While the claim exists other
+           contenders cannot reap, no live holder exists (pid is
+           dead), and acquires fail on the still-present lock — so
+           the verified inode cannot change underneath us.
+        3. unlink(lock_path) then unlink(claim): deletes exactly the
+           dead holder's lock, never a re-created live one.
+
+        A claim orphaned by a reaper that crashed mid-reap is cleaned
+        up when it no longer matches the current lock inode, or ages
+        out after _REAP_CLAIM_MAX_AGE_S seconds (a live reap is three
+        syscalls). Residual window: a reaper suspended longer than the
+        age-out INSIDE step 3 while a contender re-claims could still
+        unlink a fresh lock — documented as accepted (pause must
+        exceed 30 s between two adjacent syscalls)."""
+        claim = self.lock_path + ".reap"
         try:
-            os.link(claim, self.lock_path)
+            os.link(self.lock_path, claim)
         except FileExistsError:
-            pass  # a newer lock appeared; leave it be
+            self._cleanup_orphaned_claim(claim)
+            return False  # a reap is (or was) in flight; retry later
+        except FileNotFoundError:
+            # holder vanished on its own; a claim left behind by a
+            # crashed reaper of that vanished lock is defunct — clear it
+            self._cleanup_orphaned_claim(claim)
+            return False
+        try:
+            lock_st = os.stat(self.lock_path)
+            claim_st = os.stat(claim)
+            same = lock_st.st_ino == claim_st.st_ino
+        except FileNotFoundError:
+            same = False
+        if not same or self._read_pid(claim) != dead_pid:
+            os.unlink(claim)  # lock changed hands between check and claim
+            return False
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(self.lock_path)
         os.unlink(claim)
-        return False
+        return True
+
+    def _cleanup_orphaned_claim(self, claim: str) -> None:
+        """Clear a claim left by a crashed reaper: safe when it no
+        longer matches the current lock inode (it refers to a defunct
+        reap) or when it exceeds the age-out (no live reap spans it)."""
+        import time
+
+        try:
+            claim_st = os.stat(claim)
+        except FileNotFoundError:
+            return
+        try:
+            lock_st = os.stat(self.lock_path)
+        except FileNotFoundError:
+            lock_st = None
+        stale_inode = lock_st is None or lock_st.st_ino != claim_st.st_ino
+        aged_out = (time.time() - claim_st.st_mtime) > self._REAP_CLAIM_MAX_AGE_S
+        if stale_inode or aged_out:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(claim)
 
     def release(self) -> None:
         with contextlib.suppress(FileNotFoundError):
