@@ -1116,18 +1116,70 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     is JVM higher-order expressions, shared verbatim with the DuckDB
     oracle via the md5-prefix hash. Guarantee: any shared substring of
     length ≥ {_WIN_K + _WIN_W - 1} chars yields at least one shared
-    fingerprint."""
-    docs = read_table(spark, sf_dir, "documents")
+    fingerprint.
+
+    r10 constant-factor pass (the sf1 heavyweight — two fixes, output
+    value-identical, oracle unchanged):
+    1. ``substr(norm, i, K)`` inside the transform re-counted UTF-8
+       chars from the string head on EVERY call — O(L) per position,
+       O(L²) per document, which is exactly why this query's sf1 cost
+       grew superlinearly with the replica's 13.3× longer texts. The
+       text is now split into a char array ONCE and each k-gram is K
+       O(1) ``element_at`` lookups — O(L·K) per document.
+    2. The sliding-window minimum is a SPARSE-TABLE doubling over
+       element-wise ``zip_with``/``least`` — ceil(log2(W)) O(P)
+       passes with no per-position ``slice`` allocation (F.least
+       skips the nulls zip_with pads at the tail; the final slice
+       keeps exactly the P−W+1 full windows)."""
+    # _spread: per-position md5 is the most CPU-dense map stage in the
+    # registry; a single-file input (one split) would serialize it on
+    # one or two cores (measured at the x10 replica: 2 splits, 35 s →
+    # full fan-out)
+    docs = _spread(read_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+
+    def _window_mins(hs: Column) -> Column:
+        """min over each W consecutive elements, sparse-table style:
+        level k holds mins of 2^k consecutive; the W-window is the
+        least of two (possibly overlapping) 2^t blocks."""
+        level, span = hs, 1
+        while span * 2 <= _WIN_W:
+            level = F.zip_with(
+                level,
+                F.slice(level, span + 1, F.greatest(F.size(level) - span, F.lit(0))),
+                lambda x, y: F.least(x, y),
+            )
+            span *= 2
+        if span < _WIN_W:  # W not a power of two: overlap two blocks
+            off = _WIN_W - span
+            level = F.zip_with(
+                level,
+                F.slice(level, off + 1, F.greatest(F.size(level) - off, F.lit(0))),
+                lambda x, y: F.least(x, y),
+            )
+        return F.slice(level, 1, F.size(hs) - (_WIN_W - 1))
+
     return (
         docs.select("doc_id", norm.alias("norm"))
         .filter(F.length("norm") >= _WIN_K + _WIN_W - 1)
+        .select("doc_id", F.split(F.col("norm"), "").alias("cs"))
         .select(
             "doc_id",
             F.transform(
-                F.sequence(F.lit(1), F.length(F.col("norm")) - (_WIN_K - 1)),
+                F.sequence(F.lit(1), F.size("cs") - (_WIN_K - 1)),
                 lambda i: F.conv(
-                    F.substring(F.md5(F.substr(F.col("norm"), i, F.lit(_WIN_K))), 1, 8),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.element_at(F.col("cs"), i + j)
+                                    for j in range(_WIN_K)
+                                ]
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
                     16,
                     10,
                 ).cast("long"),
@@ -1136,12 +1188,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
-                        lambda j: F.array_min(F.slice(F.col("hs"), j, _WIN_W)),
-                    )
-                )
+                F.array_distinct(_window_mins(F.col("hs")))
             ).alias("fps"),
         )
         .select(
