@@ -309,3 +309,29 @@ def test_registry_wide_blanket_invariants(spark):
         elif a["row_python"]:
             bad[name] = f"BatchEvalPython x{a['row_python']}"
     assert not bad, f"scale-hostile plan shapes: {bad}"
+
+
+def test_round_plan_variants_are_auditable(spark, sf_dir):
+    """r10: the x10 sweep audits the iterative queries through their
+    one-round stand-ins (plans/scale_audit.py). Pin that each stand-in
+    exposes real join/aggregate structure — if a refactor ever made
+    one return a checkpoint scan (zero joins), the sweep would go
+    blind on exactly the family where a scale regression hides."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import audit_plan
+
+    from wiki_data_pipeline_spark.plans.scale_audit import round_plan_variants
+
+    for name, fn in round_plan_variants().items():
+        df = fn(spark, sf_dir)
+        a = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        joins = a["bhj"] + a["smj"] + a["bnlj"]
+        assert joins >= 1, f"{name}: round plan carries no join nodes"
+        assert a["cartesian"] == 0, f"{name}: cartesian at fixture SF"
+        assert a["row_python"] == 0, f"{name}: row-at-a-time Python"
+        assert a["scans"] >= 1, f"{name}: no source scan visible"

@@ -20,10 +20,13 @@ Usage:
     python tools/plan_scale_diff.py [fixture_dir] [x10_dir]
     # defaults: /root/testdata/sf0.001  and  .scale/x10
 
-Exit 0 when no query degrades. Compile-only, except the eager-fixpoint
-queries (skipped: their rounds execute at build and the returned frame
-is a checkpoint scan carrying no join nodes) and the bucketed-warehouse
-query (fixture-bound by construction).
+Exit 0 when no query degrades. Compile-only throughout (r10): the
+fixpoint queries — whose returned frame is a checkpoint scan carrying
+no join nodes — are audited through their ROUND PLANS (one
+un-checkpointed iteration, plans/scale_audit.py: the plan that
+actually repeats at scale), and the bucketed-warehouse query builds
+its layout at the replica and audits the un-checkpointed bucketed
+join. The former SKIP set is empty.
 """
 
 from __future__ import annotations
@@ -39,15 +42,7 @@ sys.path.insert(0, os.path.join(HERE, "tools"))
 
 from plan_audit import audit_plan  # noqa: E402
 
-SKIP = {
-    # eager fixpoints: rounds run at build; final plan is a checkpoint
-    # scan, so cross-scale join-strategy diffs are invisible anyway
-    "dedup_cluster_components",
-    "dedup_cluster_components_star",
-    "graph_pagerank_dedup",
-    # reads the bucketed warehouse table materialized at fixture SF
-    "join_bucketed_orderkey",
-}
+SKIP: set[str] = set()
 
 
 def compile_audit(spark, fn, sf_dir: str) -> dict:
@@ -64,11 +59,14 @@ def main() -> int:
         return 2
 
     from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.plans.scale_audit import round_plan_variants
     from wiki_data_pipeline_spark.session import get_spark
 
     spark = get_spark("plan-scale-diff")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    # iterative/bucketed queries audit through their round-plan stand-ins
+    queries.update(round_plan_variants())
 
     degraded: dict[str, dict] = {}
     errors: dict[str, str] = {}
@@ -107,7 +105,8 @@ def main() -> int:
     with open(out, "w", encoding="utf-8") as f:
         json.dump(
             {"fixture": fixture, "x10": x10, "degraded": degraded,
-             "errors": errors, "skipped": sorted(SKIP)},
+             "errors": errors, "skipped": sorted(SKIP),
+             "round_plan_variants": sorted(round_plan_variants())},
             f, indent=1,
         )
     print(f"wrote {out}")

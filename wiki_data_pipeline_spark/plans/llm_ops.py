@@ -1654,7 +1654,11 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     (node, lbl) at fixpoint — the shared iterative core of
     dedup_cluster_components (MinHash graph) and dedup_semantic_keep
     (embedding-cosine graph). See dedup_cluster_components for the
-    localCheckpoint / Observation-fixpoint scale discipline."""
+    localCheckpoint / Observation-fixpoint scale discipline.
+
+    NOTE: the loop body is mirrored line-for-line by
+    plans/scale_audit.py:cluster_components_round_plan (the x10
+    sweep's compile-only stand-in) — change them together."""
     from pyspark.sql import Observation
 
     edges = pairs.select(
@@ -1795,7 +1799,11 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     fine: both stars key the shuffle by node id and the min-aggregate
     is decomposable (map-side partials), so a 10⁶-degree boilerplate
     hub never funnels its neighbor list through one reducer as a
-    collected array."""
+    collected array.
+
+    NOTE: the round body is mirrored by
+    plans/scale_audit.py:cluster_components_star_round_plan (x10 sweep
+    stand-in) — change them together."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # undirected edge set, canonical orientation a > b
     edges = pairs.select(
@@ -4194,7 +4202,11 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the O(1) node-count scalar; lineage truncated per
     round with localCheckpoint exactly like dedup_cluster_components;
     3 fixed rounds (dup-cluster diameters are tiny — rank gap closes
-    geometrically at 0.85^t)."""
+    geometrically at 0.85^t).
+
+    NOTE: the iteration body is mirrored by
+    plans/scale_audit.py:pagerank_round_plan (x10 sweep stand-in) —
+    change them together."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     e = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")

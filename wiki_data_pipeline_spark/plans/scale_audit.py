@@ -1,0 +1,144 @@
+"""Compile-only ROUND PLANS for the iterative queries (r10 verdict
+item 2 — closing the x10 plan-sweep skip list).
+
+The three fixpoint queries truncate lineage with ``localCheckpoint``
+every round, so their *returned* frame is a checkpoint scan carrying no
+join nodes — invisible to a cross-scale join-strategy audit. But the
+plan that matters at 100 TB is the one that REPEATS: each function here
+builds exactly one un-checkpointed iteration (edge derivation included,
+since that is the scale-varying part) and returns it for
+``tools/plan_scale_diff.py`` to audit at the fixture SF and the 10x
+replica. The loop bodies mirror the registered queries line for line —
+each source docstring points back here so a drift in one is caught in
+review of the other.
+
+``round_plan_variants()`` is the sweep's lookup: query name → the
+compile-audit callable standing in for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized near-dup pair graph — the shared edge derivation of
+    all three iterative queries (dedup_minhash_lsh composed, exactly
+    as the queries themselves do)."""
+    from wiki_data_pipeline_spark.plans.llm_ops import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+
+
+def cluster_components_round_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One min-label propagation round (mirrors
+    llm_ops._min_label_components' loop body, minus the checkpoint):
+    neighbor-min aggregate + left join back onto labels."""
+    edges = _lsh_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    neighbor_min = (
+        edges.join(labels, edges.u == labels.node)
+        .groupBy(F.col("v").alias("node2"))
+        .agg(F.min("lbl").alias("nmin"))
+    )
+    return labels.join(
+        neighbor_min, labels.node == F.col("node2"), "left"
+    ).select(
+        "node",
+        F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
+    )
+
+
+def cluster_components_star_round_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One large-star + small-star half-round pair (mirrors
+    llm_ops.dedup_cluster_components_star's loop body, minus the
+    checkpoint/Observation)."""
+    from wiki_data_pipeline_spark.plans.llm_ops import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("a"),
+        F.least("doc_a", "doc_b").alias("b"),
+    ).distinct()
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mn = adj.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    large = (
+        adj.join(mn, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+        .distinct()
+    )
+    dmn = large.groupBy("a").agg(F.min("b").alias("mn"))
+    return (
+        large.join(dmn, "a")
+        .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionAll(dmn.select(F.col("a"), F.col("mn").alias("b")))
+        .distinct()
+    )
+
+
+def pagerank_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration over the LSH pair graph (mirrors
+    llm_ops.graph_pagerank_dedup's loop body, minus the checkpoint):
+    contribution join on src, sum keyed on dst, broadcast node-count
+    scalar."""
+    from wiki_data_pipeline_spark.plans.llm_ops import (
+        _PR_DAMP_DEN,
+        _PR_DAMP_NUM,
+    )
+
+    e = _lsh_edges(spark, sf_dir).selectExpr("u AS src", "v AS dst")
+    nodes = e.select(F.col("src").alias("doc_id")).distinct()
+    nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        F.expr("(2 * 1000000000 + n) div (2 * n)").alias("pr_nano"),
+    )
+    contrib = F.expr("(2 * pr_nano + outdeg) div (2 * outdeg)")
+    return (
+        e.join(pr.withColumnRenamed("doc_id", "src"), on="src")
+        .join(deg, on="src")
+        .select(F.col("dst").alias("doc_id"), contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(2 * 150000000 + n) div (2 * n)"
+                f" + (2 * {_PR_DAMP_NUM} * s + {_PR_DAMP_DEN})"
+                f" div (2 * {_PR_DAMP_DEN})"
+            ).alias("pr_nano"),
+        )
+    )
+
+
+def round_plan_variants() -> dict:
+    """Query name → compile-audit callable for the x10 plan sweep."""
+    from wiki_data_pipeline_spark.plans.star_schema import (
+        join_bucketed_orderkey_audit_plan,
+    )
+
+    return {
+        "dedup_cluster_components": cluster_components_round_plan,
+        "dedup_cluster_components_star": cluster_components_star_round_plan,
+        "graph_pagerank_dedup": pagerank_round_plan,
+        "join_bucketed_orderkey": join_bucketed_orderkey_audit_plan,
+    }
