@@ -257,6 +257,37 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "q9_product_profit",
     "q18_large_orders",
+    # r10 widening (verdict item 4): the next tier by frozen sf0.1
+    # cost, bringing the gated set to 55 — the sf1 gate is the only
+    # instrument that has caught an O(N^2) defect (r9 IVF), so its
+    # aperture grows every round the budget allows
+    "join_bucketed_orderkey",
+    "dedup_cluster_components_star",
+    "range_partition_plan",
+    "dedup_impact_report",
+    "dedup_simhash",
+    "graph_degree_histogram",
+    "dedup_substring_spans",
+    "text_char_entropy",
+    "dedup_semantic_keep",
+    "text_shingle_novelty",
+    "split_leakage_minhash",
+    "bloom_filter_probe",
+    "dedup_paragraph_chunks",
+    "sim_ann_pq_rerank",
+    "score_unigram_surprisal",
+    "q2_min_cost_supplier",
+    "quality_gopher_filters",
+    "st_props_schema_audit",
+    "text_vocab_oov_rate",
+    "sql_segment_revenue",
+    "dedup_title_hamming",
+    "dedup_ngram_jaccard",
+    "q8_market_share",
+    "sim_ann_pq_adc",
+    "contamination_ngram_overlap",
+    "q10_returned_revenue",
+    "sketch_bloom_fpp_curve",
 ]
 SF1_BASELINE_PATH = "BENCH_SF1_BASELINE.json"
 SF1_ABS_FLOOR_SEC = 5.0  # 10x data -> 10x the sf0.1 floor
@@ -313,7 +344,19 @@ def run_sf1() -> None:
                 f, indent=1,
             )
         frozen_now = True
-    baseline = json.load(open(base_path, encoding="utf-8"))["queries"]
+    doc0 = json.load(open(base_path, encoding="utf-8"))
+    baseline = doc0["queries"]
+    # append-only: queries gated for the first time (tier widening /
+    # new registrations) freeze at their first measured median; existing
+    # values are NEVER refreshed here (same discipline as
+    # tools/freeze_baseline.py)
+    new_names = sorted(set(t1) - set(baseline))
+    if new_names:
+        baseline.update({n: t1[n] for n in new_names})
+        appended = doc0.setdefault("appended", {})
+        appended[f"append_{len(appended) + 1}"] = new_names
+        with open(base_path, "w", encoding="utf-8") as f:
+            json.dump(doc0, f, indent=1)
     norm = session_ratio(t1, baseline)
     raw_sentinels = sentinel_ratios(t1, baseline)
     regressions = compute_regressions(
@@ -340,7 +383,65 @@ def run_sf1() -> None:
     print(json.dumps(doc))
 
 
+def run_sf1_full() -> None:
+    """Full-registry x10 exponent sweep (r10 verdict item 4): every
+    registered query timed ONCE at sf0.1 and once at the 10x replica —
+    artifact-only (BENCH_SF1_FULL.json), no gate. Single-trial by
+    design: 2 x ~210 queries at two scales is the cost ceiling; the
+    gated 55-query set (--sf1) keeps the median-of-3 rigor, this sweep
+    exists so NO query's 10x wall behavior is merely inferred from the
+    shuffle-byte audit. Superlinear flags here feed the next round's
+    gate tier."""
+    import math
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from scale_probe import build_scaled
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+    from wiki_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-sf1-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    workdir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(here, ".scale")
+    )
+    sf1_dir = build_scaled(spark, workdir, 10)
+    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    names = sorted(queries)
+    t01 = _time_set(spark, queries, names, sf01_dir, trials=1)
+    t1 = _time_set(spark, queries, names, sf1_dir, trials=1)
+    exponents = {
+        n: round(math.log10(max(t1[n], 1e-3) / max(t01[n], 1e-3)), 2)
+        for n in names
+    }
+    doc = {
+        "metric": "sf1_full_total_wall",
+        "value": round(sum(t1.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "trials": 1,
+        "note": "single-trial full-registry exponent sweep; gate rigor "
+        "lives in --sf1 (median-of-3 over the 55 heaviest)",
+        "queries_sf1": t1,
+        "queries_sf01": t01,
+        "scaling_exponents": exponents,
+        "superlinear": {n: e for n, e in exponents.items() if e > 1.1},
+    }
+    with open(
+        os.path.join(here, "BENCH_SF1_FULL.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: doc[k] for k in
+                      ("metric", "value", "unit", "superlinear")}))
+
+
 def main() -> None:
+    if "--sf1-full" in sys.argv:
+        run_sf1_full()
+        return
     if "--sf1" in sys.argv:
         run_sf1()
         return
