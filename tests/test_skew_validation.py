@@ -246,6 +246,62 @@ def test_title_hamming_salted_on_hot_segment_corpus(spark, tmp_path):
     )
 
 
+def test_title_hamming_tiered_prunes_hot_block_candidates(spark, tmp_path):
+    """The r10 hierarchical pigeonhole (total-work fix for the sf1
+    gate's exponent-1.86 finding): with one segment value owning a
+    600-doc block (cap 256), the tiered candidate set must (a) verify
+    to exactly the flat spelling's output — double pigeonhole keeps
+    recall GUARANTEED — and (b) be materially smaller than the flat
+    join's n² block (the hot block fragments by its complement
+    chars)."""
+    import hashlib
+
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        _title_candidates_tiered,
+        _title_hamming_verify,
+        _title_pair_join,
+        title_segments,
+    )
+
+    n_hot = 600
+
+    def title(i: int) -> str:
+        return "aaaaaaaa" + hashlib.md5(str(i).encode()).hexdigest()[:16]
+
+    rows_ = [(i, title(i) + " tail") for i in range(n_hot)]
+    # planted near-dups INSIDE the hot block: one exact copy of doc 0's
+    # title and one 2-char complement perturbation of doc 1's — the
+    # pairs the refinement must not lose
+    rows_.append((n_hot, title(0) + " tail"))
+    t1 = title(1)
+    rows_.append((n_hot + 1, t1[:10] + "zz" + t1[12:] + " tail"))
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+
+    segs = title_segments(docs)
+    flat_cand = _title_pair_join(segs, "bk").distinct()
+    tiered_cand = _title_candidates_tiered(segs, cap=256)
+
+    flat_out = sorted(map(tuple, _title_hamming_verify(flat_cand).collect()))
+    tiered_out = sorted(
+        map(tuple, _title_hamming_verify(tiered_cand).collect())
+    )
+    assert tiered_out == flat_out
+    assert (n_hot, 0, 0) in {(b, a, h) for a, b, h in tiered_out} or (
+        0,
+        n_hot,
+        0,
+    ) in set(tiered_out)
+    assert (1, n_hot + 1, 2) in set(tiered_out)
+
+    n_flat = flat_cand.count()  # ~ C(602, 2) from the hot block
+    n_tiered = tiered_cand.count()
+    assert n_flat > 150_000
+    assert n_tiered < n_flat / 100, (
+        f"refinement did not fragment the hot block: {n_tiered} vs "
+        f"{n_flat} flat candidates"
+    )
+
+
 def test_gini_count_of_counts_matches_per_key_ranking(spark):
     """r10 rewrite equivalence pin: the count-of-counts Σi·x (tie
     blocks contribute x·(m·R + m(m+1)/2)) must equal the per-key

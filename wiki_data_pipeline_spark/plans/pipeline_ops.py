@@ -29,7 +29,7 @@ through the same double on both engines (``round(x*1e6)/1e6``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -4578,32 +4578,38 @@ def dedup_title_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (the LSH -> exact-verify two-stage shape of
     dedup_minhash_verified, here with a recall GUARANTEE instead of a
     probability). At sf0.01 the blocking emits ~550 candidates versus
-    124,750 all-pairs (228x). Known hazard, same as the n-gram
-    posting-list joins: a segment shared by a large fraction of the
-    corpus (boilerplate title prefixes) makes its bucket quadratic —
-    the MITIGATED form is :func:`dedup_title_hamming_salted`, which
-    wires the operators/skew.py decision machinery (plan_salts ->
-    salted_join_planned) into this exact join so hot segment blocks
-    spread across per-key planned slices, row-identically.
+    124,750 all-pairs (228x).
+
+    Hot-block hazard, MITIGATED TWO WAYS: a segment shared by a large
+    fraction of the corpus (boilerplate title prefixes) makes its
+    bucket quadratic. (1) TOTAL-WORK fix, built in here (r10, after
+    the widened sf1 gate read exponent 1.86 on the flat join):
+    HIERARCHICAL pigeonhole — blocks above {_TITLE_HOT_BLOCK_CAP} rows
+    are re-blocked on sub-segments of the COMPLEMENT chars (the 16
+    chars outside the matched segment, split {_TITLE_MAX_HAMMING} + 1
+    ways): a true pair's mismatches all live in the complement, so by
+    the same pigeonhole at least one sub-segment matches exactly —
+    recall stays GUARANTEED, candidates stay a strict subset of the
+    flat join's, output is bit-identical (the oracle doesn't change).
+    A boilerplate prefix block fragments by its complement chars
+    instead of going n². (2) STRAGGLER fix, the planned-salted twin
+    :func:`dedup_title_hamming_salted` (operators/skew.py machinery),
+    which bounds per-task slice size without changing total work —
+    the right tool when blocks are moderately hot but sub-blocks
+    wouldn't fragment.
     """
-    a, b = _title_seg_sides(read_table(spark, sf_dir, "documents"))
-    cand = (
-        a.join(
-            b,
-            (F.col("bk_a") == F.col("bk_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", "title_a", "title_b")
-        .distinct()
+    cand = _title_candidates_tiered(
+        title_segments(read_table(spark, sf_dir, "documents"))
     )
     return _title_hamming_verify(cand)
 
 
 def title_segments(docs: DataFrame) -> DataFrame:
-    """(doc_id, title, bk) — one row per (document, segment) with the
-    pigeonhole block key ``bk = seg_index || ':' || seg_bytes``. Shared
-    by the plain and planned-salted title-Hamming joins, and the frame
-    the skew machinery plans over."""
+    """(doc_id, title, seg_i, bk) — one row per (document, segment)
+    with the pigeonhole block key ``bk = seg_index || ':' ||
+    seg_bytes``. Shared by the plain (tiered) and planned-salted
+    title-Hamming joins, and the frame the skew machinery plans over;
+    ``seg_i`` feeds the hot-block complement refinement."""
     seg_len = _TITLE_LEN // _TITLE_SEGS
     docs = docs.filter(F.length("text") >= _TITLE_LEN).select(
         "doc_id",
@@ -4623,23 +4629,108 @@ def title_segments(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "title",
+        "seg_i",
         F.concat_ws(":", F.col("seg_i").cast("string"), "seg").alias("bk"),
     )
 
 
-def _title_seg_sides(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    segs = title_segments(docs)
+def _title_pair_join(segs: DataFrame, key: str) -> DataFrame:
+    """Candidate self-join of a (doc_id, title, <key>) frame on equal
+    block key, canonical doc_a < doc_b orientation."""
     a = segs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("title_a"),
-        F.col("bk").alias("bk_a"),
+        F.col(key).alias("k_a"),
     )
     b = segs.select(
         F.col("doc_id").alias("doc_b"),
         F.col("title").alias("title_b"),
-        F.col("bk").alias("bk_b"),
+        F.col(key).alias("k_b"),
     )
-    return a, b
+    return a.join(
+        b,
+        (F.col("k_a") == F.col("k_b")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", "title_a", "title_b")
+
+
+_TITLE_HOT_BLOCK_CAP = 256  # flat-join block cap; bigger blocks refine
+
+
+def _title_complement() -> Column:
+    """The title chars OUTSIDE this row's matched segment (seg_i), as
+    one concatenated string — every mismatching position of a
+    candidate pair found via seg_i lives in here."""
+    seg_len = _TITLE_LEN // _TITLE_SEGS
+    comp = None
+    for s in range(_TITLE_SEGS):
+        pieces = [
+            F.substring("title", t * seg_len + 1, seg_len)
+            for t in range(_TITLE_SEGS)
+            if t != s
+        ]
+        expr = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        comp = (
+            F.when(F.col("seg_i") == s, expr)
+            if comp is None
+            else comp.when(F.col("seg_i") == s, expr)
+        )
+    return comp
+
+
+def _title_sub_keys() -> Column:
+    """Second-level pigeonhole keys: the complement split into
+    MAX_HAMMING + 1 near-equal pieces. A pair with <= MAX_HAMMING
+    total mismatches that matched segment seg_i exactly has all its
+    mismatches in the complement, so at least one piece matches
+    exactly — recall is guaranteed at this level too."""
+    seg_len = _TITLE_LEN // _TITLE_SEGS
+    comp_len = _TITLE_LEN - seg_len
+    n_sub = _TITLE_MAX_HAMMING + 1
+    comp = _title_complement()
+    subs, off = [], 1
+    for j in range(n_sub):
+        ln = comp_len // n_sub + (1 if j < comp_len % n_sub else 0)
+        subs.append(F.substring(comp, off, ln))
+        off += ln
+    return F.array(*subs)
+
+
+def _title_candidates_tiered(
+    segs: DataFrame, cap: int = _TITLE_HOT_BLOCK_CAP
+) -> DataFrame:
+    """Hierarchical pigeonhole candidate generation: blocks of at most
+    ``cap`` rows pair flat (n <= cap keeps n² per block bounded by
+    cap·n total); hotter blocks re-block on (bk, sub-piece index,
+    complement sub-piece) so a boilerplate segment value fragments by
+    the chars that still have to agree. The tiered candidate set is a
+    SUBSET of the flat join's (refinement only prunes) and a SUPERSET
+    of the true pairs (double pigeonhole), so post-verify output is
+    bit-identical — the shared DuckDB oracle stays the flat spelling.
+
+    The block-size attach is an explicit shuffle-hash join (one row
+    per key on the build side — strategy stable from fixture SF to
+    x10, never a stats-luck broadcast)."""
+    counts = segs.groupBy("bk").agg(F.count(F.lit(1)).alias("blk_n"))
+    sized = segs.join(counts.hint("shuffle_hash"), "bk")
+    cold = sized.filter(F.col("blk_n") <= cap)
+    hot = sized.filter(F.col("blk_n") > cap)
+    hot_sub = hot.select(
+        "doc_id",
+        "title",
+        "bk",
+        F.posexplode(_title_sub_keys()).alias("sub_i", "sub"),
+    ).select(
+        "doc_id",
+        "title",
+        F.concat_ws(
+            "", "bk", F.col("sub_i").cast("string"), "sub"
+        ).alias("rk"),
+    )
+    return (
+        _title_pair_join(cold, "bk")
+        .unionAll(_title_pair_join(hot_sub, "rk"))
+        .distinct()
+    )
 
 
 def _title_hamming_verify(cand: DataFrame) -> DataFrame:
