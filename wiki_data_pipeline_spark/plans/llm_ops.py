@@ -1276,6 +1276,19 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_THRESHOLD = 0.9
 _SIGN_BITS = 8
+# Occupancy-adaptive sign-LSH sizing (r10, after the widened sf1 gate
+# read exponent 1.3 on dedup_semantic_keep): a FIXED bit count means
+# bucket occupancy grows linearly with the corpus and within-bucket
+# pairs grow quadratically. Bits now size to the corpus so mean
+# occupancy stays ~_SIGN_TARGET_OCC: nbits = clamp(bit_length(
+# ceil(n/occ) - 1), 8, 24) — integer-exact in both engines via the
+# binary-string length (no float log2 at the boundary), minimum 8
+# keeps every fixture/bench scale (n <= 8k) bit-identical to the
+# historical 8-bit key, cap 24 bounds key width (at n = 10^11 docs,
+# nbits = 32 uncapped; past the cap occupancy grows again — at that
+# point switch blocking to k-means cells, the sim_ann_ivf posture).
+_SIGN_MAX_BITS = 24
+_SIGN_TARGET_OCC = 32
 
 # Synthesized near-dups over the embeddings fixture (it has no exact
 # pairs): ×2-scaled copies (cosine-identical — scale invariance) and
@@ -1335,7 +1348,18 @@ def _sign_key_sql(expr: str, n_bits: int, offset: int = 0) -> str:
     "dedup_embedding_cosine",
     oracle=f"""
     WITH corpus AS ({_EMB_CORPUS_SQL}),
-    keyed AS (SELECT vec_id, e, {_sign_key_sql('e', _SIGN_BITS)} AS bucket FROM corpus),
+    nb AS (
+      SELECT LEAST({_SIGN_MAX_BITS}, GREATEST({_SIGN_BITS},
+        length(bin((count(*) + {_SIGN_TARGET_OCC - 1})
+                   // {_SIGN_TARGET_OCC} - 1)))) AS nbits
+      FROM corpus
+    ),
+    keyed AS (
+      SELECT vec_id, e,
+        substr({_sign_key_sql('e', _SIGN_MAX_BITS)}, 1,
+               (SELECT nbits FROM nb)) AS bucket
+      FROM corpus
+    ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         {_cos_sql('a.e', 'b.e')} AS score
@@ -1348,17 +1372,40 @@ def _sign_key_sql(expr: str, n_bits: int, offset: int = 0) -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup stage
     of an LLM data pipeline — SemDeDup-style, arXiv:2303.09540):
-    vectors bucketed by an 8-bit sign-LSH key, pairwise cosine computed
-    only WITHIN buckets, pairs kept at cosine ≥ 0.9.
+    vectors bucketed by an occupancy-adaptive sign-LSH key, pairwise
+    cosine computed only WITHIN buckets, pairs kept at cosine ≥ 0.9.
 
     Scale path: the bucket join is one shuffle on the key; pairwise
-    cost is Σ(bucket²) not n² — 2^8 buckets bound the blocking factor,
-    and more sign bits (or k-means cells, as in sim_ann_ivf) tighten it
-    at larger N. Cosine stays JVM-side (zip_with/aggregate); scores
-    rounded to 6 decimals before thresholding so both engines keep the
-    same pairs."""
-    keyed = _emb_corpus(spark, sf_dir).withColumn(
-        "bucket", _sign_key("e", _SIGN_BITS)
+    cost is Σ(bucket²) not n², and the key WIDTH sizes to the corpus
+    (bit_length(ceil(n/{_SIGN_TARGET_OCC}) - 1), clamped to
+    [{_SIGN_BITS}, {_SIGN_MAX_BITS}]) so mean occupancy — and with it
+    per-bucket pair cost — stays constant as N grows instead of
+    linear (the r10 fix for the sf1 gate's exponent-1.3 finding on
+    dedup_semantic_keep). The bit count derives INSIDE the plan: a
+    1-row count aggregate broadcast-cross-joined onto the corpus, the
+    bucket a substring of the max-width key — no driver-side collect,
+    and the DuckDB oracle computes the identical integer formula.
+    Cosine stays JVM-side (zip_with/aggregate); scores rounded to 6
+    decimals before thresholding so both engines keep the same
+    pairs."""
+    corpus = _emb_corpus(spark, sf_dir)
+    occ = _SIGN_TARGET_OCC
+    nb = corpus.agg(F.count(F.lit(1)).alias("n")).select(
+        F.least(
+            F.lit(_SIGN_MAX_BITS),
+            F.greatest(
+                F.lit(_SIGN_BITS),
+                F.length(F.bin(F.expr(f"(n + {occ - 1}) div {occ} - 1"))),
+            ),
+        )
+        .cast("int")
+        .alias("nbits")
+    )
+    keyed = corpus.crossJoin(F.broadcast(nb)).withColumn(
+        "bucket",
+        F.substring(
+            _sign_key("e", _SIGN_MAX_BITS), F.lit(1), F.col("nbits")
+        ),
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
