@@ -1408,7 +1408,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     a = keyed.alias("a")
-    b = keyed.alias("b")
+    # the bucket self-join is the intended one-shuffle strategy at
+    # every scale — the explicit shuffle-hash hint stops the fixture-SF
+    # plan from being a stats-luck broadcast that flips to SMJ at x10
+    b = keyed.hint("shuffle_hash").alias("b")
     score = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
     return (
         a.join(

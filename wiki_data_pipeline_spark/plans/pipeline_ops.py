@@ -4636,7 +4636,11 @@ def title_segments(docs: DataFrame) -> DataFrame:
 
 def _title_pair_join(segs: DataFrame, key: str) -> DataFrame:
     """Candidate self-join of a (doc_id, title, <key>) frame on equal
-    block key, canonical doc_a < doc_b orientation."""
+    block key, canonical doc_a < doc_b orientation. Explicit
+    shuffle-hash: both sides scale with the corpus, so a fixture-SF
+    broadcast would be stats luck that flips strategy at scale; block
+    keys are size-bounded (cap / sub-fragmentation), so a per-partition
+    hash build never outgrows memory."""
     a = segs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("title_a"),
@@ -4646,7 +4650,7 @@ def _title_pair_join(segs: DataFrame, key: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("title").alias("title_b"),
         F.col(key).alias("k_b"),
-    )
+    ).hint("shuffle_hash")
     return a.join(
         b,
         (F.col("k_a") == F.col("k_b")) & (F.col("doc_a") < F.col("doc_b")),
