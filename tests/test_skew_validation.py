@@ -246,6 +246,53 @@ def test_title_hamming_salted_on_hot_segment_corpus(spark, tmp_path):
     )
 
 
+def test_title_hamming_salted_fires_on_mid_hot_block(spark, tmp_path):
+    """r10 composition coverage: a block BETWEEN the salting target
+    (64) and the refinement cap (256) stays in the cold tier, where
+    the planned salting must engage (150 rows -> 3 slices) and remain
+    row-invisible vs the plain tiered query."""
+    import hashlib
+
+    from wiki_data_pipeline_spark.operators.skew import plan_salts
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        dedup_title_hamming,
+        dedup_title_hamming_salted_frame,
+        title_segments,
+    )
+
+    n_docs, n_hot, target = 400, 150, 64
+
+    def title(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return ("bbbbbbbb" + h[:16]) if i < n_hot else h[:24]
+
+    rows_ = [(i, title(i) + " tail") for i in range(n_docs)]
+    rows_.append((n_docs, title(3) + " tail"))  # planted exact dup
+    spark.createDataFrame(rows_, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    plan = {
+        r.bk: (r.n_rows, r.salt_factor)
+        for r in plan_salts(title_segments(docs), "bk", target).collect()
+    }
+    assert plan["0:bbbbbbbb"] == (n_hot + 1, 3)  # the salting engages
+
+    plain = sorted(
+        map(tuple, dedup_title_hamming(spark, str(tmp_path)).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            dedup_title_hamming_salted_frame(
+                docs, target_rows=target
+            ).collect(),
+        )
+    )
+    assert plain == salted and (3, n_docs, 0) in set(plain)
+
+
 def test_title_hamming_tiered_prunes_hot_block_candidates(spark, tmp_path):
     """The r10 hierarchical pigeonhole (total-work fix for the sf1
     gate's exponent-1.86 finding): with one segment value owning a

@@ -4714,6 +4714,21 @@ def _title_candidates_tiered(
     The block-size attach is an explicit shuffle-hash join (one row
     per key on the build side — strategy stable from fixture SF to
     x10, never a stats-luck broadcast)."""
+    cold, hot_sub = _title_tier_frames(segs, cap)
+    return (
+        _title_pair_join(cold, "bk")
+        .unionAll(_title_pair_join(hot_sub, "rk"))
+        .distinct()
+    )
+
+
+def _title_tier_frames(
+    segs: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split the segment frame into the two blocking tiers: ``cold``
+    rows (block <= cap) keyed by ``bk``, and hot rows re-keyed by
+    ``rk`` = (bk, sub-piece index, complement sub-piece). Shared by
+    the plain tiered join and the planned-salted twin."""
     counts = segs.groupBy("bk").agg(F.count(F.lit(1)).alias("blk_n"))
     sized = segs.join(counts.hint("shuffle_hash"), "bk")
     cold = sized.filter(F.col("blk_n") <= cap)
@@ -4730,11 +4745,7 @@ def _title_candidates_tiered(
             "", "bk", F.col("sub_i").cast("string"), "sub"
         ).alias("rk"),
     )
-    return (
-        _title_pair_join(cold, "bk")
-        .unionAll(_title_pair_join(hot_sub, "rk"))
-        .distinct()
-    )
+    return cold, hot_sub
 
 
 def _title_hamming_verify(cand: DataFrame) -> DataFrame:
@@ -4750,6 +4761,40 @@ def _title_hamming_verify(cand: DataFrame) -> DataFrame:
 _TITLE_BLOCK_TARGET = 64  # per-slice row target for the salting plan
 
 
+def _salted_pair_join(
+    frame: DataFrame, key: str, target_rows: int
+) -> DataFrame:
+    """Planned-salted candidate self-join on ``key``: ``plan_salts``
+    sizes every hot key (ceil(n/target) slices, heavy-hitter-sized
+    broadcast plan); ``salted_join_planned`` salts the left side per
+    row (doc id hash) and replicates the right side per planned slice,
+    so a block of n rows runs as ceil(n/target) tasks of ~target·n
+    comparisons instead of one n² task. Cold keys pay zero
+    replication. Row-identical to the plain self-join by construction
+    (each candidate pair materializes in exactly one salt slice)."""
+    from wiki_data_pipeline_spark.operators.skew import (
+        plan_salts,
+        salted_join_planned,
+    )
+
+    plan = plan_salts(frame, key, target_rows)
+    a = frame.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        key,
+    )
+    b = frame.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        key,
+    )
+    return (
+        salted_join_planned(a, b, on=key, fact_row_key="doc_a", plan=plan)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "title_a", "title_b")
+    )
+
+
 def dedup_title_hamming_salted_frame(
     docs: DataFrame, target_rows: int = _TITLE_BLOCK_TARGET
 ) -> DataFrame:
@@ -4757,35 +4802,24 @@ def dedup_title_hamming_salted_frame(
     reusable over any (doc_id, text) frame (the skew-fixture test runs
     it on a synthesized 30%-hot-segment corpus).
 
-    Wiring: ``plan_salts`` sizes every hot block key (ceil(n/target)
-    slices, heavy-hitter-sized broadcast plan); ``salted_join_planned``
-    salts the left side per row (doc id hash) and replicates the right
-    side per planned slice, so a block of n rows runs as
-    ceil(n/target) tasks of ~target·n comparisons instead of one n²
-    task. Cold keys pay zero replication. Row-identical to the plain
-    join by construction (each candidate pair materializes in exactly
-    one salt slice) — the shared oracle hash-checks that."""
-    from wiki_data_pipeline_spark.operators.skew import (
-        plan_salts,
-        salted_join_planned,
-    )
-
-    segs = title_segments(docs)
-    plan = plan_salts(segs, "bk", target_rows)
-    a = segs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("title").alias("title_a"),
-        "bk",
-    )
-    b = segs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("title").alias("title_b"),
-        "bk",
+    r10 composition: the salting now rides ON TOP of the hierarchical
+    pigeonhole tiers (the full-registry exponent sweep read 1.68 on
+    the flat-salted form — salting bounds per-TASK size but not total
+    comparisons, so a quadratic hot block stayed quadratic in total
+    work). Hot blocks refine to complement sub-keys first (total-work
+    fix, same as the plain query); both tiers' self-joins then run
+    through ``plan_salts`` -> ``salted_join_planned`` so any residual
+    block between target_rows and the refinement cap — or a hot
+    REFINED key, when complements share boilerplate too — is still
+    slice-bounded per task. Both layers are row-invisible, so the
+    output stays bit-identical to the plain query and the shared
+    oracle hash-checks the composition."""
+    cold, hot_sub = _title_tier_frames(
+        title_segments(docs), _TITLE_HOT_BLOCK_CAP
     )
     cand = (
-        salted_join_planned(a, b, on="bk", fact_row_key="doc_a", plan=plan)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "title_a", "title_b")
+        _salted_pair_join(cold, "bk", target_rows)
+        .unionAll(_salted_pair_join(hot_sub, "rk", target_rows))
         .distinct()
     )
     return _title_hamming_verify(cand)
