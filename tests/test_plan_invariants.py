@@ -59,9 +59,13 @@ from wiki_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 MANIFEST: dict[str, dict] = {
     # -- dedup family (documents) --
     "dedup_minhash_verified": dict(
-        max_exchanges=45, max_scans=45, min_bhj=8, max_smj=0, pushdown=True,
-        note="two-stage LSH->exact-Jaccard; triplicated static subplan is "
-        "AQE-stage-reuse-deduped at runtime (plans/llm_ops.py:503-512)",
+        max_exchanges=5, max_scans=12, min_bhj=2, max_smj=0, pushdown=True,
+        note="two-stage LSH->exact-Jaccard, r10 single-consumption "
+        "spelling: the LSH pair pipeline appears ONCE (the old "
+        "candidate-id semi-joins triplicated it — 3x the md5 map at "
+        "x10) and the verify side is a linear all-docs shingle-array "
+        "map with the token array materialized before the lambda "
+        "(plans/llm_ops.py:497-530)",
     ),
     "dedup_minhash_calibration": dict(
         max_exchanges=16, max_scans=24, min_bhj=6, max_smj=1, pushdown=True,

@@ -487,41 +487,45 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (generalizes F9's dedup per SURVEY.md §2.3/§2.4; this is
     the composition production dedup actually ships, vs
     dedup_ngram_jaccard's exact-everywhere formulation that inverts
-    the whole corpus). Candidate docs' shingle SETS are rebuilt as
-    per-doc arrays (narrow, semi-joined to the candidate ids so
-    non-candidates never materialize shingles) and each pair verifies
-    via array_intersect — per-pair work is O(|A|+|B|), total work is
+    the whole corpus). Docs' shingle SETS are rebuilt as per-doc
+    arrays (a narrow linear map) and each pair verifies via
+    array_intersect — per-pair work is O(|A|+|B|), total work is
     O(candidates), not O(Σ posting-list²). Exact integer counts → the
     double division is bitwise identical across engines."""
-    # NOTE (round-6 measurement): pairs is consumed three times
-    # (final pair join + both shingle-side semi-joins) and the static
-    # plan shows the LSH pipeline triplicated — but AQE's runtime
-    # query-stage reuse dedups the identical stages, and an explicit
-    # localCheckpoint measured no better (both ~5.2s median at sf0.1,
-    # inside host noise): the materialization barrier gives back what
-    # the sharing saves. Keep the declarative form — simpler, and at
-    # cluster scale a real two-stage deployment would persist the
-    # candidate PAIRS table between stages anyway (see ann_index for
-    # that pattern done as an explicit persisted artifact).
+    # Plan-sharing note (r6 measured, r10 re-measured and REVERSED):
+    # the earlier spelling semi-joined the corpus to pair-derived
+    # candidate ids before building shingle arrays, which consumed the
+    # LSH pair pipeline THREE times (final join + both semi-joins). r6
+    # measured AQE stage reuse hiding that at sf0.1; at the x10
+    # replica it does not (the md5 minhash map is the registry's
+    # densest CPU stage, and it ran 3x: 28.5 s). Single-consumption
+    # spelling: build shingle arrays for ALL docs (linear, cheap
+    # relative to one md5 pipeline pass) and join the pairs frame once
+    # — 28.5 s -> ~12 s at x10. At 100 TB deployment scale the
+    # candidates≪corpus pruning argument returns, but there a real
+    # two-stage pipeline PERSISTS the candidate pairs table between
+    # stages and semi-joins against the persisted artifact (see
+    # ann_index for that pattern) — it never re-derives pairs 3x in
+    # one plan, which is what this one-shot spelling must avoid.
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
     corpus = _dedup_corpus(spark, sf_dir)
     tokens = F.split(F.trim(F.col("text")), r"\s+")
+    # materialize the token array ONCE per row before the per-position
+    # transform: a lambda referencing the raw split() expression
+    # re-tokenizes the whole text at every shingle position (O(L²) per
+    # doc — the same defect class as the r10 winnowing fix)
+    toks = F.col("toks")
     sharr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - 3),
+            F.sequence(F.lit(0), F.size(toks) - 3),
             lambda i: F.concat_ws(
-                " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
             ),
         )
     )
     docs = (
-        corpus.join(cand_ids, on="doc_id", how="left_semi")
-        .filter(F.size(tokens) >= 3)
+        corpus.select("doc_id", tokens.alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select("doc_id", sharr.alias("sh"))
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
