@@ -161,13 +161,20 @@ def _minhash_sigs(corpus: DataFrame) -> DataFrame:
     corpus — the narrow per-doc stage under ``_minhash_bands``, also
     consumed directly by the estimator-calibration eval
     (``pipeline_ops.dedup_minhash_calibration``), which compares
-    signature-agreement Jaccard estimates against exact set Jaccard."""
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    signature-agreement Jaccard estimates against exact set Jaccard.
+
+    The token array is materialized in its own projection before the
+    shingling lambda references it (r10): an expression inlined into a
+    higher-order-function lambda re-evaluates per element, so the raw
+    split() re-tokenized the whole text at every shingle position —
+    O(L²) per doc on the registry's hottest stage (same discipline as
+    operators/dedup.py word_shingles)."""
+    toks = F.col("toks")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - 3),
+            F.sequence(F.lit(0), F.size(toks) - 3),
             lambda i: F.concat_ws(
-                " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
             ),
         )
     )
@@ -182,7 +189,11 @@ def _minhash_sigs(corpus: DataFrame) -> DataFrame:
     )
     sig = (
         _spread(corpus)
-        .filter(F.size(tokens) >= 3)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        )
+        .filter(F.size(toks) >= 3)
         .select("doc_id", md5_arr.alias("md5_arr"))
         .select("doc_id", harr.alias("harr"))
         .select(
@@ -1594,13 +1605,18 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py:ChunkDocUDTF, equality-tested against this
     plan."""
     docs = read_table(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    n_chunks = F.ceil(F.size(tokens) / float(_CHUNK_TOKENS)).cast("int")
+    # materialize the token array before the chunking lambda: the raw
+    # split() inlined in the lambda re-tokenizes the text per CHUNK
+    # (O(L·L/512) per doc — same defect class as _minhash_sigs, r10)
+    toks = F.col("toks")
+    n_chunks = F.ceil(F.size(toks) / float(_CHUNK_TOKENS)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(tokens, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS),
+        lambda i: F.slice(toks, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS),
     )
     return _spread(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_arr")
     ).select(
         "doc_id",
