@@ -288,6 +288,33 @@ SF1_QUERIES = [
     "contamination_ngram_overlap",
     "q10_returned_revenue",
     "sketch_bloom_fpp_curve",
+    # r10 second widening (same round, after the HOF-lambda fixes
+    # freed budget): next-25 tier by frozen sf0.1 cost -> 80 gated
+    "dedup_incremental_minhash",
+    "dedup_title_hamming_salted",
+    "sql_recursive_hierarchy",
+    "join_interval_overlap",
+    "ann_pq_codes",
+    "sketch_cms_join_cardinality",
+    "q7_nation_trade_volume",
+    "sim_ivf_cell_stats",
+    "cdc_merge_apply",
+    "sketch_count_min_heavy_hitters",
+    "text_tfidf_keywords",
+    "q5_star_join_revenue",
+    "pack_sequences_concat",
+    "dedup_ngram_containment",
+    "q21_sole_blame_suppliers",
+    "quality_column_profile",
+    "sim_label_purity",
+    "text_unicode_normalize",
+    "dedup_embedding_cosine",
+    "pipeline_training_prep",
+    "ann_pq_reconstruction_eval",
+    "sim_ann_lsh",
+    "bpe_pair_counts",
+    "multimodal_audio_stats",
+    "window_session_30m",
 ]
 SF1_BASELINE_PATH = "BENCH_SF1_BASELINE.json"
 SF1_ABS_FLOOR_SEC = 5.0  # 10x data -> 10x the sf0.1 floor

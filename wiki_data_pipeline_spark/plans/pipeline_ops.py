@@ -4807,19 +4807,24 @@ def dedup_title_hamming_salted_frame(
     the flat-salted form — salting bounds per-TASK size but not total
     comparisons, so a quadratic hot block stayed quadratic in total
     work). Hot blocks refine to complement sub-keys first (total-work
-    fix, same as the plain query); both tiers' self-joins then run
-    through ``plan_salts`` -> ``salted_join_planned`` so any residual
-    block between target_rows and the refinement cap — or a hot
-    REFINED key, when complements share boilerplate too — is still
-    slice-bounded per task. Both layers are row-invisible, so the
-    output stays bit-identical to the plain query and the shared
-    oracle hash-checks the composition."""
+    fix, same as the plain query); the COLD tier's self-join then runs
+    through ``plan_salts`` -> ``salted_join_planned`` so residual
+    blocks between target_rows and the refinement cap are still
+    slice-bounded per task. The refined tier joins plain: its keys are
+    fragmented by construction (each planned pass is an extra eager
+    count job — salting the already-fragmented tier measured as pure
+    overhead, nudging the x10 exponent over the 1.1 flag line), and a
+    refined key that is STILL hot shares the plain query's residual —
+    the principled escalation there is another pigeonhole level, not
+    task slicing. Both layers are row-invisible, so the output stays
+    bit-identical to the plain query and the shared oracle hash-checks
+    the composition."""
     cold, hot_sub = _title_tier_frames(
         title_segments(docs), _TITLE_HOT_BLOCK_CAP
     )
     cand = (
         _salted_pair_join(cold, "bk", target_rows)
-        .unionAll(_salted_pair_join(hot_sub, "rk", target_rows))
+        .unionAll(_title_pair_join(hot_sub, "rk"))
         .distinct()
     )
     return _title_hamming_verify(cand)
