@@ -4640,21 +4640,27 @@ def _title_pair_join(segs: DataFrame, key: str) -> DataFrame:
     shuffle-hash: both sides scale with the corpus, so a fixture-SF
     broadcast would be stats luck that flips strategy at scale; block
     keys are size-bounded (cap / sub-fragmentation), so a per-partition
-    hash build never outgrows memory."""
-    a = segs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("title").alias("title_a"),
-        F.col(key).alias("k_a"),
+    hash build never outgrows memory. Both sides alias ONE frame whose
+    projection is identical before the exchange, so the two shuffles
+    canonicalize equal and ReusedExchange computes the segment
+    derivation once (r10: the aliased-after spelling rebuilt it per
+    side)."""
+    keyed = segs.select("doc_id", "title", key)
+    a = keyed.alias("a")
+    b = keyed.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.title").alias("title_a"),
+            F.col("b.title").alias("title_b"),
+        )
     )
-    b = segs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("title").alias("title_b"),
-        F.col(key).alias("k_b"),
-    ).hint("shuffle_hash")
-    return a.join(
-        b,
-        (F.col("k_a") == F.col("k_b")) & (F.col("doc_a") < F.col("doc_b")),
-    ).select("doc_a", "doc_b", "title_a", "title_b")
 
 
 _TITLE_HOT_BLOCK_CAP = 256  # flat-join block cap; bigger blocks refine
@@ -4762,7 +4768,10 @@ _TITLE_BLOCK_TARGET = 64  # per-slice row target for the salting plan
 
 
 def _salted_pair_join(
-    frame: DataFrame, key: str, target_rows: int
+    frame: DataFrame,
+    key: str,
+    target_rows: int,
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """Planned-salted candidate self-join on ``key``: ``plan_salts``
     sizes every hot key (ceil(n/target) slices, heavy-hitter-sized
@@ -4777,7 +4786,10 @@ def _salted_pair_join(
         salted_join_planned,
     )
 
-    plan = plan_salts(frame, key, target_rows)
+    # caller may pass a plan built from a CHEAPER superset frame
+    # (factors must match for every key present in `frame`; extra plan
+    # keys are inert — the broadcast left-join just never matches them)
+    plan = plan_salts(frame, key, target_rows) if plan is None else plan
     a = frame.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("title_a"),
@@ -4819,11 +4831,17 @@ def dedup_title_hamming_salted_frame(
     task slicing. Both layers are row-invisible, so the output stays
     bit-identical to the plain query and the shared oracle hash-checks
     the composition."""
-    cold, hot_sub = _title_tier_frames(
-        title_segments(docs), _TITLE_HOT_BLOCK_CAP
-    )
+    from wiki_data_pipeline_spark.operators.skew import plan_salts
+
+    segs = title_segments(docs)
+    cold, hot_sub = _title_tier_frames(segs, _TITLE_HOT_BLOCK_CAP)
+    # plan from the RAW segment frame: block membership is whole-block,
+    # so per-key counts (hence factors) are identical for every cold
+    # key, and the broadcast subtree skips the tier split's counts
+    # join; hot-tier keys in the plan are inert (no cold rows match)
+    plan = plan_salts(segs, "bk", target_rows)
     cand = (
-        _salted_pair_join(cold, "bk", target_rows)
+        _salted_pair_join(cold, "bk", target_rows, plan=plan)
         .unionAll(_title_pair_join(hot_sub, "rk"))
         .distinct()
     )
