@@ -799,6 +799,60 @@ def test_stale_lease_reap_is_race_safe(tmp_path):
     ckpt.release()
 
 
+def test_live_reap_claim_survives_old_pid_write(tmp_path):
+    """Pin the r11 ADVICE fix: the claim is a hard link of the lock,
+    so its st_mtime is when the DEAD HOLDER wrote its pid — in
+    production always long before the reap starts. The orphan age-out
+    must clock from the link(2) itself (st_ctime, bumped by link),
+    never from the pid write: otherwise every live reap's claim reads
+    as aged-out and any contender deletes it, voiding the reap
+    critical section (and, three-way, letting a second reaper unlink
+    a freshly re-acquired live lock)."""
+    import subprocess
+    import time
+
+    from wiki_data_pipeline_spark.streaming.checkpoint import (
+        HighWatermarkCheckpoint,
+    )
+
+    ckpt = HighWatermarkCheckpoint(str(tmp_path / "progress.json"))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+
+    # the dead holder's lock, pid WRITTEN LONG AGO (mtime backdated;
+    # note utime bumps ctime to now, exactly like the real timeline:
+    # content old, inode metadata fresh at claim time)
+    with open(ckpt.lock_path, "w", encoding="utf-8") as f:
+        f.write(str(dead_pid))
+    old = time.time() - 3600
+    os.utime(ckpt.lock_path, (old, old))
+
+    # a live reaper links its claim NOW (simulating mid-reap, between
+    # steps 1 and 3); a contender's orphan cleanup runs concurrently
+    claim = ckpt.lock_path + ".reap"
+    os.link(ckpt.lock_path, claim)
+    ckpt._cleanup_orphaned_claim(claim)
+    assert os.path.exists(claim), (
+        "live reap claim with an old pid-write mtime was deleted — "
+        "age-out is clocking the wrong timestamp"
+    )
+    # and the contender's full reap attempt yields without breaking in
+    assert ckpt._reap_stale(dead_pid) is False
+    assert os.path.exists(ckpt.lock_path) and os.path.exists(claim)
+
+    # genuine age-out (claim link itself older than the horizon) still
+    # clears: shrink the horizon instead of waiting
+    orig = HighWatermarkCheckpoint._REAP_CLAIM_MAX_AGE_S
+    try:
+        HighWatermarkCheckpoint._REAP_CLAIM_MAX_AGE_S = -1.0
+        ckpt._cleanup_orphaned_claim(claim)
+    finally:
+        HighWatermarkCheckpoint._REAP_CLAIM_MAX_AGE_S = orig
+    assert not os.path.exists(claim)
+    os.unlink(ckpt.lock_path)
+
+
 def test_streaming_reset_inside_lease(spark, tmp_path):
     """Pin the r8-advice fix: `--stream --reset` must NOT delete a
     live run's offset log before losing the lease race. With the lease

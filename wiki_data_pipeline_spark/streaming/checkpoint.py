@@ -145,11 +145,17 @@ class HighWatermarkCheckpoint:
 
         A claim orphaned by a reaper that crashed mid-reap is cleaned
         up when it no longer matches the current lock inode, or ages
-        out after _REAP_CLAIM_MAX_AGE_S seconds (a live reap is three
-        syscalls). Residual window: a reaper suspended longer than the
-        age-out INSIDE step 3 while a contender re-claims could still
-        unlink a fresh lock — documented as accepted (pause must
-        exceed 30 s between two adjacent syscalls)."""
+        out after _REAP_CLAIM_MAX_AGE_S seconds MEASURED FROM THE
+        link() ITSELF: the claim shares the lock's inode, whose ctime
+        is bumped by link(2), so st_ctime is the claim's creation time
+        (r11, ADVICE — st_mtime was the dead holder's pid write,
+        almost always >30 s old, so the age-out fired on LIVE reaps
+        and a contender could void an active claim). A live reap is
+        three syscalls, so its claim can never age out. Residual
+        window: a reaper suspended longer than the age-out INSIDE
+        step 3 while a contender re-claims could still unlink a fresh
+        lock — documented as accepted (pause must exceed 30 s between
+        two adjacent syscalls)."""
         claim = self.lock_path + ".reap"
         try:
             os.link(self.lock_path, claim)
@@ -167,18 +173,28 @@ class HighWatermarkCheckpoint:
             same = lock_st.st_ino == claim_st.st_ino
         except FileNotFoundError:
             same = False
+        # claim unlinks tolerate FileNotFoundError (r11, ADVICE): a
+        # racing contender's orphan cleanup may remove the claim
+        # mid-reap; that voids nothing this branch still relies on.
         if not same or self._read_pid(claim) != dead_pid:
-            os.unlink(claim)  # lock changed hands between check and claim
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(claim)  # lock changed hands between check and claim
             return False
         with contextlib.suppress(FileNotFoundError):
             os.unlink(self.lock_path)
-        os.unlink(claim)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(claim)
         return True
 
     def _cleanup_orphaned_claim(self, claim: str) -> None:
         """Clear a claim left by a crashed reaper: safe when it no
         longer matches the current lock inode (it refers to a defunct
-        reap) or when it exceeds the age-out (no live reap spans it)."""
+        reap) or when it exceeds the age-out (no live reap spans it).
+        The age-out clock is st_ctime — bumped by the reaper's link(2)
+        that created the claim — NOT st_mtime, which belongs to the
+        dead holder's pid write and would read >30 s on every live
+        reap (the r10 shape let any contender delete an active claim
+        and, three-way, unlink a freshly re-acquired live lock)."""
         import time
 
         try:
@@ -190,7 +206,7 @@ class HighWatermarkCheckpoint:
         except FileNotFoundError:
             lock_st = None
         stale_inode = lock_st is None or lock_st.st_ino != claim_st.st_ino
-        aged_out = (time.time() - claim_st.st_mtime) > self._REAP_CLAIM_MAX_AGE_S
+        aged_out = (time.time() - claim_st.st_ctime) > self._REAP_CLAIM_MAX_AGE_S
         if stale_inode or aged_out:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(claim)
