@@ -143,6 +143,22 @@ SENTINELS = ["q1_pricing_summary", "q3_top_orders", "dedup_exact"]
 # and the JSON so the evidence is inspectable either way.
 SESSION_RATIO_SANITY_BOUND = 1.5
 
+# The normalization actually APPLIED to the per-query gate is capped
+# at the sanity bound (r11 verdict item 3): an uncapped divisor under
+# extreme host load would scale every query's gate by that load and
+# mask a real regression of the same magnitude. Past the cap the run
+# is alert-flagged anyway (session_ratio_alert) — the residue shows up
+# as uniform over-the-cap deltas rather than silently vanishing. Both
+# raw and normalized per-query ratios ship in the artifact so either
+# view is inspectable after the fact.
+GATE_NORM_CAP = SESSION_RATIO_SANITY_BOUND
+
+
+def gate_norm(norm: float) -> float:
+    """The session-ratio divisor the regression gate applies: the
+    measured sentinel median, clamped to [1.0, GATE_NORM_CAP]."""
+    return min(max(1.0, norm), GATE_NORM_CAP)
+
 
 def sentinel_ratios(
     timings: dict[str, float],
@@ -315,6 +331,54 @@ SF1_QUERIES = [
     "bpe_pair_counts",
     "multimodal_audio_stats",
     "window_session_30m",
+    # r11 widening (verdict item 6): next-40 tier by frozen sf0.1
+    # cost -> 120 gated. The sf1 gate has caught four O(N^2) defects
+    # to date (r9 IVF, r10 title-Hamming flat join, r10 SemDeDup
+    # blocking, r10 salted twin) — its aperture grows every round the
+    # wall-clock budget allows.
+    "join_cogrouped_asof",
+    "sketch_approx_distinct_check",
+    "q17_small_quantity_revenue",
+    "window_rolling_distinct_users",
+    "sessionize_session_stats",
+    "sim_cosine_topk",
+    "path_common_triples",
+    "join_asof_forward",
+    "q12_late_shipment_priority",
+    "events_anomaly_mad",
+    "q4_priority_semijoin",
+    "l3_global_index_scalable",
+    "window_rolling_distinct_hll",
+    "emb_random_projection",
+    "q16_supplier_part_counts",
+    "path_markov_transitions",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "mixture_token_budget",
+    "text_top_tokens",
+    "join_asof",
+    "cdc_merge_plan",
+    "window_range_interval",
+    "text_token_idf",
+    "window_moving_value",
+    "streaming_lateness_profile",
+    "compliance_delete_plan",
+    "events_hourly_seasonality",
+    "incr_topk_maintenance",
+    "sample_domain_temperature",
+    "skew_salted_join_planned",
+    "incr_agg_merge",
+    "text_lang_confusion",
+    "ts_minute_gap_fill",
+    "events_minute_ohlc",
+    "sketch_quantile_rank_check",
+    "q19_disjunctive_pushdown",
+    "layout_zorder_files",
+    "q14_promo_revenue_share",
+    "window_rank_functions",
+    "snapshot_expiry_plan",
+    "window_tumbling_hourly",
+    "q11_important_parts",
 ]
 SF1_BASELINE_PATH = "BENCH_SF1_BASELINE.json"
 SF1_ABS_FLOOR_SEC = 5.0  # 10x data -> 10x the sf0.1 floor
@@ -384,7 +448,8 @@ def run_sf1() -> None:
         appended[f"append_{len(appended) + 1}"] = new_names
         with open(base_path, "w", encoding="utf-8") as f:
             json.dump(doc0, f, indent=1)
-    norm = session_ratio(t1, baseline)
+    raw_norm = session_ratio(t1, baseline)
+    norm = gate_norm(raw_norm)
     raw_sentinels = sentinel_ratios(t1, baseline)
     regressions = compute_regressions(
         t1, baseline, norm=norm, abs_floor_sec=SF1_ABS_FLOOR_SEC
@@ -400,10 +465,14 @@ def run_sf1() -> None:
         "superlinear": {n: e for n, e in exponents.items() if e > 1.1},
         "baseline": SF1_BASELINE_PATH,
         "baseline_frozen_this_run": frozen_now,
-        "session_ratio": round(norm, 3),
+        "session_ratio": round(raw_norm, 3),
+        "session_ratio_applied": round(norm, 3),
         "session_ratio_sentinels": raw_sentinels,
-        "session_ratio_alert": norm > SESSION_RATIO_SANITY_BOUND,
+        "session_ratio_alert": raw_norm > SESSION_RATIO_SANITY_BOUND,
         "regressions_over_2x": regressions,
+        "regressions_over_2x_normalized": {
+            n: round(t1[n] / baseline[n] / norm, 2) for n in regressions
+        },
     }
     with open(os.path.join(here, "BENCH_SF1.json"), "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
@@ -524,14 +593,17 @@ def main() -> None:
         for name in all_timings
         if baseline.get(name)
     }
-    norm = session_ratio(all_timings, baseline)
+    raw_norm = session_ratio(all_timings, baseline)
+    norm = gate_norm(raw_norm)
     raw_sentinels = sentinel_ratios(all_timings, baseline)
-    session_alert = norm > SESSION_RATIO_SANITY_BOUND
+    session_alert = raw_norm > SESSION_RATIO_SANITY_BOUND
     regressions = compute_regressions(all_timings, baseline, norm=norm)
     if baseline:
         print(
             f"-- bench deltas vs {BASELINE_BENCH} (this/prev, >1 = "
-            f"slower; session_ratio={norm:.3f}, sentinels={raw_sentinels}):",
+            f"slower; session_ratio={raw_norm:.3f}, gate divisor "
+            f"applied={norm:.3f} (capped at {GATE_NORM_CAP}), "
+            f"sentinels={raw_sentinels}):",
             file=sys.stderr,
         )
         if session_alert:
@@ -562,7 +634,8 @@ def main() -> None:
         json.dump(
             {
                 "sf": sf,
-                "session_ratio": round(norm, 3),
+                "session_ratio": round(raw_norm, 3),
+                "session_ratio_applied": round(norm, 3),
                 "session_ratio_sentinels": raw_sentinels,
                 "session_ratio_alert": session_alert,
                 "all_timings": all_timings,
@@ -597,10 +670,15 @@ def main() -> None:
                 "baseline_bench": BASELINE_BENCH if baseline else None,
                 "gated_queries": len(deltas),
                 "registered_queries": len(gate_set),
-                "session_ratio": round(norm, 3),
+                "session_ratio": round(raw_norm, 3),
+                "session_ratio_applied": round(norm, 3),
                 "session_ratio_sentinels": raw_sentinels,
                 "session_ratio_alert": session_alert,
                 "regressions_over_2x": regressions,
+                "regressions_over_2x_normalized": {
+                    n: round(all_timings[n] / baseline[n] / norm, 2)
+                    for n in regressions
+                },
             }
         )
     )

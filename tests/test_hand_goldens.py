@@ -434,6 +434,101 @@ def test_golden_title_hamming_pigeonhole(spark, tmp_path):
     assert got == [(1, 2, 2), (1, 4, 0), (2, 3, 1), (2, 4, 2)]
 
 
+def test_golden_title_hamming_hierarchical_boundary(spark, tmp_path):
+    """r11 verdict item 7: the hierarchical (hot-block) pigeonhole's
+    recall guarantee AT ITS BOUNDARY — pairs at exactly
+    _TITLE_MAX_HAMMING (= 2) whose mismatches are adversarially spread
+    across SEGMENTS and across the COMPLEMENT SUB-PIECES of every
+    matching segment, so each pair survives via exactly one sub-key.
+
+    cap=1 makes EVERY multi-row block hot: a singleton block can emit
+    no pair, so every discovered pair necessarily traveled the
+    second-level (bk, sub_i, sub) path — this pins the hierarchy's
+    recall, not the flat join's. Layout (24-char titles, 3 segments of
+    8; complement of a matched segment = 16 chars split 6/5/5):
+
+    - d2 vs d1: mismatches at positions 8 and 14 — BOTH in segment 1
+      (segments 0 and 2 intact). Via seg 0 the complement subs are
+      title[8:14]/[14:19]/[19:24): subs 1+2 hit, sub 3 intact. Via
+      seg 2 the complement is title[0:16): subs 2+3 hit, sub 1 intact.
+    - d3 vs d1: positions 8 and 19 — segments 1 AND 2 hit (one each),
+      only seg 0 intact; its complement subs 1+3 hit, ONLY sub 2
+      intact — single-witness recall at the exact boundary.
+    - d4 vs d1: positions 14 and 19 — segs 1+2 hit, seg 0's subs 2+3
+      hit, only sub 1 intact.
+    - d5 vs d1: positions 8, 14 AND 19 — seg 0 matches but ALL THREE
+      of its complement subs mismatch: hamming 3, correctly invisible
+      to the hot tier (the flat join would candidate-then-reject it;
+      either way it must not appear).
+    - d6 vs d1: positions 0 and 23 — segs 0+2 hit, seg 1 intact; its
+      complement (title[0:8) + title[16:24)) subs: pos 0 in sub 1,
+      pos 23 in sub 3, sub 2 (pos 6,7,16,17,18) intact.
+
+    Expected output = brute-force Hamming over all pairs (computed in
+    the test, no Spark/engine code shared), and the default-cap (all
+    cold, flat join) and planned-salted spellings must emit the
+    identical set — tying all three tiers to one semantics."""
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        _TITLE_MAX_HAMMING,
+        _title_candidates_tiered,
+        _title_hamming_verify,
+        dedup_title_hamming_salted_frame,
+        title_segments,
+    )
+
+    base = "abcdefghijklmnopqrstuvwx"
+
+    def mutate(positions: dict[int, str]) -> str:
+        return "".join(positions.get(i, c) for i, c in enumerate(base))
+
+    titles = {
+        1: base,
+        2: mutate({8: "1", 14: "2"}),
+        3: mutate({8: "3", 19: "4"}),
+        4: mutate({14: "5", 19: "6"}),
+        5: mutate({8: "7", 14: "8", 19: "9"}),
+        6: mutate({0: "0", 23: "z"}),
+    }
+    docs = spark.createDataFrame(
+        [(d, t + " tail", "en", "g", len(t) + 5) for d, t in titles.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def brute() -> list[tuple[int, int, int]]:
+        out = []
+        ids = sorted(titles)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = sum(x != y for x, y in zip(titles[a], titles[b]))
+                if h <= _TITLE_MAX_HAMMING:
+                    out.append((a, b, h))
+        return sorted(out)
+
+    expected = brute()
+    # the adversarial cases really are in the fixture: d3 at the exact
+    # boundary, d5 just past it
+    assert (1, 3, 2) in expected and (1, 5, 3) not in expected
+
+    segs = title_segments(docs)
+    hot = rows(
+        _title_hamming_verify(_title_candidates_tiered(segs, cap=1)),
+        "doc_a", "doc_b", "hamming",
+    )
+    assert hot == expected, "hierarchical tier lost a boundary pair"
+
+    flat = rows(
+        _title_hamming_verify(_title_candidates_tiered(segs)),
+        "doc_a", "doc_b", "hamming",
+    )
+    assert flat == expected
+
+    salted = rows(
+        dedup_title_hamming_salted_frame(docs, target_rows=1),
+        "doc_a", "doc_b", "hamming",
+    )
+    assert salted == expected
+
+
 # ---------------------------------------------------------------------
 # A-ES weighted sampling + CMS join cardinality (r10 verdict item 8):
 # the plan and oracle share the md5-jitter / salted-bucket derivation,

@@ -209,6 +209,65 @@ def test_audio_stats_golden(spark):
         audio_stats(bad).collect()
 
 
+def test_audio_stats_oracle_parity_non_ascii(spark, tmp_path):
+    """Pin the r11 ADVICE fix: the multimodal_audio_stats oracle must
+    derive samples from the first 512 UTF-8 BYTES (matching the Spark
+    path's text.encode()[:512]), not the first 512 CHARACTERS — the
+    two diverge on any non-ASCII document. Corpus includes multi-byte
+    code points, a text whose 512-byte cut lands MID-code-point, an
+    empty text, and plain ASCII; full value parity vs the registered
+    DuckDB oracle."""
+    import duckdb
+
+    from wiki_data_pipeline_spark.plans.registry import get
+    from wiki_data_pipeline_spark.testing import _norm
+
+    texts = [
+        (1, "héllo wörld ünïcode ☃ snowman"),
+        # 510 ASCII bytes then a 3-byte char: the 512-byte slice cuts
+        # it after byte 2 — byte semantics, deliberately mid-codepoint
+        (2, "a" * 510 + "☃" + " tail beyond the cap"),
+        (3, ""),
+        (4, "plain ascii only"),
+        (5, "日本語のテキスト"),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "g", len(t)) for d, t in texts],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    spec = get("multimodal_audio_stats")
+    sdf = spec.fn(spark, str(tmp_path))
+    s_cols = sorted(sdf.columns)
+    s_rows = sorted(
+        tuple(_norm(row[c]) for c in s_cols) for row in sdf.collect()
+    )
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}/*.parquet')"
+        )
+        rel = con.execute(spec.oracle)
+        d_cols_raw = [d[0] for d in rel.description]
+        order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
+        assert [d_cols_raw[i] for i in order] == s_cols
+        d_rows = sorted(
+            tuple(_norm(r[i]) for i in order) for r in rel.fetchall()
+        )
+    finally:
+        con.close()
+    assert s_rows == d_rows
+
+    # and the mid-codepoint doc really was byte-sliced: 512 samples
+    n = {r.doc_id: r.n_samples for r in sdf.collect()}
+    assert n[2] == 512 and n[3] == 0
+
+
 def test_image_decode_without_pil_raises_in_worker(spark):
     """Without pillow, an image/* payload must surface the documented
     NotImplementedError from the Spark worker — not decode garbage."""
@@ -1010,6 +1069,36 @@ def test_bench_gate_session_normalization():
     )["queries"]
     for s in bench.SENTINELS:
         assert s in registered and s in frozen, s
+
+
+def test_bench_gate_norm_is_capped():
+    """Pin the r11 gate-divisor cap (verdict item 3): the per-query
+    normalization applied to the 2x gate is min(session_ratio, cap) —
+    an extreme-load divisor must not scale the gate so far that it
+    masks a genuine regression of the same magnitude. Below the cap
+    the divisor passes through; above it, it saturates."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    assert bench.gate_norm(1.0) == 1.0
+    assert bench.gate_norm(1.3) == 1.3
+    assert bench.gate_norm(0.8) == 1.0  # fast sessions never amplify
+    assert bench.gate_norm(3.0) == bench.GATE_NORM_CAP
+    # a 4x regression under (impossible-to-normalize) 3x "load": with
+    # the capped divisor it still flags; an uncapped 3.0 divisor would
+    # have passed it at a computed 1.33x
+    base = {s: 1.0 for s in bench.SENTINELS}
+    base["regressed"] = 2.0
+    loaded = {s: 3.0 for s in bench.SENTINELS}
+    loaded["regressed"] = 8.0
+    norm = bench.gate_norm(bench.session_ratio(loaded, base))
+    assert norm == bench.GATE_NORM_CAP
+    assert "regressed" in bench.compute_regressions(loaded, base, norm=norm)
 
 
 def test_bench_gate_session_ratio_sanity_alert():

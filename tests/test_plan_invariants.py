@@ -68,8 +68,14 @@ MANIFEST: dict[str, dict] = {
         "(plans/llm_ops.py:497-530)",
     ),
     "dedup_minhash_calibration": dict(
-        max_exchanges=16, max_scans=24, min_bhj=6, max_smj=1, pushdown=True,
-        note="band-calibration sweep over the shared LSH subplan",
+        max_exchanges=8, max_scans=9, min_bhj=2, max_smj=0, pushdown=True,
+        note="r11 single-consumption spelling: ONE (signatures + "
+        "shingle-array) per-doc state frame pinned behind a "
+        "repartition exchange (ReusedExchange shares it across the "
+        "band pipeline and both pair-side joins); the estimate and "
+        "the exact array_intersect Jaccard ride the SAME two pair "
+        "joins — the r6 inverted shingle join (16 exchanges, 24 "
+        "scans) is gone. audit verified identical at sf0.001 and x10",
     ),
     "dedup_family_agreement": dict(
         max_exchanges=19, max_scans=27, min_bhj=6, max_smj=2, pushdown=True,

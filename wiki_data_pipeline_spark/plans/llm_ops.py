@@ -163,63 +163,22 @@ def _minhash_sigs(corpus: DataFrame) -> DataFrame:
     (``pipeline_ops.dedup_minhash_calibration``), which compares
     signature-agreement Jaccard estimates against exact set Jaccard.
 
-    The token array is materialized in its own projection before the
-    shingling lambda references it (r10): an expression inlined into a
-    higher-order-function lambda re-evaluates per element, so the raw
-    split() re-tokenized the whole text at every shingle position —
-    O(L²) per doc on the registry's hottest stage (same discipline as
-    operators/dedup.py word_shingles)."""
-    toks = F.col("toks")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-            ),
-        )
-    )
+    One definition: delegates to operators/dedup.py
+    ``minhash_signatures`` (r11 verdict item 5 — the signature stage
+    shared by the LSH pair pipeline, the calibration eval, and the
+    keep-best cluster composition), parameterized by this module's
+    band constants."""
+    from ..operators.dedup import minhash_signatures
 
-    def _half(m: Column, start: int) -> Column:
-        return F.conv(F.substring(m, start, 8), 16, 10).cast("long")
-
-    md5_arr = F.transform(shingles, lambda s: F.md5(s))
-    harr = F.transform(
-        F.col("md5_arr"),
-        lambda m: F.struct(_half(m, 1).alias("h1"), _half(m, 9).alias("h2")),
-    )
-    sig = (
-        _spread(corpus)
-        .select(
-            "doc_id",
-            F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
-        )
-        .filter(F.size(toks) >= 3)
-        .select("doc_id", md5_arr.alias("md5_arr"))
-        .select("doc_id", harr.alias("harr"))
-        .select(
-            "doc_id",
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("harr"),
-                        lambda h: (h.h1 + s * h.h2) % _MH_PRIME,
-                    )
-                ).alias(f"mh{s}")
-                for s in range(_N_HASHES)
-            ],
-        )
-    )
-    return sig
+    return minhash_signatures(corpus, n_hashes=_N_HASHES, prime=_MH_PRIME)
 
 
-def _minhash_bands(corpus: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, sig) LSH band table for a (doc_id, text)
-    corpus — the narrow signature stage shared by the full-corpus pair
-    expansion (``minhash_lsh_pairs``) and the cross-batch incremental
-    probe (``dedup_incremental_minhash``). At scale this is the table
-    a production pipeline PERSISTS (bucketed by (band_idx, sig)) so
-    ingest batches never recompute the corpus side."""
-    sig = _minhash_sigs(corpus)
+def _bands_from_sigs(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, sig) LSH band table derived from an ALREADY
+    BUILT signature frame — split out so callers that need both the
+    signatures and the bands (calibration) can derive the bands from
+    one materialized signature exchange instead of recomputing the
+    md5/shingle map per consumption."""
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -229,6 +188,16 @@ def _minhash_bands(corpus: DataFrame) -> DataFrame:
         ]
     )
     return sig.select("doc_id", F.posexplode(band_arr).alias("band_idx", "sig"))
+
+
+def _minhash_bands(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, sig) LSH band table for a (doc_id, text)
+    corpus — the narrow signature stage shared by the full-corpus pair
+    expansion (``minhash_lsh_pairs``) and the cross-batch incremental
+    probe (``dedup_incremental_minhash``). At scale this is the table
+    a production pipeline PERSISTS (bucketed by (band_idx, sig)) so
+    ingest batches never recompute the corpus side."""
+    return _bands_from_sigs(_minhash_sigs(corpus))
 
 
 def minhash_lsh_pairs(
@@ -250,7 +219,22 @@ def minhash_lsh_pairs(
     ``dropped_docs`` after the first action on the result — both are
     computed on the write path, no extra job. The default (None) is
     exact and oracle-checked at fixture scale."""
-    bands = _minhash_bands(corpus)
+    return pairs_from_bands(
+        _minhash_bands(corpus),
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
+
+
+def pairs_from_bands(
+    bands: DataFrame,
+    max_bucket_size: int | None = None,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Bucket-join pair expansion over an ALREADY BUILT band table —
+    the second half of :func:`minhash_lsh_pairs`, split out so callers
+    holding a materialized signature/band frame (calibration) reuse it
+    instead of recomputing the md5/shingle map."""
     buckets = (
         bands.groupBy("band_idx", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -3030,12 +3014,26 @@ _AUDIO_RATE = 8000
 
 @query(
     "multimodal_audio_stats",
+    # BYTE-based sample derivation (r11, ADVICE): the Spark path slices
+    # the first {_AUDIO_MAX_BYTES} UTF-8 BYTES of text; a char/ascii()
+    # spelling here would diverge on any non-ASCII document. hex() of
+    # the encoded blob sliced to 2*max_bytes hex chars == the byte
+    # slice; each hex pair parses via strpos into the byte value.
     oracle=f"""
     WITH s AS (
       SELECT doc_id,
-        list_transform(string_split(substr(text, 1, {_AUDIO_MAX_BYTES}), ''),
-                       c -> (ascii(c) - 128) * 256) AS smp
+        substr(hex(encode(coalesce(text, ''))), 1,
+               {_AUDIO_MAX_BYTES * 2}) AS h
       FROM documents
+    ),
+    sm AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(h) // 2),
+          i -> ((strpos('0123456789ABCDEF', substr(h, (i-1)*2+1, 1)) - 1)
+                  * 16
+                + strpos('0123456789ABCDEF', substr(h, (i-1)*2+2, 1))
+                - 1 - 128) * 256) AS smp
+      FROM s
     )
     SELECT doc_id,
       CAST(len(smp) AS BIGINT) AS n_samples,
@@ -3048,7 +3046,7 @@ _AUDIO_RATE = 8000
       CAST(CASE WHEN len(smp) = 0 THEN NULL
                 ELSE list_aggregate(list_transform(smp, x -> abs(x)), 'max')
            END AS INT) AS peak
-    FROM s
+    FROM sm
     """,
 )
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

