@@ -4671,7 +4671,15 @@ def _title_pair_join(segs: DataFrame, key: str) -> DataFrame:
     )
 
 
-_TITLE_HOT_BLOCK_CAP = 256  # flat-join block cap; bigger blocks refine
+# Flat-join block cap; bigger blocks refine on complement sub-keys.
+# r11: 256 -> 128 — the r11 gated sf1 run read the plain query at
+# exponent 1.16 with the 65..256 band carrying ~30% of the x10 corpus:
+# a band block's n² candidate work grows with the corpus until it
+# crosses the cap, so the band is the one structurally-superlinear
+# regime left. Halving the cap sends it through the refinement
+# (fragmentation cuts candidates to true-near-dup sub-blocks; recall
+# stays GUARANTEED by the double pigeonhole, output bit-identical).
+_TITLE_HOT_BLOCK_CAP = 128
 
 
 def _title_complement() -> Column:
