@@ -1071,6 +1071,31 @@ def test_bench_gate_session_normalization():
         assert s in registered and s in frozen, s
 
 
+def test_sf1_gate_tier_membership():
+    """The gated sf1 tier (bench.py SF1_QUERIES) must stay ≥120
+    queries (the r11 widened aperture — the sf1 gate has caught five
+    O(N²)-class defects, one per widening), contain no duplicates, and
+    reference only registered queries — a registry rename must fail
+    HERE, not silently shrink the gate at the next --sf1 run."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+
+    names = bench.SF1_QUERIES
+    assert len(names) >= 120, f"sf1 gate tier shrank to {len(names)}"
+    assert len(names) == len(set(names)), "duplicate sf1 gate entries"
+    unregistered = sorted(set(names) - set(all_queries()))
+    assert not unregistered, f"sf1 gate names not in registry: {unregistered}"
+    for s in bench.SENTINELS:
+        assert s in names, f"sentinel {s} missing from sf1 gate tier"
+
+
 def test_bench_gate_norm_is_capped():
     """Pin the r11 gate-divisor cap (verdict item 3): the per-query
     normalization applied to the 2x gate is min(session_ratio, cap) —

@@ -382,3 +382,70 @@ def test_gini_count_of_counts_matches_per_key_ranking(spark):
     # and by hand: x asc = [1,1,1,2,2,5], Σx=12, Σi·x=1+2+3+8+10+30=54,
     # G = (2·54 − 7·12)/(6·12) = 24/72 = 1/3 -> 333333 micro
     assert got == 333333
+
+
+def test_title_hamming_tiered_fuzz_vs_brute_force(spark):
+    """Seeded fuzz over the WHOLE tiering lattice (r11 — guards future
+    cap/target changes the way the hand goldens guard the boundary):
+    random corpora over a 3-letter alphabet (forcing heavy segment
+    collisions) with planted near-dup clusters, checked at caps
+    {1, 2, 8, 64, default} for the plain tiered join and at
+    (target, cap) ∈ {(1, 8), (8, 64)} for the salted twin — every
+    spelling must equal an in-test brute-force Hamming scan (no
+    Spark/engine code shared with the oracle)."""
+    import random
+
+    from wiki_data_pipeline_spark.plans.pipeline_ops import (
+        _TITLE_LEN,
+        _TITLE_MAX_HAMMING,
+        _title_candidates_tiered,
+        _title_hamming_verify,
+        dedup_title_hamming_salted_frame,
+        title_segments,
+    )
+
+    rng = random.Random(0x7171)
+    alphabet = "abc"
+    bases = [
+        "".join(rng.choice(alphabet) for _ in range(_TITLE_LEN))
+        for _ in range(6)
+    ]
+    titles: dict[int, str] = {}
+    for d in range(120):
+        t = list(rng.choice(bases))
+        for _ in range(rng.randrange(0, 4)):  # 0-3 mutations
+            t[rng.randrange(_TITLE_LEN)] = rng.choice(alphabet)
+        titles[d] = "".join(t)
+
+    expected = sorted(
+        (a, b, sum(x != y for x, y in zip(titles[a], titles[b])))
+        for a in titles
+        for b in titles
+        if a < b
+        and sum(x != y for x, y in zip(titles[a], titles[b]))
+        <= _TITLE_MAX_HAMMING
+    )
+    assert len(expected) > 50  # the corpus really is collision-heavy
+
+    docs = spark.createDataFrame(
+        [(d, t + " tail") for d, t in titles.items()],
+        "doc_id long, text string",
+    )
+    segs = title_segments(docs)
+
+    def got(df):
+        return sorted(map(tuple, df.collect()))
+
+    for cap in (1, 2, 8, 64, None):
+        cand = (
+            _title_candidates_tiered(segs)
+            if cap is None
+            else _title_candidates_tiered(segs, cap=cap)
+        )
+        assert got(_title_hamming_verify(cand)) == expected, f"cap={cap}"
+
+    for target in (1, 8):
+        assert (
+            got(dedup_title_hamming_salted_frame(docs, target_rows=target))
+            == expected
+        ), f"salted target={target}"

@@ -4737,45 +4737,59 @@ def _title_candidates_tiered(
     per key on the build side — strategy stable from fixture SF to
     x10, never a stats-luck broadcast).
 
-    r11: BOTH tiers run through ONE self-join — each tier's key is
-    tag-prefixed ('c' + bk / 'h' + rk, so a hot sub-key can never
-    collide with a cold block key) and the tiers union BEFORE the
-    join. One join stage instead of two cuts the fixture-SF fixed
-    cost ~20% and halves the join-side subtree consumptions at x10;
-    pair semantics are unchanged (equal tag+key ⇒ same tier, same
-    block key), so the output — and the flat-spelling oracle — stay
-    bit-identical."""
-    cold, hot_sub = _title_tier_frames(segs, cap)
-    return _title_pair_join(_title_tag_union(cold, hot_sub), "k").distinct()
-
-
-def _title_tag_union(cold: DataFrame, hot_sub: DataFrame) -> DataFrame:
-    """Union the cold (bk-keyed) and hot (rk-keyed) tier frames under
-    one tag-disambiguated key column ``k``."""
-    return cold.select(
-        "doc_id",
-        "title",
-        F.concat(F.lit("c"), F.col("bk")).alias("k"),
-    ).unionAll(
-        hot_sub.select(
-            "doc_id",
-            "title",
-            F.concat(F.lit("h"), F.col("rk")).alias("k"),
-        )
-    )
-
-
-def _title_tier_frames(
-    segs: DataFrame, cap: int
-) -> tuple[DataFrame, DataFrame]:
-    """Split the segment frame into the two blocking tiers: ``cold``
-    rows (block <= cap) keyed by ``bk``, and hot rows re-keyed by
-    ``rk`` = (bk, sub-piece index, complement sub-piece). Shared by
-    the plain tiered join and the planned-salted twin."""
+    r11: BOTH tiers run through ONE self-join via per-row conditional
+    key fan-out (:func:`_title_unified_frame`) — each sized row
+    explodes a CASE-selected key array, tag-prefixed so a hot sub-key
+    can never collide with a cold block key. One join stage instead of
+    two cuts the fixture-SF fixed cost ~20%, the sized subtree appears
+    exactly once, and there is no Union for the optimizer to push
+    through; pair semantics are unchanged (equal tag+key means same
+    tier, same block key), so the output — and the flat-spelling
+    oracle — stay bit-identical."""
     sized, _ = _title_sized(segs)
-    cold = sized.filter(F.col("blk_n") <= cap)
-    hot_sub = _title_hot_sub(sized.filter(F.col("blk_n") > cap))
-    return cold, hot_sub
+    return _title_pair_join(_title_unified_frame(sized, cap), "k").distinct()
+
+
+def _title_unified_frame(
+    sized: DataFrame, cap: int, small_cut: int | None = None
+) -> DataFrame:
+    """(doc_id, title, k) — the tag-disambiguated unified blocking
+    frame, built by exploding a per-row CASE-selected key array
+    (r11b, replacing the two-branch union: a union of two projections
+    of the same subtree shares expression ids across Union children,
+    which trips a Catalyst PushPredicateThroughNonJoin assertion on
+    LocalRelation inputs in Spark 4.1 — the fan-out spelling has no
+    Union to push through, and the sized subtree appears exactly once):
+
+    - block <= ``small_cut`` (defaults to ``cap``): one element,
+      'c' + bk — the flat tier;
+    - block > ``cap``: the complement sub-keys, 'h' + bk + i + sub —
+      the refined tier;
+    - in between (only when ``small_cut`` < ``cap``, the salted
+      twin's mid tier): EMPTY array — explode drops the row, the
+      caller routes that band through the planned-salted join.
+    """
+    # \x1f (unit separator) between key parts: prevents ambiguity
+    # between e.g. (bk='a', i=12, sub='x') and (bk='a1', i=2, sub='x')
+    # — a collision would only add candidates (verify recomputes true
+    # Hamming so output is safe either way), but clean keys keep
+    # buckets honest
+    sub_keys = F.transform(
+        _title_sub_keys(),
+        lambda s, i: F.concat_ws(
+            "\x1f", F.lit("h"), F.col("bk"), i.cast("string"), s
+        ),
+    )
+    cut = cap if small_cut is None else small_cut
+    keys = (
+        F.when(
+            F.col("blk_n") <= cut,
+            F.array(F.concat(F.lit("c"), F.col("bk"))),
+        )
+        .when(F.col("blk_n") > cap, sub_keys)
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return sized.select("doc_id", "title", F.explode(keys).alias("k"))
 
 
 def _title_sized(segs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -4788,23 +4802,6 @@ def _title_sized(segs: DataFrame) -> tuple[DataFrame, DataFrame]:
     exact subtree, so its broadcast costs no extra segs scan)."""
     counts = segs.groupBy("bk").agg(F.count(F.lit(1)).alias("blk_n"))
     return segs.join(counts.hint("shuffle_hash"), "bk"), counts
-
-
-def _title_hot_sub(hot: DataFrame) -> DataFrame:
-    """Re-key hot-tier rows on ``rk`` = (bk, sub-piece index,
-    complement sub-piece) — the second pigeonhole level."""
-    return hot.select(
-        "doc_id",
-        "title",
-        "bk",
-        F.posexplode(_title_sub_keys()).alias("sub_i", "sub"),
-    ).select(
-        "doc_id",
-        "title",
-        F.concat_ws(
-            "", "bk", F.col("sub_i").cast("string"), "sub"
-        ).alias("rk"),
-    )
 
 
 def _title_hamming_verify(cand: DataFrame) -> DataFrame:
@@ -4894,13 +4891,15 @@ def dedup_title_hamming_salted_frame(
     oracle hash-checks the composition."""
     segs = title_segments(docs)
     sized, counts = _title_sized(segs)
-    small = sized.filter(F.col("blk_n") <= target_rows)
+    # small + hot via the plain query's conditional-fan-out spelling
+    # (mid rows get an empty key array there and drop out of the
+    # unified join — they travel the salted join below instead)
+    unified = _title_unified_frame(
+        sized, _TITLE_HOT_BLOCK_CAP, small_cut=target_rows
+    )
     mid = sized.filter(
         (F.col("blk_n") > target_rows)
         & (F.col("blk_n") <= _TITLE_HOT_BLOCK_CAP)
-    )
-    hot_sub = _title_hot_sub(
-        sized.filter(F.col("blk_n") > _TITLE_HOT_BLOCK_CAP)
     )
     # the plan_salts shape (key, n_rows, salt_factor), built from the
     # tier split's own counts aggregate: residual keys only
@@ -4918,7 +4917,7 @@ def dedup_title_hamming_salted_frame(
         )
     )
     cand = (
-        _title_pair_join(_title_tag_union(small, hot_sub), "k")
+        _title_pair_join(unified, "k")
         .unionAll(_salted_pair_join(mid, "bk", target_rows, plan=plan))
         .distinct()
     )
