@@ -380,6 +380,12 @@ SF1_QUERIES = [
     "window_tumbling_hourly",
     "q11_important_parts",
 ]
+# r11 final widening: the ENTIRE registry is gated. The explicit list
+# above keeps the curated heavy-first ordering; this dynamic tail
+# guarantees no registered query — present or future — can sit outside
+# the gate's aperture (the append-only baseline freeze in run_sf1
+# assigns first-run medians to newly gated names automatically).
+SF1_QUERIES += sorted(n for n in all_queries() if n not in set(SF1_QUERIES))
 SF1_BASELINE_PATH = "BENCH_SF1_BASELINE.json"
 SF1_ABS_FLOOR_SEC = 5.0  # 10x data -> 10x the sf0.1 floor
 

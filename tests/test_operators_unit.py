@@ -1072,11 +1072,11 @@ def test_bench_gate_session_normalization():
 
 
 def test_sf1_gate_tier_membership():
-    """The gated sf1 tier (bench.py SF1_QUERIES) must stay ≥120
-    queries (the r11 widened aperture — the sf1 gate has caught five
-    O(N²)-class defects, one per widening), contain no duplicates, and
-    reference only registered queries — a registry rename must fail
-    HERE, not silently shrink the gate at the next --sf1 run."""
+    """The gated sf1 tier (bench.py SF1_QUERIES) covers the ENTIRE
+    registry (r11 final widening — the sf1 gate has caught five
+    O(N²)-class defects, one per widening), contains no duplicates,
+    and references only registered queries — a registry rename must
+    fail HERE, not silently shrink the gate at the next --sf1 run."""
     import os
     import sys
 
@@ -1090,6 +1090,8 @@ def test_sf1_gate_tier_membership():
     names = bench.SF1_QUERIES
     assert len(names) >= 120, f"sf1 gate tier shrank to {len(names)}"
     assert len(names) == len(set(names)), "duplicate sf1 gate entries"
+    missing = sorted(set(all_queries()) - set(names))
+    assert not missing, f"registered queries outside the sf1 gate: {missing}"
     unregistered = sorted(set(names) - set(all_queries()))
     assert not unregistered, f"sf1 gate names not in registry: {unregistered}"
     for s in bench.SENTINELS:

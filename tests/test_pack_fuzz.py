@@ -125,6 +125,36 @@ def test_global_offsets_is_zipwithindex(spark):
     assert with_global_offsets(empty, order="doc_id").count() == 0
 
 
+def test_global_offsets_on_shuffled_input(spark):
+    """Regression: the input is a groupBy OUTPUT wide enough that the
+    range exchange reservoir-samples instead of reading partitions
+    exhaustively — before the helper pinned its ranged frame with
+    localCheckpoint, the psums job and the consuming job drew
+    DIFFERENT sampled split bounds (fresh RDD-id seed per evaluation)
+    and the broadcast offsets desynchronized: thousands of cums off by
+    the number of slipped boundaries (caught at sf0.01 building
+    range_partition_plan's quantile stage). Three evaluations of the
+    same frame must all equal ground truth."""
+    rng = random.Random(SEED + 7)
+    # ~15k rows across 32 shuffle partitions ≈ 470/partition, above
+    # the per-partition sample cap at 32 output partitions
+    vals = [round(rng.uniform(0, 1e6), 2) for _ in range(15_000)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    counts = sdf.groupBy("x").count()
+    out = with_global_offsets(counts, order="x", size="count", out="cb")
+    truth = {}
+    acc = 0
+    for v, c in sorted(
+        (r["x"], r["count"]) for r in counts.collect()
+    ):
+        truth[v] = acc
+        acc += c
+    for _ in range(3):
+        got = out.collect()
+        bad = [r for r in got if truth[r["x"]] != r["cb"]]
+        assert not bad, f"{len(bad)} desynchronized offsets, e.g. {bad[:3]}"
+
+
 def test_stream_offsets_fuzz_vs_duckdb(spark):
     """Per-stream exclusive prefix sums + seq_id binning vs DuckDB,
     over streams with 0-size docs, single-doc streams, and sizes that

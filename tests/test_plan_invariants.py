@@ -221,9 +221,12 @@ MANIFEST: dict[str, dict] = {
         note="OR-of-ANDs partially pushed; broadcast part side",
     ),
     "range_partition_plan": dict(
-        max_exchanges=2, max_scans=2, max_bnlj=1,
-        note="boundary table is tiny by construction -> BNLJ broadcast "
-        "of range bounds is the intended shape",
+        max_exchanges=4, max_scans=2, max_bnlj=2,
+        note="r11 cumulative-quantile rewrite: bounds come from ONE "
+        "distributed prefix-sum pass (checkpointed, invisible here) "
+        "instead of 7 percentile_disc buffers; two O(1)-row broadcast "
+        "scalars (total, bounds) -> 2 BNLJ; exchanges = bucket "
+        "groupBy + single-partition bounds agg + 2 broadcasts",
     ),
     # -- iterative fixpoints: the returned DF is a localCheckpoint
     # scan (rounds ran eagerly), so only blanket invariants apply --

@@ -49,7 +49,21 @@ def with_global_offsets(
 
     Two passes: a per-partition reduction (collects #partitions rows,
     never data) feeds broadcast cumulative offsets; the heavy work is
-    the range partitioning and one intra-partition window."""
+    the range partitioning and one intra-partition window.
+
+    The ranged frame is pinned with ``localCheckpoint`` BEFORE the
+    per-partition sums are collected: Spark's range exchange picks its
+    split bounds by reservoir-sampling with a fresh seed per
+    evaluation (seeded off the new RDD id), so the psums job and the
+    returned frame's job would otherwise see DIFFERENT partition
+    boundaries and the broadcast offsets silently desynchronize
+    (rows slip one partition; every downstream index after the first
+    moved boundary is wrong). The fixture SFs masked this — small
+    inputs are sampled exhaustively (sample cap ≥ partition rows ⇒
+    deterministic bounds) — but any input wide enough for real
+    reservoir sampling (e.g. a groupBy output at sf0.01, or ANY input
+    at cluster scale) hits it; caught building
+    ``range_partition_plan``'s cumulative-quantile stage."""
     spark = df.sparkSession
     n_parts = n_partitions or max(2, spark.sparkContext.defaultParallelism)
     size_col = F.col(size).cast("bigint") if size else F.lit(1).cast("bigint")
@@ -57,6 +71,7 @@ def with_global_offsets(
         df.repartitionByRange(n_parts, order)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__sz", size_col)
+        .localCheckpoint()
     )
     psums = (
         ranged.groupBy("__pid").agg(F.sum("__sz").alias("s"))

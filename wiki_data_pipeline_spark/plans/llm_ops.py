@@ -356,7 +356,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, which is the term that grows with corpus size (local
     fixture wall-clock is flat; the fixture is one row group). Same
     result, same oracle."""
-    corpus = _dedup_corpus(spark, sf_dir)
+    return _simhash_from(_dedup_corpus(spark, sf_dir))
+
+
+def _simhash_from(corpus: DataFrame) -> DataFrame:
+    """SimHash signature stage over an arbitrary (doc_id, text) corpus
+    frame — the body of ``dedup_simhash`` (see its docstring for the
+    packed-lane design). Split out so composites that only need
+    signatures for a SUBSET of documents (e.g. the Hamming histogram's
+    candidate-pair participants) can push their row filter BELOW the
+    tokenize/explode/aggregate work instead of fingerprinting the whole
+    corpus and discarding most of it in the join."""
     tok = _spread(corpus).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
@@ -1708,7 +1718,10 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     (node, lbl) at fixpoint — the shared iterative core of
     dedup_cluster_components (MinHash graph) and dedup_semantic_keep
     (embedding-cosine graph). See dedup_cluster_components for the
-    localCheckpoint / Observation-fixpoint scale discipline.
+    localCheckpoint / Observation-fixpoint scale discipline. The first
+    propagation round is folded into label initialization (one
+    aggregate over the symmetric edges), saving a join + checkpoint
+    round and the init-sum collect.
 
     NOTE: the loop body is mirrored line-for-line by
     plans/scale_audit.py:cluster_components_round_plan (the x10
@@ -1719,13 +1732,23 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
     edges = edges.localCheckpoint()
+    # Round 1 folded into initialization: with lbl₀ = node, the first
+    # propagation round computes least(node, min(neighbors)) — which is
+    # ONE aggregate over the symmetric edge set (the groupBy(u) below
+    # yields exactly the distinct node set), so the distinct + join +
+    # agg + checkpoint of a full round collapses into the init pass.
+    # The convergence sum rides the same checkpoint as an Observation
+    # (no separate collect job).
+    obs0 = Observation()
     labels = (
-        edges.select(F.col("u").alias("node")).distinct().withColumn(
-            "lbl", F.col("node")
-        )
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(20):
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("lbl"))
+        .observe(obs0, F.sum("lbl").alias("lbl_sum"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["lbl_sum"]
+    for _ in range(19):
         neighbor_min = (
             edges.join(labels, edges.u == labels.node)
             .groupBy(F.col("v").alias("node2"))
@@ -1859,11 +1882,13 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     plans/scale_audit.py:cluster_components_star_round_plan (x10 sweep
     stand-in) — change them together."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge set, canonical orientation a > b
+    # undirected edge set, canonical orientation a > b. The LSH pair
+    # contract is already DISTINCT rows with doc_a < doc_b (the band
+    # pipeline dedups), so the orientation is a pure rename — no
+    # greatest/least, and no distinct shuffle over the pair set.
     edges = pairs.select(
-        F.greatest("doc_a", "doc_b").alias("a"),
-        F.least("doc_a", "doc_b").alias("b"),
-    ).distinct().localCheckpoint()
+        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+    ).localCheckpoint()
     prev_sig = None
     for _ in range(12):
         # -- large-star: symmetric adjacency; larger neighbors -> min

@@ -830,25 +830,60 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``repartitionByRange`` does by sampling: split bounds at k/8
     quantiles of the sort key, then per-bucket occupancy and row
     fraction, the evidence for whether a range-partitioned write (or a
-    sorted bucketing layout) will balance. percentile_disc picks
+    sorted bucketing layout) will balance. Discrete quantiles pick
     actual data values (the agg_value_percentiles cross-engine
     discipline); fractions are exact half-up micro division.
 
-    Scale: one exact-percentile aggregate (swap approx_percentile at
-    planetary group sizes — the sketch_quantile_rank_check pattern
-    bounds its error), then a broadcast of the 7-value bounds row and
-    a map-side bucket assignment + hash count. This is also the
-    skew-detection pre-pass: a bucket fraction ≫ 1/8 means heavy keys
-    that need salting (``skew_salted_join``'s input)."""
+    The bounds stage computes ALL seven quantiles from ONE cumulative
+    pass instead of seven ``percentile_disc`` aggregates: per-value
+    counts (one shuffle on the key), a distributed exclusive prefix
+    sum over the distinct values (``with_global_offsets`` — the l3
+    two-pass range-partition pattern, never a single-partition
+    window), then bound_k = min value whose inclusive count satisfies
+    8·cum ≥ k·n — the SQL-standard PERCENTILE_DISC definition (min v
+    with cume_dist(v) ≥ p) in exact BIGINT arithmetic, verified
+    identical to Spark's percentile_disc and DuckDB's quantile_disc on
+    ties/singleton/odd-n corpora. Seven independent percentile_disc
+    buffers each re-sorted the full column in one reducer (7× the
+    memory and the measured 2.1 s of a 2.6 s query at sf0.1); the
+    cumulative form is distributed, linear, and reads the column once.
+
+    Scale: the per-value count aggregate shrinks the prefix-sum input
+    to distinct-key cardinality; the broadcast of the 7-value bounds
+    row and the map-side bucket assignment + hash count are unchanged.
+    This is also the skew-detection pre-pass: a bucket fraction ≫ 1/8
+    means heavy keys that need salting (``skew_salted_join``'s
+    input)."""
+    from wiki_data_pipeline_spark.operators.packing import with_global_offsets
+
     orders = read_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_rp_orders")
-    pct = ", ".join(
-        f"percentile_disc({i}/{_RANGE_BUCKETS}.0)"
-        f" WITHIN GROUP (ORDER BY o_totalprice)"
-        for i in range(1, _RANGE_BUCKETS)
+    counts = orders.groupBy("o_totalprice").agg(F.count("*").alias("c"))
+    cum = with_global_offsets(
+        counts, order="o_totalprice", size="c", out="cb"
+    ).select(
+        "o_totalprice", (F.col("cb") + F.col("c")).alias("cum")
     )
-    b = spark.sql(
-        f"SELECT array({pct}) AS bounds, count(*) AS total FROM _rp_orders"
+    tot = orders.agg(F.count("*").cast("bigint").alias("total"))
+    b = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * _RANGE_BUCKETS >= F.col("total") * i,
+                        F.col("o_totalprice"),
+                    )
+                ).alias(f"_b{i}")
+                for i in range(1, _RANGE_BUCKETS)
+            ],
+            F.any_value("total").alias("total"),
+        )
+        .select(
+            F.array(
+                *[F.col(f"_b{i}") for i in range(1, _RANGE_BUCKETS)]
+            ).alias("bounds"),
+            "total",
+        )
     )
     assigned = orders.crossJoin(F.broadcast(b)).select(
         F.size(
@@ -4235,11 +4270,30 @@ def dedup_simhash_hamming_histogram(
     definitions; distance = bit_count(xor) — pure integer, identical
     both engines.
 
-    Scale: two point joins of the candidate list against the per-doc
-    signature table + a ≤33-row aggregate; rides passes the dedup
-    pipeline already runs."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sh64 = _PREG["dedup_simhash"].fn(spark, sf_dir)
+    Scale: the candidate pairs are materialized once (localCheckpoint
+    — pair-sized, tiny vs the corpus) and their participant set is
+    pushed BELOW the SimHash tokenize/aggregate as a broadcast
+    semi-filter, so signatures are computed only for docs that appear
+    in a pair (the inner joins discard all others anyway — identical
+    result, corpus-sized tokenize/hash work saved). Then two point
+    joins of the candidate list against the participant-only signature
+    table + a ≤33-row aggregate."""
+    from wiki_data_pipeline_spark.plans.llm_ops import (
+        _dedup_corpus,
+        _simhash_from,
+    )
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    participants = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh64 = _simhash_from(
+        _dedup_corpus(spark, sf_dir).join(F.broadcast(participants), "doc_id")
+    )
     sa = sh64.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     sb = sh64.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (

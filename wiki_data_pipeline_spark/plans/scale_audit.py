@@ -41,10 +41,11 @@ def cluster_components_round_plan(
     llm_ops._min_label_components' loop body, minus the checkpoint):
     neighbor-min aggregate + left join back onto labels."""
     edges = _lsh_edges(spark, sf_dir)
+    # init mirrors the folded first round: least(node, min neighbor)
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("lbl"))
     )
     neighbor_min = (
         edges.join(labels, edges.u == labels.node)
@@ -68,10 +69,8 @@ def cluster_components_star_round_plan(
     from wiki_data_pipeline_spark.plans.llm_ops import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.greatest("doc_a", "doc_b").alias("a"),
-        F.least("doc_a", "doc_b").alias("b"),
-    ).distinct()
+    # rename-only orientation: LSH pairs are distinct with doc_a < doc_b
+    edges = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
