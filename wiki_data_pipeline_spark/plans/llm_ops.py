@@ -1728,6 +1728,12 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     sweep's compile-only stand-in) — change them together."""
     from pyspark.sql import Observation
 
+    # Materialize the pair frame ONCE before symmetrizing: the union
+    # consumes `pairs` twice, and without the pin that means two full
+    # runs of the upstream pair pipeline (the LSH signature build is
+    # the registry's densest CPU stage — the dedup_minhash_verified
+    # single-consumption lesson). The checkpointed frame is pair-sized.
+    pairs = pairs.localCheckpoint()
     edges = pairs.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -4300,7 +4306,13 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE: the iteration body is mirrored by
     plans/scale_audit.py:pagerank_round_plan (x10 sweep stand-in) —
     change them together."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # pin the pair frame before the symmetrizing union — one LSH
+    # pipeline run, not two (see _min_label_components)
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     e = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )

@@ -433,8 +433,16 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale) bounds each join's fan-out; every join shuffles on an
     edge endpoint, never materializing node neighborhoods on one
     machine. The dup graph is sparse (bounded bucket sizes upstream),
-    so the 3-way join is linear-ish in edges."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    so the 3-way join is linear-ish in edges.
+
+    The pair frame is checkpointed once: this plan consumes it SIX
+    times (two degree-union branches, the edge count, e1/e2/e3) — each
+    would re-run the whole LSH pipeline otherwise."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -489,8 +497,14 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     under transitive merging, and whose LSH buckets need the
     ``max_bucket_size`` cap. Two hash aggregations (node → degree,
     degree → count); at 100 TB both shuffle tiny aggregate rows, and
-    the histogram (≤ max-degree rows) is the thing you alert on."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    the histogram (≤ max-degree rows) is the thing you alert on.
+    The pair frame is checkpointed once — the degree union consumes it
+    twice and would re-run the LSH pipeline per branch otherwise."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     return (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
