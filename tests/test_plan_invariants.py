@@ -103,8 +103,9 @@ MANIFEST: dict[str, dict] = {
         note="family union + per-family impact rollup",
     ),
     "dedup_substring_spans": dict(
-        max_exchanges=10, max_scans=10, pushdown=True,
-        note="positional span hashes; corpus-shared chunk set",
+        max_exchanges=4, max_scans=0, max_smj=0,
+        note="r11: span stream pinned (3 consumers) — visible plan is "
+        "checkpoint-scan aggregates + 2 joins; tokenize/md5 runs once",
     ),
     # -- text / scoring --
     "text_winnow_fingerprint": dict(
@@ -113,12 +114,16 @@ MANIFEST: dict[str, dict] = {
         "groupBy; plan may fold to a checkpointed scan",
     ),
     "score_bigram_surprisal": dict(
-        max_exchanges=19, max_scans=8, min_bhj=5, pushdown=True,
-        note="two grouped counts + broadcast LM tables",
+        max_exchanges=2, max_scans=0, min_bhj=1, max_smj=0,
+        note="r11: bigram stream AND per-doc score table pinned — "
+        "visible plan is the broadcast threshold join over the "
+        "checkpointed scores; count tables built once at pin time",
     ),
     "sample_dsir_importance": dict(
-        max_exchanges=12, max_scans=5, min_bhj=2, pushdown=True,
-        note="importance ratios via broadcast n-gram LMs",
+        max_exchanges=4, max_scans=0, min_bhj=1, max_smj=0, max_bnlj=1,
+        note="r11: one explode pass into a pinned (doc,lang,term) "
+        "frame; both LMs from one conditional aggregate; broadcast "
+        "weight join (BNLJ = the O(1)-row consts broadcast)",
     ),
     # -- pipeline rollups --
     "quality_gopher_filters": dict(

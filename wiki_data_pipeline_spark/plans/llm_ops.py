@@ -2673,11 +2673,14 @@ def score_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (small even at 100 TB corpus: ~millions of types), so the
     probability join back to the token stream is a broadcast; the
     per-doc aggregate shuffles on doc_id. Two shuffles total, both on
-    uniform keys; the token explode itself stays partition-local."""
+    uniform keys; the token explode itself stays partition-local and
+    runs ONCE — the stream is pinned with localCheckpoint because the
+    LM aggregate, its total, and the probability join all consume it
+    (unpinned, the corpus re-tokenized per consumer)."""
     docs = read_table(spark, sf_dir, "documents")
     tok = _spread(docs).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    )
+    ).localCheckpoint()
     lm = tok.groupBy("token").agg(F.count("*").alias("n"))
     total = lm.agg(F.sum("n").alias("total"))
     lm = lm.crossJoin(F.broadcast(total))
@@ -3603,7 +3606,11 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram/context count tables are vocabulary-sized aggregates
     (shuffle on token keys — uniform); the count join back to the
     bigram stream shuffles on the bigram key. The threshold table is
-    |langs| rows → broadcast. No Python anywhere."""
+    |langs| rows → broadcast. No Python anywhere. The bigram stream is
+    pinned with localCheckpoint (three consumers: both count tables
+    and the scoring join — unpinned, each re-tokenized and re-exploded
+    the corpus), and so is the per-doc score table (consumed by the
+    threshold aggregate AND the final bucket join)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _spread(docs).select(
         "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("t")
@@ -3623,7 +3630,7 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "lang", "p.ctx", "p.bigram")
+    ).select("doc_id", "lang", "p.ctx", "p.bigram").localCheckpoint()
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("ctx").agg(F.count("*").alias("n1"))
     vocab = (
@@ -3657,6 +3664,7 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000.0
             ).alias("mean_surprisal"),
         )
+        .localCheckpoint()
     )
     m.createOrReplaceTempView("_bigram_scored")
     th = m.sparkSession.sql(
@@ -3793,11 +3801,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - _SPAN_N),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, _SPAN_N))),
     )
+    # The span stream has three consumers (dup-gram index, per-doc
+    # span counts, the dup join) — pin it so tokenize + per-window md5
+    # runs once; the materialized (doc, hash) stream is the
+    # distributed stand-in for the paper's suffix array.
     spans = (
         _spread(corpus)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
         .filter(F.size(toks) >= _SPAN_N)
         .select("doc_id", F.explode(grams).alias("gh"))
+        .localCheckpoint()
     )
     dup_grams = (
         spans.groupBy("gh")

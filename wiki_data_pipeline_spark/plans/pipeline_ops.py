@@ -189,10 +189,13 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(toks, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS))
         ),
     )
+    # pinned: the chunk stream feeds both the shared-set aggregate and
+    # the flag join — unpinned, each re-chunks and re-hashes the corpus
     ch = (
         _spread(corpus)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(chunk_hashes)).alias("chunk_hash"))
+        .localCheckpoint()
     )
     shared = (
         ch.groupBy("chunk_hash")
@@ -302,11 +305,14 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     between build and probe).
 
     Scale: the filter is m bits regardless of corpus size → the
-    seen-bits set is broadcast; the historical corpus is read ONCE to
-    build bits, never joined row-wise. At real scale m sizes to
-    n·k/ln2 bits and the same plan holds; Bloom hits then fall through
-    to ``dedup_exact``'s digest join for confirmation (two-stage, like
-    the LSH→verify dedup path)."""
+    seen-bits set is broadcast; the historical corpus is read and
+    md5-hashed ONCE (the digest frame is pinned with localCheckpoint —
+    its three consumers, seen-bits, seen-digests, and the probe
+    stream, would each re-hash the corpus otherwise), never joined
+    row-wise. At real scale m sizes to n·k/ln2 bits and the same plan
+    holds; Bloom hits then fall through to ``dedup_exact``'s digest
+    join for confirmation (two-stage, like the LSH→verify dedup
+    path)."""
     corpus = _dedup_corpus(spark, sf_dir)
     digest = F.md5("text")
     bits = F.array(
@@ -320,7 +326,7 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = _spread(corpus).select(
         "doc_id", digest.alias("digest"), bits.alias("bits")
-    )
+    ).localCheckpoint()
     seen = hashed.filter(F.col("doc_id") < 100000)
     seen_bits = seen.select(F.explode("bits").alias("bit")).distinct()
     seen_digests = seen.select("digest").distinct()
@@ -1802,41 +1808,50 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the surprisal discipline), then the per-doc sum and per-token
     mean are pure BIGINT.
 
-    Scale: two vocab-keyed count aggregates (raw LM, target LM — the
-    target pass is a filtered re-aggregation of the same shuffle
-    key), one token-keyed join of doc term counts against the weight
-    table — the ``score_unigram_surprisal`` shape with a two-LM
-    ratio. Weight tables are vocab-sized; doc scoring never shuffles
-    the corpus except on token keys."""
+    Scale: ONE explode pass builds the (doc, lang, term) count frame
+    (pinned with localCheckpoint — every statistic below is a cheap
+    re-aggregation of it, where the earlier spelling re-exploded the
+    corpus four times: doc-term counts, raw LM, target LM, scalar
+    consts); both LMs come from a single conditional aggregate on the
+    term key (c_raw = Σcnt, c_tgt = Σcnt·[lang=en]); consts are one
+    O(1)-row aggregate of the vocab-sized LM table; then one
+    token-keyed join of doc term counts against the weight table —
+    the ``score_unigram_surprisal`` shape with a two-LM ratio. Weight
+    tables are vocab-sized; doc scoring never shuffles the corpus
+    except on token keys."""
     docs = read_table(spark, sf_dir, "documents")
     tok = _spread(docs).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
     )
-    dt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
-    raw_lm = tok.groupBy("t").agg(F.count("*").alias("c_raw"))
-    tgt_lm = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("t")
-        .agg(F.count("*").alias("c_tgt"))
+    # lang is functionally dependent on doc_id, so grouping by
+    # (doc_id, lang, t) has exactly (doc_id, t) granularity — it just
+    # carries lang through for the target-LM split below.
+    dt = (
+        tok.groupBy("doc_id", "lang", "t")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
-    consts = (
-        tok.agg(
-            F.count("*").alias("n_raw"),
-            F.sum((F.col("lang") == "en").cast("long")).alias("n_tgt"),
-        )
-        .crossJoin(F.broadcast(raw_lm.agg(F.count("*").alias("v"))))
+    lm = dt.groupBy("t").agg(
+        F.sum("cnt").alias("c_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt"))), F.lit(0)
+        ).alias("c_tgt"),
+    )
+    consts = lm.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").alias("v"),
     )
     w = (
-        raw_lm.join(tgt_lm, on="t", how="left")
-        .crossJoin(F.broadcast(consts))
+        lm.crossJoin(F.broadcast(consts))
         .select(
             "t",
             F.round(
                 (
                     F.log(
-                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                        (F.col("c_tgt") + 1).cast("double")
                         / (F.col("n_tgt") + F.col("v"))
                     )
                     - F.log(
@@ -2104,7 +2119,9 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative aggregate, so incremental batches fold in without
     recomputing history."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _shingles(docs)
+    # pinned: the shingle stream feeds the firsts aggregate AND the
+    # attribution join — unpinned, each re-shingles the corpus
+    sh = _shingles(docs).localCheckpoint()
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, on="shingle")
@@ -2778,32 +2795,40 @@ def sketch_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a deployment sizes its dedup-on-ingest filter; an fp rate
     that does NOT fall as m grows would indict the bit derivation.
 
-    Scale: three passes over the same tiny bit sets (all broadcast);
+    Scale: the corpus is md5-hashed ONCE — the digest frame is pinned
+    with localCheckpoint and each m derives its bit positions from the
+    pinned digests (only the modulus differs), where the earlier
+    spelling re-hashed the corpus three times per size (nine passes);
+    the m-independent seen-digest set is built once and shared by all
+    branches. Per size: one bit derivation + tiny broadcast bit sets;
     at real scale the sweep runs on a SAMPLE of the corpus — the fp
     estimate needs only enough probes for a stable rate."""
     corpus = _dedup_corpus(spark, sf_dir)
-    digest = F.md5("text")
+    hashed0 = corpus.select(
+        "doc_id", F.md5("text").alias("digest")
+    ).localCheckpoint()
+    seen0 = hashed0.filter(F.col("doc_id") < 100000)
+    seen_digests = seen0.select("digest").distinct()
     branches = []
     for m in _FPP_SIZES:
         bits = F.array(
             *[
                 (
-                    F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast(
-                        "long"
-                    )
+                    F.conv(
+                        F.substring(F.col("digest"), 1 + 8 * j, 8), 16, 10
+                    ).cast("long")
                     % m
                 )
                 for j in range(_BLOOM_K)
             ]
         )
-        hashed = corpus.select(
-            "doc_id", digest.alias("digest"), bits.alias("bits")
+        seen_bits = (
+            seen0.select(F.explode(bits).alias("bit")).distinct()
         )
-        seen = hashed.filter(F.col("doc_id") < 100000)
-        seen_bits = seen.select(F.explode("bits").alias("bit")).distinct()
-        seen_digests = seen.select("digest").distinct()
-        probe = hashed.filter(F.col("doc_id") >= 100000).select(
-            "doc_id", "digest", F.explode(F.array_distinct("bits")).alias("bit")
+        probe = hashed0.filter(F.col("doc_id") >= 100000).select(
+            "doc_id",
+            "digest",
+            F.explode(F.array_distinct(bits)).alias("bit"),
         )
         per_doc = (
             probe.join(
