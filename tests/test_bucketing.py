@@ -13,9 +13,17 @@ from wiki_data_pipeline_spark.io import read_table
 def warehouse(spark, sf_dir, tmp_path_factory):
     """Write lineitem + orders bucketed by the join key (8 buckets)."""
     # warehouse.dir is a static conf — tables land in ./spark-warehouse
-    # (gitignored); dropped on teardown.
+    # (gitignored); dropped on teardown. DROP TABLE doesn't remove the
+    # location when the metastore has no entry (a killed earlier run
+    # leaves the directory behind and saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS), so clear stale locations explicitly.
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     read_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
         "l_orderkey"
     ).mode("overwrite").saveAsTable("li_bucketed")
