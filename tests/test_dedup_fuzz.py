@@ -161,3 +161,72 @@ def test_shingle_and_score_pinned_boundaries(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         word_shingles(df, 0)
+
+
+def test_min_label_components_fuzz_vs_union_find(spark):
+    """The shared min-label fixpoint core vs a Python union-find, over
+    seeded random pair graphs: planted multi-pair clusters, chains
+    (short of the round cap), stars, isolated pairs, and a dense
+    collision blob — the r11 fused round (one join + one aggregate,
+    first round folded into init) must label every node with its
+    component's minimum id, for every graph shape."""
+    import random
+
+    from wiki_data_pipeline_spark.plans.llm_ops import _min_label_components
+
+    rng = random.Random(0xC0C0)
+    for trial in range(6):
+        n_nodes = rng.randint(4, 60)
+        nodes = list(range(0, n_nodes * 10, 10))
+        pairs = set()
+        # random edges
+        for _ in range(rng.randint(1, n_nodes)):
+            a, b = rng.sample(nodes, 2)
+            pairs.add((min(a, b), max(a, b)))
+        # a planted chain (diameter ≤ 12, under the 20-round cap)
+        chain = rng.sample(nodes, min(12, n_nodes))
+        pairs.update(
+            (min(x, y), max(x, y)) for x, y in zip(chain, chain[1:])
+        )
+        # a planted star
+        hub, *leaves = rng.sample(nodes, min(6, n_nodes))
+        pairs.update((min(hub, l), max(hub, l)) for l in leaves)
+
+        # ground truth: union-find
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = sorted((x, find(x)) for x in parent)
+
+        sdf = spark.createDataFrame(
+            sorted(pairs), "doc_a BIGINT, doc_b BIGINT"
+        )
+        got = sorted(
+            (r["node"], r["lbl"])
+            for r in _min_label_components(sdf, "doc_a", "doc_b").collect()
+        )
+        assert got == want, f"trial {trial}: {got[:5]} vs {want[:5]}"
+
+
+def test_min_label_components_raises_on_round_exhaustion(spark):
+    """A chain deeper than the 20-round cap must raise, not silently
+    return unconverged labels (the star twin covers such graphs in
+    O(log²) rounds)."""
+    import pytest as _pytest
+
+    from wiki_data_pipeline_spark.plans.llm_ops import _min_label_components
+
+    deep = [(i, i + 1) for i in range(40)]  # path graph, diameter 40
+    sdf = spark.createDataFrame(deep, "doc_a BIGINT, doc_b BIGINT")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        _min_label_components(sdf, "doc_a", "doc_b").collect()

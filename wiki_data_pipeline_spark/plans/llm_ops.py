@@ -1755,18 +1755,21 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     )
     prev_sum = obs0.get["lbl_sum"]
     for _ in range(19):
-        neighbor_min = (
-            edges.join(labels, edges.u == labels.node)
-            .groupBy(F.col("v").alias("node2"))
-            .agg(F.min("lbl").alias("nmin"))
+        # Fused round: min(own label, min neighbor label) as ONE
+        # aggregate over the union of neighbor contributions and the
+        # labels themselves — the earlier neighbor-min aggregate + left
+        # join back spent an extra shuffle per round on the same
+        # result. Every node appears in `labels`, so the union keeps
+        # isolated-in-this-round nodes alive exactly like the old
+        # left-join coalesce did.
+        contrib = edges.join(labels, edges.u == labels.node).select(
+            F.col("v").alias("node"), F.col("lbl")
         )
         obs = Observation()
         labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
-            )
+            contrib.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
             .observe(obs, F.sum("lbl").alias("lbl_sum"))
             .localCheckpoint()
         )
@@ -1774,6 +1777,17 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Same loud-failure contract as the star variant: rounds =
+        # graph diameter, and near-dup cluster diameters are tiny —
+        # exhaustion means pathological input (a long chain) whose
+        # labels are NOT at fixpoint; returning them would be silently
+        # wrong. Chains deeper than the cap belong on the star twin
+        # (O(log²) rounds).
+        raise RuntimeError(
+            "_min_label_components: no fixpoint after 20 propagation "
+            "rounds; refusing to return unconverged component labels"
+        )
     return labels
 
 

@@ -47,16 +47,15 @@ def cluster_components_round_plan(
         .agg(F.min("v").alias("nmin"))
         .select("node", F.least(F.col("node"), F.col("nmin")).alias("lbl"))
     )
-    neighbor_min = (
-        edges.join(labels, edges.u == labels.node)
-        .groupBy(F.col("v").alias("node2"))
-        .agg(F.min("lbl").alias("nmin"))
+    # fused round: union of neighbor contributions and own labels →
+    # one min aggregate (mirrors the registered loop body)
+    contrib = edges.join(labels, edges.u == labels.node).select(
+        F.col("v").alias("node"), F.col("lbl")
     )
-    return labels.join(
-        neighbor_min, labels.node == F.col("node2"), "left"
-    ).select(
-        "node",
-        F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
+    return (
+        contrib.unionAll(labels.select("node", "lbl"))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
     )
 
 
