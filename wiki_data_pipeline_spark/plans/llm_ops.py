@@ -1244,17 +1244,32 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_extract",
+    # BYTE-based features (adversarial-fixture finding): ascii() yields
+    # CODEPOINTS (an emoji reads 128512) while the Spark stub reads the
+    # UTF-8 payload BYTES — parse each hex pair of the encoded blob
+    # into its byte value instead.
     oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    bb AS (
+      SELECT doc_id, length(h) // 2 AS n,
+        list_transform(generate_series(1, length(h) // 2),
+          i -> (strpos('0123456789ABCDEF', substr(h, (i-1)*2+1, 1)) - 1)
+                 * 16
+               + strpos('0123456789ABCDEF', substr(h, (i-1)*2+2, 1))
+               - 1) AS bytes
+      FROM b
+    )
     SELECT doc_id,
-      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      CASE WHEN length(text) = 0 THEN 0.0
+      CAST(n AS BIGINT) AS n_bytes,
+      CASE WHEN n = 0 THEN 0.0
            ELSE list_aggregate(
-                  list_transform(string_split(text, ''), x -> ascii(x)),
-                  'avg') END AS mean_byte,
-      CAST(CASE WHEN length(text) = 0 THEN -1
-                ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
+                  list_transform(bytes, x -> CAST(x AS DOUBLE)), 'avg')
+      END AS mean_byte,
+      CAST(CASE WHEN n = 0 THEN -1 ELSE bytes[1] END AS INT) AS first_byte,
       'text/plain' AS media_type
-    FROM documents
+    FROM bb
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,11 +1278,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit output schema; the codec itself is stubbed per the
     environment contract (no image/audio libs).
 
-    The stub features over a UTF-8 payload of ASCII fixture text ARE
-    SQL-expressible byte-wise (octet_length / per-char codepoints /
-    first codepoint), so the oracle hash-checks the full mapInPandas
-    path — bytes sum exactly in float64 (≤ 255·n ≪ 2^53), so the mean
-    is bitwise identical across engines."""
+    The stub features over the UTF-8 payload ARE SQL-expressible
+    byte-wise (octet_length / hex-pair byte values / first byte), so
+    the oracle hash-checks the full mapInPandas path on ANY text
+    including non-ASCII — bytes sum exactly in float64 (≤ 255·n ≪
+    2^53), so the mean is bitwise identical across engines."""
     from wiki_data_pipeline_spark.operators.multimodal import extract_features
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3010,12 +3025,19 @@ _FRAME_EVERY = 4
 
 @query(
     "multimodal_frame_stats",
+    # BYTE-based frame slicing (adversarial-fixture finding, same class
+    # as the audio_stats ADVICE fix): the Spark path frames the UTF-8
+    # payload BYTES; substr(text, ...) slices CHARACTERS and diverges
+    # on any non-ASCII document. Slicing the hex of the encoded blob
+    # (2 hex chars per byte) IS the byte slice.
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      SELECT doc_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS n
+      FROM documents
     ),
     f AS (
-      SELECT doc_id, text,
+      SELECT doc_id, h,
         unnest(generate_series(0, CAST(n // {_FRAME_SIZE} AS BIGINT) - 1,
                                {_FRAME_EVERY})) AS frame_idx
       FROM t WHERE n >= {_FRAME_SIZE}
@@ -3023,8 +3045,8 @@ _FRAME_EVERY = 4
     SELECT doc_id,
       CAST(frame_idx AS INT) AS frame_idx,
       CAST({_FRAME_SIZE} AS BIGINT) AS n_frame_bytes,
-      hex(encode(substr(text, frame_idx * {_FRAME_SIZE} + 1,
-                        {_FRAME_SIZE}))) AS frame_hex
+      substr(h, frame_idx * {_FRAME_SIZE} * 2 + 1,
+             {_FRAME_SIZE} * 2) AS frame_hex
     FROM f
     """,
 )

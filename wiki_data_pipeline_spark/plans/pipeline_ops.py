@@ -553,12 +553,17 @@ def emb_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side. The ratio is quantized through the same double on both
     engines (round(x·1e6)/1e6 — the cross-engine float discipline);
     the numerator/denominator folds are left-to-right over identical
-    doubles, so the input to the rounding is bit-identical."""
+    doubles, so the input to the rounding is bit-identical. try_divide,
+    not ``/``: an all-zero embedding (dead/padding row, routine in real
+    corpora) has zero total energy and a plain ANSI division would
+    crash the whole job — NULL matches DuckDB's x/0 (the
+    functions/vectors.py cosine discipline; caught by the adversarial
+    fixture's zero vectors)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("ve")
     )
     head = F.slice("ve", 1, _MRL_DIM)
-    frac = dot(head, head) / dot(F.col("ve"), F.col("ve"))
+    frac = F.try_divide(dot(head, head), dot(F.col("ve"), F.col("ve")))
     return emb.select(
         "vec_id",
         (F.round(frac * 1000000, 0) / 1000000.0).alias("head_energy_frac"),
@@ -2152,15 +2157,18 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
         CASE event_id % 3
           WHEN 0 THEN props
-          WHEN 1 THEN json_merge_patch(props,
-            '{"extra": "tag", "v2": true}')::VARCHAR
-          ELSE '{"renamed_k": ' || json_extract(props, '$.k')::VARCHAR || '}'
+          WHEN 1 THEN regexp_replace(props, '\}$',
+            ', "extra": "tag", "v2": true}')
+          ELSE CASE WHEN props IS NOT NULL AND json_valid(props)
+               THEN '{"renamed_k": ' || json_extract(props, '$.k')::VARCHAR
+                    || '}' END
         END AS p
       FROM events
     ),
     total AS (SELECT count(*) AS n FROM payload),
     kv AS (
       SELECT event_id, unnest(json_keys(p)) AS key, p FROM payload
+      WHERE p IS NOT NULL AND json_valid(p)
     )
     SELECT kv.key,
       count(*) AS n_present,

@@ -332,7 +332,8 @@ def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st_props_json_extract",
     oracle="""
     SELECT
-      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      CASE WHEN props IS NOT NULL AND json_valid(props)
+           THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
       count(*) AS n,
       CAST(min(event_id) AS BIGINT) AS min_event_id
     FROM events
@@ -343,7 +344,12 @@ def st_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the ``props`` JSON payload with
     an explicit schema (reference boundary: json.loads at ingest,
     src/azure_manager.py:133 → from_json with a fixed StructType —
-    schema-on-read made explicit, SURVEY.md §1.3)."""
+    schema-on-read made explicit, SURVEY.md §1.3). from_json is
+    tolerant by design (malformed/non-object → NULL struct → NULL k,
+    still counted); the oracle needs an explicit json_valid guard +
+    TRY_CAST to match, since DuckDB's json_extract/CAST throw on the
+    garbage rows a corpus-scale props column contains (adversarial
+    fixture finding)."""
     events = read_table(spark, sf_dir, "events")
     parsed = events.select(
         F.from_json("props", "k BIGINT").alias("p"), F.col("event_id")
@@ -671,20 +677,29 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "st_props_variant_extract",
     oracle="""
-    SELECT event_id,
-      CAST(json_extract(props, '$.k') AS BIGINT)   AS k,
-      CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+    WITH p AS (
+      SELECT event_id,
+        CASE WHEN props IS NOT NULL AND json_valid(props)
+             THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+        CASE WHEN props IS NOT NULL AND json_valid(props)
+             THEN TRY_CAST(json_extract(props, '$.missing') AS BIGINT)
+        END AS missing_field
+      FROM events
+    )
+    SELECT event_id, k, missing_field FROM p WHERE k >= 90
     """,
 )
 def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VariantType extraction (engine extension per SURVEY.md §1.3's
     schema-on-read boundary — S8's json.loads where the key set is NOT
-    known up front): parse_json keeps the full payload as a binary
-    variant; variant_get extracts typed paths lazily and
-    try_variant_get yields null for absent paths instead of failing —
-    the open-schema analog of from_json's fixed StructType.
+    known up front): try_parse_json keeps the full payload as a binary
+    variant (NULL for malformed text — a corpus-scale props column WILL
+    contain garbage rows, and plain parse_json throws on the first one;
+    caught by the adversarial fixture); variant_get extracts typed
+    paths lazily and try_variant_get yields null for absent paths
+    instead of failing — the open-schema analog of from_json's fixed
+    StructType. The oracle mirrors the tolerance with a json_valid
+    guard + TRY_CAST.
 
     Scale: variant is columnar-binary (no per-row Python, no string
     re-parse per path access); predicates on extracted paths evaluate
@@ -692,7 +707,7 @@ def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize it as a real column at write time — variant is for the
     long tail, not the filter key."""
     events = read_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     out = events.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k"),
