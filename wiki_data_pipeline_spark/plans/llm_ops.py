@@ -4256,7 +4256,13 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     raw = F.concat(F.substring("text", 1, 20), F.lit(' Café é München'))
-    synth = _spread(docs).select("doc_id", raw.alias("raw"))
+    # No _spread before the UDF: a synthetic 32-way repartition costs
+    # up to 32 cold Python-worker spawns when the pool has idled out
+    # mid-session (measured bimodal 1.05<->5.2 s in a full-registry
+    # bench run -- the multimodal_resize_stats precedent), while the
+    # per-row NFC work is trivial; a real corpus scan has natural
+    # splits.
+    synth = docs.select("doc_id", raw.alias("raw"))
     out = synth.select(
         "doc_id",
         unicode_nfc_strip_accents(F.col("raw")).alias("u"),
