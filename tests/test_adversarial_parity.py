@@ -45,6 +45,7 @@ ADVERSARIAL_PRONE = [
     "multimodal_frame_stats",
     "multimodal_audio_stats",
     "multimodal_binary_meta",
+    "multimodal_image_dhash_dedup",
     "dedup_embedding_cosine",
     "text_char_entropy",
 ]

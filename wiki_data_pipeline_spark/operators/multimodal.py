@@ -505,3 +505,186 @@ def chunk_doc_udtf():
                 yield (i // chunk_size, " ".join(c), len(c))
 
     return ChunkDoc
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """REAL grayscale PNG encode with only the stdlib (zlib CRC/deflate
+    + struct chunk framing): 8-bit L-mode, filter 0 scanlines. The
+    output is a spec-valid PNG any reader (incl. PIL, when present)
+    opens; no image library needed, so the multimodal image path runs
+    in every environment. Lossless by construction — decode recovers
+    the pixel bytes exactly, the property the dHash oracle relies on."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> tuple[bytes, int, int]:
+    """Decode a grayscale filter-0 PNG (the encode_png_gray container)
+    back to (pixels, width, height) with only the stdlib. Raises on
+    non-PNG signatures, non-L color types, and filter types other than
+    0 — loud, not lossy (a general-filter decoder belongs to a real
+    image library; this pair is the deterministic container for the
+    oracle-checked pipeline)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale PNGs supported")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    rows = []
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        if line[0] != 0:
+            raise ValueError(f"unsupported PNG filter type {line[0]}")
+        rows.append(line[1:])
+    return b"".join(rows), w, h
+
+
+def synthesize_png_corpus(
+    docs: DataFrame, width: int = 9, height: int = 8
+) -> DataFrame:
+    """Deterministic PNG corpus over (doc_id, text): each document's
+    first ``width*height`` UTF-8 bytes (zero-padded) become the pixels
+    of a REAL 8-bit grayscale PNG (stdlib zlib/struct codec —
+    encode_png_gray; spec-valid, PIL-openable) tagged ``image/png``.
+    Grayscale PNG is lossless, so decoded pixels equal the byte
+    derivation — which is what lets a DuckDB oracle hash-check the
+    full encode → decode → perceptual-hash image path (the
+    synthesize_wav_corpus pattern, image edition). Pure map stage
+    (Arrow batches, no shuffle); self-contained closure — workers
+    never import this package."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        n = width * height
+
+        def _chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def _png(text: str) -> bytes:
+            bs = (text.encode("utf-8") if text is not None else b"")[:n]
+            bs = bs + b"\x00" * (n - len(bs))
+            ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + bs[r * width : (r + 1) * width]
+                for r in range(height)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(raw))
+                + _chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [_png(t) for t in pdf["text"]],
+                    "media_type": "image/png",
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth, schema="doc_id bigint, payload binary, media_type string"
+    )
+
+
+def image_dhash(media: DataFrame, width: int = 9, height: int = 8) -> DataFrame:
+    """Difference hash (dHash) over (doc_id, payload, media_type) —
+    the standard perceptual image fingerprint (LAION/CommonCrawl-image
+    dedup): decode the grayscale PNG (stdlib codec; PIL-free), then
+    one bit per horizontally-adjacent pixel pair (left > right), eight
+    comparisons per row, emitted as a ``2*height``-hex-char string
+    (row bytes in row order, bit c = comparison at column c).
+    Identical images hash equal; brightness-uniform edits flip few
+    bits — pairing/banding on the hash is the image analog of SimHash
+    bucketing. NULL payload → NULL hash (missing media never crashes
+    the pass). Map-only, Arrow-batched, self-contained closure."""
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def _decode(payload: bytes) -> bytes:
+            pos, idat, w, h = 8, b"", None, None
+            while pos + 8 <= len(payload):
+                (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+                typ = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+                if typ == b"IHDR":
+                    w, h = struct.unpack(">II", data[:8])
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+            raw = zlib.decompress(idat)
+            stride = w + 1
+            return b"".join(
+                raw[r * stride + 1 : (r + 1) * stride] for r in range(h)
+            )
+
+        def _h(payload: bytes) -> str | None:
+            if payload is None:
+                return None
+            px = _decode(payload)
+            out = []
+            for r in range(height):
+                row = px[r * width : (r + 1) * width]
+                byte = 0
+                for c in range(width - 1):
+                    if row[c] > row[c + 1]:
+                        byte |= 1 << c
+                out.append(byte)
+            return "".join(f"{b:02X}" for b in out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": [_h(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(_dhash, schema="doc_id bigint, dhash string")

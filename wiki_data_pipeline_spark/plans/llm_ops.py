@@ -3151,6 +3151,100 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media)
 
 
+_DHASH_W = 9  # pixels per row -> 8 horizontal comparisons
+_DHASH_H = 8
+
+
+@query(
+    "multimodal_image_dhash_dedup",
+    # The synthesized pixels ARE the document's first 72 UTF-8 bytes
+    # (grayscale PNG is lossless), so the oracle recomputes the dHash
+    # byte-wise from hex pairs: row byte r = sum over columns c of
+    # [p(r,c) > p(r,c+1)] << c, hash = 8 row bytes as 16 hex chars.
+    oracle="""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    px AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, 72),
+          i -> CASE WHEN i * 2 <= length(h)
+               THEN (strpos('0123456789ABCDEF', substr(h, (i-1)*2+1, 1))
+                       - 1) * 16
+                    + strpos('0123456789ABCDEF', substr(h, (i-1)*2+2, 1))
+                    - 1
+               ELSE 0 END) AS p
+      FROM b
+    ),
+    dh AS (
+      SELECT doc_id,
+        lpad(upper(hex(CASE WHEN p[1] > p[2] THEN 1 ELSE 0 END + CASE WHEN p[2] > p[3] THEN 2 ELSE 0 END + CASE WHEN p[3] > p[4] THEN 4 ELSE 0 END + CASE WHEN p[4] > p[5] THEN 8 ELSE 0 END + CASE WHEN p[5] > p[6] THEN 16 ELSE 0 END + CASE WHEN p[6] > p[7] THEN 32 ELSE 0 END + CASE WHEN p[7] > p[8] THEN 64 ELSE 0 END + CASE WHEN p[8] > p[9] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[10] > p[11] THEN 1 ELSE 0 END + CASE WHEN p[11] > p[12] THEN 2 ELSE 0 END + CASE WHEN p[12] > p[13] THEN 4 ELSE 0 END + CASE WHEN p[13] > p[14] THEN 8 ELSE 0 END + CASE WHEN p[14] > p[15] THEN 16 ELSE 0 END + CASE WHEN p[15] > p[16] THEN 32 ELSE 0 END + CASE WHEN p[16] > p[17] THEN 64 ELSE 0 END + CASE WHEN p[17] > p[18] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[19] > p[20] THEN 1 ELSE 0 END + CASE WHEN p[20] > p[21] THEN 2 ELSE 0 END + CASE WHEN p[21] > p[22] THEN 4 ELSE 0 END + CASE WHEN p[22] > p[23] THEN 8 ELSE 0 END + CASE WHEN p[23] > p[24] THEN 16 ELSE 0 END + CASE WHEN p[24] > p[25] THEN 32 ELSE 0 END + CASE WHEN p[25] > p[26] THEN 64 ELSE 0 END + CASE WHEN p[26] > p[27] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[28] > p[29] THEN 1 ELSE 0 END + CASE WHEN p[29] > p[30] THEN 2 ELSE 0 END + CASE WHEN p[30] > p[31] THEN 4 ELSE 0 END + CASE WHEN p[31] > p[32] THEN 8 ELSE 0 END + CASE WHEN p[32] > p[33] THEN 16 ELSE 0 END + CASE WHEN p[33] > p[34] THEN 32 ELSE 0 END + CASE WHEN p[34] > p[35] THEN 64 ELSE 0 END + CASE WHEN p[35] > p[36] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[37] > p[38] THEN 1 ELSE 0 END + CASE WHEN p[38] > p[39] THEN 2 ELSE 0 END + CASE WHEN p[39] > p[40] THEN 4 ELSE 0 END + CASE WHEN p[40] > p[41] THEN 8 ELSE 0 END + CASE WHEN p[41] > p[42] THEN 16 ELSE 0 END + CASE WHEN p[42] > p[43] THEN 32 ELSE 0 END + CASE WHEN p[43] > p[44] THEN 64 ELSE 0 END + CASE WHEN p[44] > p[45] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[46] > p[47] THEN 1 ELSE 0 END + CASE WHEN p[47] > p[48] THEN 2 ELSE 0 END + CASE WHEN p[48] > p[49] THEN 4 ELSE 0 END + CASE WHEN p[49] > p[50] THEN 8 ELSE 0 END + CASE WHEN p[50] > p[51] THEN 16 ELSE 0 END + CASE WHEN p[51] > p[52] THEN 32 ELSE 0 END + CASE WHEN p[52] > p[53] THEN 64 ELSE 0 END + CASE WHEN p[53] > p[54] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[55] > p[56] THEN 1 ELSE 0 END + CASE WHEN p[56] > p[57] THEN 2 ELSE 0 END + CASE WHEN p[57] > p[58] THEN 4 ELSE 0 END + CASE WHEN p[58] > p[59] THEN 8 ELSE 0 END + CASE WHEN p[59] > p[60] THEN 16 ELSE 0 END + CASE WHEN p[60] > p[61] THEN 32 ELSE 0 END + CASE WHEN p[61] > p[62] THEN 64 ELSE 0 END + CASE WHEN p[62] > p[63] THEN 128 ELSE 0 END)), 2, '0') ||
+        lpad(upper(hex(CASE WHEN p[64] > p[65] THEN 1 ELSE 0 END + CASE WHEN p[65] > p[66] THEN 2 ELSE 0 END + CASE WHEN p[66] > p[67] THEN 4 ELSE 0 END + CASE WHEN p[67] > p[68] THEN 8 ELSE 0 END + CASE WHEN p[68] > p[69] THEN 16 ELSE 0 END + CASE WHEN p[69] > p[70] THEN 32 ELSE 0 END + CASE WHEN p[70] > p[71] THEN 64 ELSE 0 END + CASE WHEN p[71] > p[72] THEN 128 ELSE 0 END)), 2, '0') AS dhash
+      FROM px
+    ),
+    bk AS (
+      SELECT dhash, count(*) AS n_bucket, min(doc_id) AS canonical
+      FROM dh GROUP BY dhash
+    )
+    SELECT d.doc_id, d.dhash,
+      CAST(bk.n_bucket AS BIGINT) AS n_bucket,
+      d.doc_id = bk.canonical AS keep
+    FROM dh d JOIN bk USING (dhash)
+    """,
+)
+def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup (dHash — the fingerprint
+    LAION/CommonCrawl-scale image pipelines bucket on; completes the
+    multimodal dedup matrix next to the text MinHash/SimHash and
+    embedding-cosine families): every document's leading bytes become
+    a REAL spec-valid grayscale PNG (stdlib zlib/struct codec — no
+    image library needed, runs in every environment), the REAL decode
+    path recovers the pixels, and the difference hash — one bit per
+    horizontally-adjacent pixel pair — buckets byte-identical and
+    brightness-shifted near-identical images together. Per image:
+    its hash, bucket size, and the keep flag (min doc_id per bucket
+    survives, the dedup_exact convention).
+
+    Scale: synthesis/decode/hash are one fused Arrow map pass (no
+    shuffle); the only shuffle is groupBy(dhash) — 64-bit-uniform key,
+    map-side combine, bucket table is distinct-hash-sized. Hamming-
+    near pairing generalizes by banding the 8 row-bytes (the SimHash
+    posture); exact-bucket grouping is the LAION dedup baseline. The
+    PNG codec runs INSIDE the oracle-checked path — grayscale PNG is
+    lossless, so the decoded pixels equal the byte derivation and the
+    DuckDB oracle can verify the full encode→decode→hash pipeline.
+
+    Reference analog: none (SURVEY.md §2.10 multimodal extension);
+    operators in operators/multimodal.py (synthesize_png_corpus /
+    image_dhash)."""
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_png_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # no _spread — cold-worker-spawn hazard (see multimodal_frame_stats)
+    media = synthesize_png_corpus(docs, width=_DHASH_W, height=_DHASH_H)
+    hashed = image_dhash(media, width=_DHASH_W, height=_DHASH_H)
+    buckets = hashed.groupBy("dhash").agg(
+        F.count("*").cast("bigint").alias("n_bucket"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return (
+        hashed.join(buckets, on="dhash")
+        .select(
+            "doc_id",
+            "dhash",
+            "n_bucket",
+            (F.col("doc_id") == F.col("canonical")).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher/C4-style heuristic quality filters (repetition + stopword
 # signals) — the document-level gate a pretraining pipeline runs
