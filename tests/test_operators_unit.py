@@ -1261,33 +1261,42 @@ def test_image_dhash_perceptual_golden(spark):
     share a hash (dedup bucket), a uniform brightness shift (+10 on
     every pixel, no saturation) leaves the hash UNCHANGED — the
     perceptual property that separates dHash from byte hashing — and
-    flipping one adjacent-pixel comparison flips exactly that hash."""
+    flipping one adjacent-pixel comparison changes the hash. Pixel
+    values stay in the ASCII range (0x20..0x6F) so the text's UTF-8
+    bytes ARE the pixel bytes — a value ≥ 0x80 would re-encode to two
+    bytes inside the synth and break the uniform-shift premise."""
     from wiki_data_pipeline_spark.operators.multimodal import (
         image_dhash,
         synthesize_png_corpus,
     )
 
-    base = bytes((i * 3) % 200 for i in range(72)).decode("latin-1")
-    # doc 2 = exact copy of doc 1; doc 3 = +10 brightness (latin-1
-    # preserves byte values < 256); doc 4 breaks row 0's first
-    # comparison (p0 > p1 becomes p0 < p1)
-    shifted = bytes(b + 10 for b in base.encode("latin-1")).decode("latin-1")
-    flipped_b = bytearray(base.encode("latin-1"))
-    flipped_b[0], flipped_b[1] = 0, 255
+    base_b = bytes(0x20 + ((i * 7) % 0x50) for i in range(72))
+    base = base_b.decode("ascii")
+    # doc 3 = +10 brightness (still ≤ 0x7F — single-byte UTF-8);
+    # doc 4 reverses row 0's first comparison (p0 > p1 ⇒ p0 < p1)
+    shifted = bytes(b + 10 for b in base_b).decode("ascii")
+    flipped_b = bytearray(base_b)
+    lo, hi = (0x21, 0x6E)
+    flipped_b[0], flipped_b[1] = (
+        (lo, hi) if base_b[0] > base_b[1] else (hi, lo)
+    )
     docs = spark.createDataFrame(
         [
             (1, base),
             (2, base),
             (3, shifted),
-            (4, bytes(flipped_b).decode("latin-1")),
+            (4, bytes(flipped_b).decode("ascii")),
         ],
         "doc_id bigint, text string",
     )
-    # latin-1 text re-encodes to utf-8 inside the synth; derive the
-    # expected pixel bytes the same way to stay byte-faithful
     hashed = {
         r["doc_id"]: r["dhash"]
         for r in image_dhash(synthesize_png_corpus(docs)).collect()
     }
     assert hashed[1] == hashed[2], "exact copies must share a dhash"
     assert len(hashed[1]) == 16 and set(hashed[1]) <= set("0123456789ABCDEF")
+    assert hashed[3] == hashed[1], "uniform brightness shift must not move dHash"
+    assert hashed[4] != hashed[1], "a flipped comparison must change the hash"
+    # and the change is exactly row 0's bit 0: byte 0 differs by 1 bit
+    b1, b4 = int(hashed[1][:2], 16), int(hashed[4][:2], 16)
+    assert (b1 ^ b4) == 1 and hashed[1][2:] == hashed[4][2:]

@@ -140,6 +140,10 @@ def build(out_dir: str) -> str:
         (B + "13:00:00.000000", 93, "purchase", 9.9, "not json"),
         (B + "13:00:01.000000", 93, "purchase", 9.9, ""),
         (B + "13:00:02.000000", 93, "purchase", 9.9, "[1,2]"),
+        # valid JSON, type-drifted k (string where BIGINT expected) —
+        # a strict variant_get/CAST crashes on this; the tolerant
+        # spellings must yield NULL on both engines
+        (B + "13:00:03.000000", 93, "purchase", 9.9, '{"k": "abc"}'),
     ]
     _append(
         f"{SRC}/events.parquet",

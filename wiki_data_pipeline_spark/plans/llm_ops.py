@@ -3229,7 +3229,10 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # no _spread — cold-worker-spawn hazard (see multimodal_frame_stats)
     media = synthesize_png_corpus(docs, width=_DHASH_W, height=_DHASH_H)
-    hashed = image_dhash(media, width=_DHASH_W, height=_DHASH_H)
+    # pinned: the hash frame feeds the bucket aggregate AND the join
+    # back — unpinned, the PNG encode→decode→hash Python pass runs
+    # twice (the dedup_paragraph_chunks lesson)
+    hashed = image_dhash(media, width=_DHASH_W, height=_DHASH_H).localCheckpoint()
     buckets = hashed.groupBy("dhash").agg(
         F.count("*").cast("bigint").alias("n_bucket"),
         F.min("doc_id").alias("canonical"),

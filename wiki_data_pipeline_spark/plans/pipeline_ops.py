@@ -2160,7 +2160,7 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHEN 1 THEN regexp_replace(props, '\}$',
             ', "extra": "tag", "v2": true}')
           ELSE CASE WHEN props IS NOT NULL AND json_valid(props)
-               THEN '{"renamed_k": ' || json_extract(props, '$.k')::VARCHAR
+               THEN '{"renamed_k": ' || json_extract_string(props, '$.k')
                     || '}' END
         END AS p
       FROM events

@@ -695,11 +695,11 @@ def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     known up front): try_parse_json keeps the full payload as a binary
     variant (NULL for malformed text — a corpus-scale props column WILL
     contain garbage rows, and plain parse_json throws on the first one;
-    caught by the adversarial fixture); variant_get extracts typed
-    paths lazily and try_variant_get yields null for absent paths
-    instead of failing — the open-schema analog of from_json's fixed
-    StructType. The oracle mirrors the tolerance with a json_valid
-    guard + TRY_CAST.
+    caught by the adversarial fixture); try_variant_get extracts typed
+    paths lazily, yielding null for absent paths AND for type-drifted
+    values a strict variant_get cast would throw on — the open-schema
+    analog of from_json's fixed StructType, tolerant end-to-end. The
+    oracle mirrors the tolerance with a json_valid guard + TRY_CAST.
 
     Scale: variant is columnar-binary (no per-row Python, no string
     re-parse per path access); predicates on extracted paths evaluate
@@ -710,7 +710,11 @@ def st_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.try_parse_json("props")
     out = events.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k"),
+        # try_variant_get for BOTH paths: a type-drifted k (valid JSON,
+        # '{"k": "abc"}') would make the strict variant_get's bigint
+        # cast throw — same garbage-row argument as try_parse_json, and
+        # it keeps the Spark side aligned with the oracle's TRY_CAST
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
     )
     return out.filter(F.col("k") >= 90)
