@@ -522,7 +522,11 @@ def test_sketch_approx_distinct_error_bound(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for r in get("sketch_approx_distinct").fn(spark, sf_dir).collect():
+    from wiki_data_pipeline_spark.plans.streaming_ops import (
+        sketch_approx_distinct,
+    )
+
+    for r in sketch_approx_distinct(spark, sf_dir).collect():
         assert abs(r.approx_users - exact[r.event_type]) <= max(1, 0.05 * exact[r.event_type])
 
 

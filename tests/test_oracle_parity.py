@@ -26,14 +26,16 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_oracle_coverage_total_except_known_rows_only():
-    """Oracle-discipline meta-test: the rows-only set must be EXACTLY
-    the documented exception (sketch_approx_distinct — approximate by
-    nature, value-checked via its ε-bound companion
-    sketch_approx_distinct_check). A new query landing without an
-    oracle silently downgrades its driver check to rows-only; this
-    test makes that a conscious, visible decision."""
-    assert set(_QUERIES) - set(_ORACLES) == {"sketch_approx_distinct"}
+def test_oracle_coverage_total():
+    """Oracle-discipline meta-test: EVERY registered query has a
+    DuckDB oracle — the rows-only set is empty, so every row the
+    driver samples can read green. (r12: the one historical
+    exception, sketch_approx_distinct, became a library-only surface;
+    its ε-bound companion sketch_approx_distinct_check is the
+    hash-checked row.) A new query landing without an oracle silently
+    downgrades its driver check to rows-only; this test makes that a
+    conscious, visible decision."""
+    assert set(_QUERIES) - set(_ORACLES) == set()
 
 
 def test_entry_contract(spark):

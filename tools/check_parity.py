@@ -1,12 +1,21 @@
-"""Dev parity runner: `python tools/check_parity.py [sf_dir] [name ...]`.
+"""Dev parity runner:
+`python tools/check_parity.py [--json OUT] [sf_dir] [name ...]`.
 
 Runs every registered query (or the named subset) against its DuckDB
 oracle and prints a pass/fail line each — the local mirror of the
-driver's CORRECTNESS gate.
+driver's CORRECTNESS gate. With ``--json OUT`` it also writes a
+CORRECTNESS-artifact-shaped JSON (name -> rows/schema/hash match +
+row counts + err), which is how the per-round ADVERSARIAL_PARITY.json
+is produced:
+
+    python tools/make_adversarial_sf.py /tmp/adversarial_sf
+    python tools/check_parity.py --json ADVERSARIAL_PARITY.json \
+        /tmp/adversarial_sf
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -20,6 +29,11 @@ from wiki_data_pipeline_spark.testing import compare_query
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -28,6 +42,7 @@ def main() -> int:
     oracles = all_oracles()
     selected = names or list(queries)
 
+    report: dict[str, dict] = {}
     failures = 0
     for name in selected:
         if name not in queries:
@@ -39,14 +54,38 @@ def main() -> int:
             try:
                 n = queries[name](spark, sf_dir).count()
                 print(f"-- {name}: rows-only, {n} rows ({time.time()-t0:.1f}s)")
+                report[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n,
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                }
             except Exception as e:  # noqa: BLE001
                 print(f"XX {name}: EXECUTION FAILED: {e}")
+                report[name] = {
+                    "rows_match": False,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(e).__name__}: {e}"[:500],
+                }
                 failures += 1
             continue
         try:
             res = compare_query(spark, name, sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"XX {name}: EXECUTION FAILED: {type(e).__name__}: {e}")
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
             failures += 1
             continue
         status = "OK" if res.ok else "MISMATCH"
@@ -56,8 +95,28 @@ def main() -> int:
         )
         for d in res.details:
             print(f"     {d}")
+        schema_ok = not any(d.startswith("columns differ") for d in res.details)
+        report[name] = {
+            "rows_match": res.spark_rows == res.duck_rows,
+            "schema_match": schema_ok,
+            "hash_match": res.ok,
+            "spark_rows": res.spark_rows,
+            "oracle_rows": res.duck_rows,
+            "err": None if res.ok else "; ".join(res.details)[:500] or "mismatch",
+        }
         failures += 0 if res.ok else 1
     print(f"\n{len(selected) - failures}/{len(selected)} passed")
+    if json_out:
+        report["_meta"] = {
+            "sf_dir": sf_dir,
+            "n_queries": len(selected),
+            "n_pass": len(selected) - failures,
+            "generated_by": "tools/check_parity.py --json",
+        }
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

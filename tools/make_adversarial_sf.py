@@ -82,6 +82,10 @@ def build(out_dir: str) -> str:
         "שלום rtl text",   # RTL
         "exact duplicate body",               # dup pair A
         "exact duplicate body",               # dup pair B
+        None,                                 # NULL text (r12, ADVICE —
+        # pins the NULL-vs-empty contract engine-side AND oracle-side
+        # for every text-deriving query, incl. the multimodal synth
+        # paths whose stubs map None -> b'')
     ]
     n = len(texts)
     _append(
@@ -91,9 +95,9 @@ def build(out_dir: str) -> str:
             "doc_id": [900000 + i for i in range(n)],
             "text": texts,
             "lang": ["en", "en", "xx", "xx", "en", "en", "en", "xx",
-                     "fr", "fr", "xx", "he", "en", "en"],
+                     "fr", "fr", "xx", "he", "en", "en", "xx"],
             "source": ["adv"] * n,
-            "n_chars": [len(t) for t in texts],
+            "n_chars": [len(t) if t is not None else None for t in texts],
         },
     )
 

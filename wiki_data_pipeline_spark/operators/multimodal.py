@@ -647,6 +647,13 @@ def image_dhash(media: DataFrame, width: int = 9, height: int = 8) -> DataFrame:
         import zlib
 
         def _decode(payload: bytes) -> bytes:
+            # Mirrors decode_png_gray's loud-failure contract: a
+            # non-PNG payload, a non-8-bit/non-grayscale image, a
+            # non-0 filter, or actual dimensions differing from the
+            # hash geometry raise a ValueError here instead of an
+            # executor-side IndexError / silently wrong hash.
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG payload")
             pos, idat, w, h = 8, b"", None, None
             while pos + 8 <= len(payload):
                 (ln,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -654,16 +661,33 @@ def image_dhash(media: DataFrame, width: int = 9, height: int = 8) -> DataFrame:
                 data = payload[pos + 8 : pos + 8 + ln]
                 pos += 12 + ln
                 if typ == b"IHDR":
-                    w, h = struct.unpack(">II", data[:8])
+                    w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+                    if depth != 8 or ctype != 0:
+                        raise ValueError(
+                            "only 8-bit grayscale PNGs supported"
+                        )
+                    if (w, h) != (width, height):
+                        raise ValueError(
+                            f"PNG is {w}x{h}, dhash expects"
+                            f" {width}x{height}"
+                        )
                 elif typ == b"IDAT":
                     idat += data
                 elif typ == b"IEND":
                     break
+            if w is None:
+                raise ValueError("PNG payload has no IHDR chunk")
             raw = zlib.decompress(idat)
             stride = w + 1
-            return b"".join(
-                raw[r * stride + 1 : (r + 1) * stride] for r in range(h)
-            )
+            rows = []
+            for r in range(h):
+                line = raw[r * stride : (r + 1) * stride]
+                if line[0] != 0:
+                    raise ValueError(
+                        f"unsupported PNG filter type {line[0]}"
+                    )
+                rows.append(line[1:])
+            return b"".join(rows)
 
         def _h(payload: bytes) -> str | None:
             if payload is None:

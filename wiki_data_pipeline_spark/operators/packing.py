@@ -33,6 +33,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from wiki_data_pipeline_spark.operators.pin import pin
+
 
 def with_global_offsets(
     df: DataFrame,
@@ -71,7 +73,7 @@ def with_global_offsets(
         df.repartitionByRange(n_parts, order)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__sz", size_col)
-        .localCheckpoint()
+        .transform(pin)
     )
     psums = (
         ranged.groupBy("__pid").agg(F.sum("__sz").alias("s"))

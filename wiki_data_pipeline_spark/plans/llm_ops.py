@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from wiki_data_pipeline_spark.functions.vectors import as_double, cosine
 from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.operators.pin import pin
 from wiki_data_pipeline_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1748,11 +1749,11 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     # runs of the upstream pair pipeline (the LSH signature build is
     # the registry's densest CPU stage — the dedup_minhash_verified
     # single-consumption lesson). The checkpointed frame is pair-sized.
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(pin)
     edges = pairs.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
-    edges = edges.localCheckpoint()
+    edges = edges.transform(pin)
     # Round 1 folded into initialization: with lbl₀ = node, the first
     # propagation round computes least(node, min(neighbors)) — which is
     # ONE aggregate over the symmetric edge set (the groupBy(u) below
@@ -1766,7 +1767,7 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         .agg(F.min("v").alias("nmin"))
         .select("node", F.least(F.col("node"), F.col("nmin")).alias("lbl"))
         .observe(obs0, F.sum("lbl").alias("lbl_sum"))
-        .localCheckpoint()
+        .transform(pin)
     )
     prev_sum = obs0.get["lbl_sum"]
     for _ in range(19):
@@ -1786,7 +1787,7 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .observe(obs, F.sum("lbl").alias("lbl_sum"))
-            .localCheckpoint()
+            .transform(pin)
         )
         cur_sum = obs.get["lbl_sum"]
         if cur_sum == prev_sum:
@@ -1923,7 +1924,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     # greatest/least, and no distinct shuffle over the pair set.
     edges = pairs.select(
         F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
-    ).localCheckpoint()
+    ).transform(pin)
     prev_sig = None
     for _ in range(12):
         # -- large-star: symmetric adjacency; larger neighbors -> min
@@ -1959,7 +1960,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n"),
             # decimal sum: long would ANSI-overflow on 64-bit hashes
             F.sum(F.xxhash64("a", "b").cast("decimal(20,0)")).alias("s"),
-        ).localCheckpoint()
+        ).transform(pin)
         sig = (obs.get["n"], obs.get["s"])
         if sig == prev_sig:
             converged = True
@@ -2709,7 +2710,7 @@ def score_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = _spread(docs).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    ).localCheckpoint()
+    ).transform(pin)
     lm = tok.groupBy("token").agg(F.count("*").alias("n"))
     total = lm.agg(F.sum("n").alias("total"))
     lm = lm.crossJoin(F.broadcast(total))
@@ -3232,7 +3233,7 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: the hash frame feeds the bucket aggregate AND the join
     # back — unpinned, the PNG encode→decode→hash Python pass runs
     # twice (the dedup_paragraph_chunks lesson)
-    hashed = image_dhash(media, width=_DHASH_W, height=_DHASH_H).localCheckpoint()
+    hashed = image_dhash(media, width=_DHASH_W, height=_DHASH_H).transform(pin)
     buckets = hashed.groupBy("dhash").agg(
         F.count("*").cast("bigint").alias("n_bucket"),
         F.min("doc_id").alias("canonical"),
@@ -3763,7 +3764,7 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "lang", "p.ctx", "p.bigram").localCheckpoint()
+    ).select("doc_id", "lang", "p.ctx", "p.bigram").transform(pin)
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("ctx").agg(F.count("*").alias("n1"))
     vocab = (
@@ -3797,7 +3798,7 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000.0
             ).alias("mean_surprisal"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     m.createOrReplaceTempView("_bigram_scored")
     th = m.sparkSession.sql(
@@ -3943,7 +3944,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
         .filter(F.size(toks) >= _SPAN_N)
         .select("doc_id", F.explode(grams).alias("gh"))
-        .localCheckpoint()
+        .transform(pin)
     )
     dup_grams = (
         spans.groupBy("gh")
@@ -4463,12 +4464,12 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(pin)
     )
     e = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    e = e.localCheckpoint(eager=False)
+    e = e.transform(pin, eager=False)
     nodes = e.select(F.col("src").alias("doc_id")).distinct()
     nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -4493,7 +4494,7 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" div (2 * {_PR_DAMP_DEN})"
                 ).alias("pr_nano"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
     # TakeOrderedAndProject first (distributed top-k, no global sort),
     # THEN rank — the single-partition window sees only 100 rows.

@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from wiki_data_pipeline_spark.functions.vectors import as_double, cosine, dot
 from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.operators.pin import pin
 from wiki_data_pipeline_spark.plans.llm_ops import (
     _CORPUS_SQL,
     _MINHASH_CTES,
@@ -195,7 +196,7 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(corpus)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(chunk_hashes)).alias("chunk_hash"))
-        .localCheckpoint()
+        .transform(pin)
     )
     shared = (
         ch.groupBy("chunk_hash")
@@ -326,7 +327,7 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = _spread(corpus).select(
         "doc_id", digest.alias("digest"), bits.alias("bits")
-    ).localCheckpoint()
+    ).transform(pin)
     seen = hashed.filter(F.col("doc_id") < 100000)
     seen_bits = seen.select(F.explode("bits").alias("bit")).distinct()
     seen_digests = seen.select("digest").distinct()
@@ -447,7 +448,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(pin)
     )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
@@ -509,7 +510,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(pin)
     )
     return (
         pairs.select(F.col("doc_a").alias("node"))
@@ -1632,7 +1633,7 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_bits = (
         dim.select(F.explode(_bits("o_orderkey")).alias("bit"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Per-row membership test as K independent BROADCAST joins (one per
     # hash function) — NOT explode + groupBy-back: the old shape
@@ -1836,7 +1837,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         tok.groupBy("doc_id", "lang", "t")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
+        .transform(pin)
     )
     lm = dt.groupBy("t").agg(
         F.sum("cnt").alias("c_raw"),
@@ -2126,7 +2127,7 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     # pinned: the shingle stream feeds the firsts aggregate AND the
     # attribution join — unpinned, each re-shingles the corpus
-    sh = _shingles(docs).localCheckpoint()
+    sh = _shingles(docs).transform(pin)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, on="shingle")
@@ -2152,13 +2153,16 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st_props_schema_audit",
-    oracle="""
+    oracle=r"""
     WITH payload AS (
       SELECT event_id,
         CASE event_id % 3
           WHEN 0 THEN props
-          WHEN 1 THEN regexp_replace(props, '\}$',
-            ', "extra": "tag", "v2": true}')
+          WHEN 1 THEN CASE
+            WHEN props IS NOT NULL AND regexp_matches(props, '^\{.+\}$')
+            THEN regexp_replace(props, '\}$',
+              ', "extra": "tag", "v2": true}')
+            ELSE '{"extra": "tag", "v2": true}' END
           ELSE CASE WHEN props IS NOT NULL AND json_valid(props)
                THEN '{"renamed_k": ' || json_extract_string(props, '$.k')
                     || '}' END
@@ -2206,9 +2210,17 @@ def st_props_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             F.col("event_id") % 3 == 1,
-            F.regexp_replace(
-                F.col("props"), r"\}$", ', "extra": "tag", "v2": true}'
-            ),
+            # Splice only into a non-empty object-shaped payload; a
+            # degenerate props ('{}', '', malformed, non-object) gets
+            # the writer's fresh tag object deliberately instead of a
+            # corrupt splice that the json_valid gate would silently
+            # drop downstream.
+            F.when(
+                F.col("props").rlike(r"^\{.+\}$"),
+                F.regexp_replace(
+                    F.col("props"), r"\}$", ', "extra": "tag", "v2": true}'
+                ),
+            ).otherwise(F.lit('{"extra": "tag", "v2": true}')),
         )
         .otherwise(
             F.concat(
@@ -2814,7 +2826,7 @@ def sketch_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dedup_corpus(spark, sf_dir)
     hashed0 = corpus.select(
         "doc_id", F.md5("text").alias("digest")
-    ).localCheckpoint()
+    ).transform(pin)
     seen0 = hashed0.filter(F.col("doc_id") < 100000)
     seen_digests = seen0.select("digest").distinct()
     branches = []
@@ -4333,7 +4345,7 @@ def dedup_simhash_hamming_histogram(
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(pin)
     )
     participants = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")

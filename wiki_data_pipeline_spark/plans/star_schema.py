@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from wiki_data_pipeline_spark.io import read_table
+from wiki_data_pipeline_spark.operators.pin import pin
 from wiki_data_pipeline_spark.plans.registry import query
 
 
@@ -1901,7 +1902,7 @@ def join_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = _bucketed_orderkey_frame(spark, li_name, ord_name)
-        joined = joined.localCheckpoint(eager=True)
+        joined = joined.transform(pin)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     return joined

@@ -409,18 +409,22 @@ def rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sketch: approximate distinct (HLL++). No oracle — sketch estimates
-# are engine-specific; the unit test bounds relative error vs exact.
+# Sketch: approximate distinct (HLL++). LIBRARY surface, not a
+# registered query (r12): the raw HLL estimate is engine-specific by
+# construction, so a registry entry could only ever be a rows-only
+# check — a permanent non-green row in the driver's CORRECTNESS
+# artifact. Its hash-checked correctness surface is
+# sketch_approx_distinct_check below (exact count + ε-bound flag),
+# and tests/test_operators_unit.py bounds the estimate directly.
 # ---------------------------------------------------------------------------
 
 
-@query("sketch_approx_distinct", oracle=None)
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting via HyperLogLog++ (engine
     extension per SURVEY.md §2.5 — the sketch family for 100 TB cardinality estimation:
     fixed-size state, mergeable across partitions, no exact-distinct
-    shuffle of the value set). rows-only check (sketch estimates are
-    engine-specific by construction); tests/test_operators_unit.py
+    shuffle of the value set). Library surface — not registered (see
+    block comment above); tests/test_operators_unit.py
     bounds relative error ≤5% against the exact count."""
     events = read_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
