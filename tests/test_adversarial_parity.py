@@ -48,6 +48,16 @@ ADVERSARIAL_PRONE = [
     "multimodal_image_dhash_dedup",
     "dedup_embedding_cosine",
     "text_char_entropy",
+    # r12: the NULL-text row found five more (all red before fix) —
+    # concat_ws('' on NULL array) in the bag fingerprint, Spark
+    # to_json dropping null fields, DuckDB least() ignoring NULL,
+    # and DuckDB list_distinct stripping NULL bit lists to [] in
+    # both Bloom probes
+    "text_fingerprint",
+    "t5_to_json",
+    "multimodal_resize_stats",
+    "bloom_filter_probe",
+    "sketch_bloom_fpp_curve",
 ]
 
 

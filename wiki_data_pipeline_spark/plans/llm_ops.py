@@ -874,7 +874,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(norm).alias("content_fingerprint"),
-        F.md5(bag).alias("bag_fingerprint"),
+        # NULL text -> NULL fingerprint (adversarial-fixture finding:
+        # concat_ws maps a NULL token array to '', so an unguarded
+        # md5(bag) would fingerprint NULL as the empty document)
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(bag))
+        .alias("bag_fingerprint"),
     )
 
 
@@ -2977,7 +2982,8 @@ _RESIZE_TARGET = 64
     SELECT doc_id,
       'text/plain' AS media_type,
       CAST(n AS BIGINT) AS orig_bytes,
-      CAST(least(n, {_RESIZE_TARGET}) AS BIGINT) AS resized_bytes,
+      CAST(CASE WHEN n IS NULL THEN NULL
+           ELSE least(n, {_RESIZE_TARGET}) END AS BIGINT) AS resized_bytes,
       hex(encode(CASE WHEN n <= {_RESIZE_TARGET} THEN text ELSE
         array_to_string(list_transform(
           generate_series(0, {_RESIZE_TARGET} - 1),
@@ -4024,6 +4030,159 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), F.asc("pair"))
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction: iterative BPE merge training (fixed rounds).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+# token delimiter for the oracle's string-fold representation; absent
+# from the corpus by contract (C0 record separator)
+_BPE_SEP = "chr(30)"
+
+
+def _bpe_merge_round_sql(t_in: str, p: str, m: str, t_out: str | None) -> str:
+    """One oracle round: pair counts over ``t_in`` -> top-1 merge
+    ``m`` -> (optionally) ``t_out`` with the merge applied via the
+    same greedy left-to-right fold the Spark side runs (DuckDB
+    list_reduce over a chr(30)-delimited token string: merging the
+    pair (l, r) at the fold head is exactly 'append r without a
+    delimiter')."""
+    sql = f"""
+    {p} AS (
+      SELECT pp.l AS l, pp.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+          i -> struct_pack(l := toks[i], r := toks[i+1]))) AS pp, freq
+        FROM {t_in} WHERE len(toks) >= 2
+      ) GROUP BY pp.l, pp.r
+    ),
+    {m} AS (SELECT l, r, n FROM {p} ORDER BY n DESC, l, r LIMIT 1)"""
+    if t_out is not None:
+        sql += f""",
+    {t_out} AS (
+      SELECT string_split(list_reduce(t.toks, (acc, x) -> CASE
+          WHEN (acc = mm.l OR ends_with(acc, {_BPE_SEP} || mm.l))
+               AND x = mm.r
+          THEN acc || x ELSE acc || {_BPE_SEP} || x END),
+        {_BPE_SEP}) AS toks, t.freq
+      FROM {t_in} t CROSS JOIN {m} mm
+    )"""
+    return sql
+
+
+@query(
+    "bpe_train_merges",
+    oracle=rf"""
+    WITH wf AS (
+      SELECT wd AS w, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE length(wd) >= 2
+      GROUP BY wd
+    ),
+    t0 AS (
+      SELECT list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1)) AS toks, freq
+      FROM wf
+    ),
+    {_bpe_merge_round_sql('t0', 'p1', 'm1', 't1')},
+    {_bpe_merge_round_sql('t1', 'p2', 'm2', 't2')},
+    {_bpe_merge_round_sql('t2', 'p3', 'm3', None)}
+    SELECT 1 AS merge_round, l AS lhs, r AS rhs, l || r AS merged,
+           n AS n_pairs FROM m1
+    UNION ALL SELECT 2, l, r, l || r, n FROM m2
+    UNION ALL SELECT 3, l, r, l || r, n FROM m3
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge TRAINING, {_BPE_ROUNDS} fixed rounds
+    (Sennrich et al. 2016; completes the tokenizer-training story next
+    to ``bpe_pair_counts``' single-step statistics): round r counts
+    adjacent token pairs over the CURRENT segmentation (weighted by
+    word frequency), takes the most frequent pair (total order: count
+    desc, then pair text), and applies the merge greedily
+    left-to-right before the next round — exactly the reference BPE
+    trainer loop. Emits one row per learned merge: (round, lhs, rhs,
+    merged symbol, pre-merge pair count).
+
+    The merge application is a per-word array fold (``F.aggregate``):
+    append token, or — when the fold head ends with ``lhs`` and the
+    incoming token is ``rhs`` — replace the head with the merged
+    symbol. A fold is inherently greedy-left-to-right, which makes
+    overlapping occurrences ('aaa' under the ('a','a') merge → ['aa',
+    'a']) deterministic and engine-portable; the oracle runs the SAME
+    fold via DuckDB ``list_reduce`` over a delimiter-joined token
+    string. Symbols are string-identified (SentencePiece convention).
+
+    Scale (the Sennrich trick): the working set is the DISTINCT-word
+    vocabulary with frequencies, not the corpus — one corpus-sized
+    groupBy up front, then every round is vocabulary-sized (pair
+    explode + hash agg weighted by freq, top-1 via
+    TakeOrderedAndProject, merge as a narrow map). Rounds are
+    fixed-count with the kmeans lineage discipline: the token frame is
+    pinned (``pin``) per round, so round r+1's plan starts from
+    materialized blocks instead of r compounded folds; only the single
+    winning pair (a scalar) ever reaches the driver."""
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        _spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    toks = wf.select(F.split("w", "").alias("toks"), "freq").transform(pin)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = toks.filter(F.size("toks") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS l, "
+                    "element_at(toks, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((rnd, a, b, a + b, n))
+        if rnd == _BPE_ROUNDS:
+            break  # last round only reports; no re-segmentation needed
+        la, lb = F.lit(a), F.lit(b)
+        toks = toks.select(
+            F.aggregate(
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                F.slice(F.col("toks"), 1, 1),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == la) & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(la, lb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("toks"),
+            "freq",
+        ).transform(pin)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lhs string, rhs string, merged string, "
+        "n_pairs bigint",
     )
 
 

@@ -251,7 +251,7 @@ def _bloom_bits_sql(texpr: str, m: int = _BLOOM_BITS) -> str:
     hashed AS (
       SELECT doc_id, md5(text) AS digest,
         {_bloom_bits_sql('text')} AS bits
-      FROM corpus
+      FROM corpus WHERE text IS NOT NULL
     ),
     seen_bits AS (
       SELECT DISTINCT unnest(bits) AS bit FROM hashed WHERE doc_id < 100000
@@ -325,7 +325,11 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_BLOOM_K)
         ]
     )
-    hashed = _spread(corpus).select(
+    # NULL text has no digest and belongs to no dedup structure —
+    # explicit on BOTH engines (adversarial-fixture finding: DuckDB's
+    # list_distinct strips NULL bit lists to [], silently dropping the
+    # doc, while Spark's array_distinct keeps a NULL element).
+    hashed = _spread(corpus).filter(F.col("text").isNotNull()).select(
         "doc_id", digest.alias("digest"), bits.alias("bits")
     ).transform(pin)
     seen = hashed.filter(F.col("doc_id") < 100000)
@@ -2802,7 +2806,8 @@ def _bloom_probe_branch_sql(m: int) -> str:
 @query(
     "sketch_bloom_fpp_curve",
     oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL})
+    WITH corpus0 AS ({_CORPUS_SQL}),
+    corpus AS (SELECT * FROM corpus0 WHERE text IS NOT NULL)
     {' UNION ALL '.join(_bloom_probe_branch_sql(m) for m in _FPP_SIZES)}
     """,
 )
@@ -2824,7 +2829,8 @@ def sketch_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     at real scale the sweep runs on a SAMPLE of the corpus — the fp
     estimate needs only enough probes for a stable rate."""
     corpus = _dedup_corpus(spark, sf_dir)
-    hashed0 = corpus.select(
+    # NULL text excluded explicitly — see bloom_filter_probe
+    hashed0 = corpus.filter(F.col("text").isNotNull()).select(
         "doc_id", F.md5("text").alias("digest")
     ).transform(pin)
     seen0 = hashed0.filter(F.col("doc_id") < 100000)

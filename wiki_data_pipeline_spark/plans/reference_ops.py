@@ -225,7 +225,13 @@ def t5_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("record_json"),
+        # nulls serialized explicitly ("n_chars": null), matching the
+        # SQL to_json convention — Spark's default silently drops null
+        # fields, which changes the record SCHEMA row-to-row
+        F.to_json(
+            F.struct("doc_id", "lang", "source", "n_chars"),
+            {"ignoreNullFields": "false"},
+        ).alias("record_json"),
     )
 
 
