@@ -113,9 +113,14 @@ def _scan_bytes(df) -> int:
 
 
 def _run_measured(spark, fn, sf_dir: str) -> tuple[int, int, float]:
-    df = fn(spark, sf_dir)
+    # Snapshot BEFORE plan construction (r12): iterative queries
+    # (fixpoints, pagerank, BPE training) run jobs — including their
+    # shuffles — inside fn() via per-round pins and driver scalars;
+    # snapshotting after fn() attributed 0 bytes to exactly the
+    # queries whose shuffle growth most needs watching.
     before = _stage_bytes(spark)
     t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
     after = _stage_bytes(spark)

@@ -4098,7 +4098,8 @@ def _bpe_merge_round_sql(t_in: str, p: str, m: str, t_out: str | None) -> str:
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge TRAINING, {_BPE_ROUNDS} fixed rounds
-    (Sennrich et al. 2016; completes the tokenizer-training story next
+    (Sennrich et al. 2016; engine extension per SURVEY.md §2.8 —
+    completes the tokenizer-training story next
     to ``bpe_pair_counts``' single-step statistics): round r counts
     adjacent token pairs over the CURRENT segmentation (weighted by
     word frequency), takes the most frequent pair (total order: count
