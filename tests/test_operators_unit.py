@@ -1259,6 +1259,44 @@ def test_png_gray_codec_roundtrip():
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png_gray(b"GIF89a" + b"\x00" * 20)
 
+    # loud-failure contract on malformed-but-PNG payloads (r12 review
+    # finding: these used to surface as IndexError / zlib.error):
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
+    with _pytest.raises(ValueError, match="no IDAT"):
+        decode_png_gray(sig + ihdr + _chunk(b"IEND", b""))
+    truncated = _chunk(b"IDAT", zlib.compress(b"\x00" * 30))  # < 8*(9+1)
+    with _pytest.raises(ValueError, match="pixel data"):
+        decode_png_gray(sig + ihdr + truncated + _chunk(b"IEND", b""))
+
+
+def test_image_dhash_rejects_mismatched_geometry(spark):
+    """image_dhash's embedded decoder enforces the hash geometry: a
+    spec-valid PNG whose IHDR dimensions differ from the dhash
+    width/height args fails with the loud ValueError, not a silent
+    wrong hash or executor IndexError (r12 ADVICE + review)."""
+    import pytest as _pytest
+
+    from wiki_data_pipeline_spark.operators.multimodal import (
+        encode_png_gray,
+        image_dhash,
+    )
+
+    wrong = encode_png_gray(bytes(range(16)), 4, 4)  # 4x4, not 9x8
+    media = spark.createDataFrame(
+        [(1, wrong, "image/png")], "doc_id long, payload binary, media_type string"
+    )
+    with _pytest.raises(Exception, match="dhash expects"):
+        image_dhash(media, width=9, height=8).collect()
+
 
 def test_image_dhash_perceptual_golden(spark):
     """dHash hand golden through the full Spark path: exact copies

@@ -86,16 +86,37 @@ def test_pin_reliable_mode_checkpoints(spark, pin_conf, tmp_path):
     assert pinned.count() == 100
 
 
+def test_pin_reliable_redirects_when_dir_config_changes(
+    spark, pin_conf, tmp_path
+):
+    """Changing pin.checkpointDir between pins re-applies the context
+    checkpoint dir — a lazily-set dir must not silently swallow every
+    later configuration (review finding r12)."""
+    a, b = str(tmp_path / "dir_a"), str(tmp_path / "dir_b")
+    pin_conf.set(PIN_MODE_KEY, "reliable")
+    pin_conf.set(PIN_DIR_KEY, a)
+    pin(_frame(spark)).count()
+    pin_conf.set(PIN_DIR_KEY, b)
+    pin(_frame(spark)).count()
+    files_b = [f for _r, _d, fs in os.walk(b) for f in fs]
+    assert files_b, "second pin did not follow the reconfigured dir"
+
+
 def test_pin_reliable_drives_a_registry_fixpoint(spark, pin_conf, tmp_path):
     """A real multi-pin query (the connected-components fixpoint)
     runs unchanged under the reliable tier — every pin site routes
-    through the helper, none hard-codes localCheckpoint."""
+    through the helper, none hard-codes localCheckpoint — and the
+    blocks land in THIS test's configured directory (the dir
+    re-apply contract, not a stale dir from an earlier test)."""
     from wiki_data_pipeline_spark.plans.registry import get
 
+    cp = str(tmp_path / "fixpoint_pins")
     pin_conf.set(PIN_MODE_KEY, "reliable")
-    pin_conf.set(PIN_DIR_KEY, str(tmp_path / "fixpoint_pins"))
+    pin_conf.set(PIN_DIR_KEY, cp)
     sf_dir = os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
     )
     out = get("dedup_cluster_components").fn(spark, sf_dir)
     assert out.count() > 0
+    found = [f for _r, _d, fs in os.walk(cp) for f in fs]
+    assert found, "fixpoint pins did not land in the configured dir"

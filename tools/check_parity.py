@@ -27,11 +27,28 @@ from wiki_data_pipeline_spark.session import get_spark
 from wiki_data_pipeline_spark.testing import compare_query
 
 
+def _row(
+    rows_match, schema_match, hash_match, spark_rows, oracle_rows, err
+) -> dict:
+    """One artifact row — the CORRECTNESS shape, spelled out once."""
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_parity.py [--json OUT] [sf_dir] [name ...]")
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
@@ -54,38 +71,23 @@ def main() -> int:
             try:
                 n = queries[name](spark, sf_dir).count()
                 print(f"-- {name}: rows-only, {n} rows ({time.time()-t0:.1f}s)")
-                report[name] = {
-                    "rows_match": None,
-                    "schema_match": None,
-                    "hash_match": None,
-                    "spark_rows": n,
-                    "oracle_rows": None,
-                    "err": "no_oracle",
-                }
+                report[name] = _row(None, None, None, n, None, "no_oracle")
             except Exception as e:  # noqa: BLE001
                 print(f"XX {name}: EXECUTION FAILED: {e}")
-                report[name] = {
-                    "rows_match": False,
-                    "schema_match": False,
-                    "hash_match": False,
-                    "spark_rows": None,
-                    "oracle_rows": None,
-                    "err": f"{type(e).__name__}: {e}"[:500],
-                }
+                report[name] = _row(
+                    False, False, False, None, None,
+                    f"{type(e).__name__}: {e}"[:500],
+                )
                 failures += 1
             continue
         try:
             res = compare_query(spark, name, sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"XX {name}: EXECUTION FAILED: {type(e).__name__}: {e}")
-            report[name] = {
-                "rows_match": False,
-                "schema_match": False,
-                "hash_match": False,
-                "spark_rows": None,
-                "oracle_rows": None,
-                "err": f"{type(e).__name__}: {e}"[:500],
-            }
+            report[name] = _row(
+                False, False, False, None, None,
+                f"{type(e).__name__}: {e}"[:500],
+            )
             failures += 1
             continue
         status = "OK" if res.ok else "MISMATCH"
@@ -95,15 +97,14 @@ def main() -> int:
         )
         for d in res.details:
             print(f"     {d}")
-        schema_ok = not any(d.startswith("columns differ") for d in res.details)
-        report[name] = {
-            "rows_match": res.spark_rows == res.duck_rows,
-            "schema_match": schema_ok,
-            "hash_match": res.ok,
-            "spark_rows": res.spark_rows,
-            "oracle_rows": res.duck_rows,
-            "err": None if res.ok else "; ".join(res.details)[:500] or "mismatch",
-        }
+        report[name] = _row(
+            res.spark_rows == res.duck_rows,
+            res.schema_ok,
+            res.ok,
+            res.spark_rows,
+            res.duck_rows,
+            None if res.ok else "; ".join(res.details)[:500] or "mismatch",
+        )
         failures += 0 if res.ok else 1
     print(f"\n{len(selected) - failures}/{len(selected)} passed")
     if json_out:

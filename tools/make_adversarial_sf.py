@@ -148,6 +148,14 @@ def build(out_dir: str) -> str:
         # a strict variant_get/CAST crashes on this; the tolerant
         # spellings must yield NULL on both engines
         (B + "13:00:03.000000", 93, "purchase", 9.9, '{"k": "abc"}'),
+        # trailing newline: Java regex '$' matches BEFORE a final line
+        # terminator, RE2's does not — anchor-semantics divergence bait
+        # (r12 review finding; both engines must agree via \z). Two
+        # rows so the bait lands on BOTH writer generations of the
+        # schema-audit synth: event_id 900012 (%3==0, passthrough) and
+        # 900013 (%3==1, the guarded splice the finding was about).
+        (B + "13:00:04.000000", 93, "purchase", 9.9, '{"k": 4}\n'),
+        (B + "13:00:05.000000", 93, "purchase", 9.9, '{"k": 5}\n'),
     ]
     _append(
         f"{SRC}/events.parquet",

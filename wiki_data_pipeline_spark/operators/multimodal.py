@@ -562,8 +562,16 @@ def decode_png_gray(payload: bytes) -> tuple[bytes, int, int]:
             idat += data
         elif typ == b"IEND":
             break
+    if w is None:
+        raise ValueError("PNG payload has no IHDR chunk")
+    if not idat:
+        raise ValueError("PNG payload has no IDAT chunk")
     raw = zlib.decompress(idat)
     stride = w + 1
+    if len(raw) != h * stride:
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected {h * stride}"
+        )
     rows = []
     for r in range(h):
         line = raw[r * stride : (r + 1) * stride]
@@ -677,8 +685,15 @@ def image_dhash(media: DataFrame, width: int = 9, height: int = 8) -> DataFrame:
                     break
             if w is None:
                 raise ValueError("PNG payload has no IHDR chunk")
+            if not idat:
+                raise ValueError("PNG payload has no IDAT chunk")
             raw = zlib.decompress(idat)
             stride = w + 1
+            if len(raw) != h * stride:
+                raise ValueError(
+                    f"PNG pixel data is {len(raw)} bytes,"
+                    f" expected {h * stride}"
+                )
             rows = []
             for r in range(h):
                 line = raw[r * stride : (r + 1) * stride]

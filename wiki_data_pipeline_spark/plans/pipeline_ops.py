@@ -2163,7 +2163,7 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE event_id % 3
           WHEN 0 THEN props
           WHEN 1 THEN CASE
-            WHEN props IS NOT NULL AND regexp_matches(props, '^\{.+\}$')
+            WHEN props IS NOT NULL AND regexp_matches(props, '^\{.+\}\z')
             THEN regexp_replace(props, '\}$',
               ', "extra": "tag", "v2": true}')
             ELSE '{"extra": "tag", "v2": true}' END
@@ -2219,8 +2219,12 @@ def st_props_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the writer's fresh tag object deliberately instead of a
             # corrupt splice that the json_valid gate would silently
             # drop downstream.
+            # \z, not $: Java's $ matches before a final line
+            # terminator while RE2's is end-of-text — a props ending
+            # in a newline would splice on one engine and not the
+            # other (review finding r12; adversarial row pins it)
             F.when(
-                F.col("props").rlike(r"^\{.+\}$"),
+                F.col("props").rlike(r"^\{.+\}\z"),
                 F.regexp_replace(
                     F.col("props"), r"\}$", ', "extra": "tag", "v2": true}'
                 ),

@@ -51,6 +51,9 @@ class ParityResult:
     spark_rows: int
     duck_rows: int
     details: list[str] = field(default_factory=list)
+    # structured flag for artifact writers — consumers must not parse
+    # the human-readable details strings
+    schema_ok: bool = True
 
 
 def compare_query(
@@ -76,6 +79,7 @@ def compare_query(
     res = ParityResult(name, True, len(s_rows), len(d_rows))
     if s_cols != d_cols:
         res.ok = False
+        res.schema_ok = False
         res.details.append(f"columns differ: spark={s_cols} duck={d_cols}")
         return res
     if len(s_rows) != len(d_rows):
