@@ -153,3 +153,69 @@ def test_scalar_quantize_fixture_parity_unchanged(spark):
     want = {r[0]: tuple(r[1:4]) for r in con.execute(sql).fetchall()}
     con.close()
     assert got == {k: v[:3] for k, v in want.items()}
+
+
+def test_vec_is_finite_gate(spark):
+    """The garbage-embedding gate (r12): NaN, +/-Inf, and
+    NULL-component vectors all read non-finite; ordinary vectors
+    (including zero and constant — degenerate but FINITE) pass. The
+    NULL-component shape is pinned here rather than in the adversarial
+    fixture because DuckDB's list_inner_product hard-errors on NULL
+    elements across the whole similarity family."""
+    from pyspark.sql import functions as F
+
+    from wiki_data_pipeline_spark.functions.vectors import vec_is_finite
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], True),
+        (2, [0.0, 0.0, 0.0], True),          # zero: degenerate, finite
+        (3, [7.25, 7.25, 7.25], True),       # constant: finite
+        (4, [float("nan"), 1.0, 1.0], False),
+        (5, [float("inf"), 1.0, 1.0], False),
+        (6, [float("-inf"), 1.0, 1.0], False),
+        (7, [None, 1.0, 1.0], False),        # NULL component
+        (8, None, None),                     # NULL vector -> NULL (filter drops)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.ok
+        for r in df.select(
+            "vec_id", vec_is_finite("embedding").alias("ok")
+        ).collect()
+    }
+    assert got == {i: expect for i, _v, expect in rows}
+    kept = {
+        r.vec_id
+        for r in df.filter(vec_is_finite("embedding")).collect()
+    }
+    assert kept == {1, 2, 3}
+
+
+def test_finite_gate_sql_mirror_matches(spark):
+    """_FINITE_EMB_SQL (the DuckDB mirror) classifies the same shapes
+    identically — NaN/Inf rows excluded, degenerate-but-finite kept.
+    (NULL-component lists are outside the mirror's contract: DuckDB's
+    vector functions reject them before any gate could run.)"""
+    import duckdb as _duck
+
+    from wiki_data_pipeline_spark.plans.llm_ops import _FINITE_EMB_SQL
+
+    con = _duck.connect()
+    got = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"""
+            SELECT vec_id, {_FINITE_EMB_SQL} AS ok FROM (
+              SELECT 1 AS vec_id, [1.0, 2.0, 3.0] AS embedding
+              UNION ALL SELECT 2, [0.0, 0.0, 0.0]
+              UNION ALL SELECT 4, ['nan'::DOUBLE, 1.0, 1.0]
+              UNION ALL SELECT 5, ['inf'::DOUBLE, 1.0, 1.0]
+              UNION ALL SELECT 6, ['-inf'::DOUBLE, 1.0, 1.0]
+            )
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == {1: True, 2: True, 4: False, 5: False, 6: False}

@@ -113,6 +113,15 @@ def build(out_dir: str) -> str:
         [1.0] + [0.0] * (dim - 1),    # unit axis pair A
         [1.0] + [0.0] * (dim - 1),    # unit axis pair B (exact dup)
         first_real,               # duplicates a fixture row
+        # non-finite vectors (r12): failed-encoder garbage — the
+        # trainer/quantizer queries must EXCLUDE these (vec_is_finite
+        # gate), the per-vector propagation paths must agree on
+        # NaN/Inf arithmetic cross-engine. (A NULL-COMPONENT vector is
+        # deliberately absent: DuckDB's list_inner_product hard-errors
+        # on NULL elements, so that shape is unit-pinned on
+        # vec_is_finite instead of fixture-pinned.)
+        [float("nan")] * 4 + [1.0] * (dim - 4),
+        [float("inf"), float("-inf")] + [1.0] * (dim - 2),
     ]
     _append(
         f"{SRC}/embeddings.parquet",
@@ -120,7 +129,7 @@ def build(out_dir: str) -> str:
         {
             "vec_id": [900000 + i for i in range(len(vecs))],
             "embedding": vecs,
-            "label": [0, 1, 0, 1, 0],
+            "label": [0, 1, 0, 1, 0, 0, 1],
         },
     )
 

@@ -17,6 +17,26 @@ def as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def vec_is_finite(col: Column | str) -> Column:
+    """True iff every component is non-NULL and finite — the
+    garbage-embedding gate (r12): failed encoders emit NaN/Inf
+    vectors in real corpora, and letting them into a trainer or
+    quantizer poisons centroids (one NaN component NaN-ifies a whole
+    label's mean) or crashes ANSI int casts downstream. Vector-MATH
+    consumers that aggregate across vectors (kmeans, residuals,
+    quantizers) filter on this on BOTH engines; pure per-vector
+    propagation paths (cosine/dot) deliberately do NOT — NaN in, NaN
+    out is cross-engine-consistent and visible. DuckDB mirror:
+    ``llm_ops._FINITE_EMB_SQL``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.forall(
+        c,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) < F.lit(float("inf"))),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product via zip_with + aggregate (left-to-right summation)."""
     return F.aggregate(

@@ -1320,6 +1320,16 @@ _SIGN_BITS = 8
 _SIGN_MAX_BITS = 24
 _SIGN_TARGET_OCC = 32
 
+# DuckDB mirror of functions/vectors.vec_is_finite (r12): the
+# garbage-embedding gate for trainer/quantizer queries. Non-finite
+# (NaN/Inf/NULL-component) vectors are excluded from vector-math
+# AGGREGATES on both engines; per-vector propagation paths keep NaN
+# visible instead.
+_FINITE_EMB_SQL = (
+    "list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NOT "
+    "NULL AND isfinite(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'min') = 1"
+)
+
 # Synthesized near-dups over the embeddings fixture (it has no exact
 # pairs): ×2-scaled copies (cosine-identical — scale invariance) and
 # first-dim ×1.5 perturbations (cosine slightly < 1).
@@ -1548,13 +1558,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_label_residuals",
-    oracle="""
-    WITH u AS (
+    oracle=f"""
+    WITH fe AS (SELECT * FROM embeddings WHERE {_FINITE_EMB_SQL}),
+    u AS (
       SELECT label, vec_id, g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
-      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      FROM fe, unnest(generate_series(1, len(embedding))) AS g(i)
     ),
     c AS (SELECT label, dim, avg(x) AS cx FROM u GROUP BY label, dim),
-    gs AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    gs AS (SELECT label, count(*) AS n FROM fe GROUP BY label)
     SELECT u.label, u.vec_id,
       ROUND(sqrt(sum((u.x - c.cx) * (u.x - c.cx))), 6) AS residual,
       CAST(any_value(gs.n) AS BIGINT) AS group_size
@@ -1580,7 +1591,13 @@ def sim_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroid_residuals,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    from wiki_data_pipeline_spark.functions.vectors import vec_is_finite
+
+    # garbage-embedding gate: one NaN component would NaN-ify the
+    # whole label's centroid and every member's residual
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        vec_is_finite("embedding")
+    )
     raw = label_centroid_residuals(emb.select("label", "vec_id", "embedding"))
     return raw.select(
         "label",
@@ -2047,10 +2064,12 @@ def _km_update_sql(assign: str) -> str:
     oracle=f"""
     WITH emb AS (
       SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+      WHERE {_FINITE_EMB_SQL}
     ),
     cent0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
       WHERE vec_id % {_KM_CENTROID_MOD} = 0 AND vec_id < {_KM_ID_CAP}
+        AND {_FINITE_EMB_SQL}
     ),
     assign0 AS {_km_assign_sql('cent0')},
     cent1 AS {_km_update_sql('assign0')},
@@ -2092,8 +2111,13 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round (2·iters+1 passes) — cache it once, the canonical Spark
     # iterative-ML pattern (freed by the ContextCleaner when the
     # result DataFrame is dropped).
+    from wiki_data_pipeline_spark.functions.vectors import vec_is_finite
+
+    # garbage-embedding gate: a NaN/Inf vector would poison every
+    # centroid mean it touches (and NaN distances break min_by ties)
     emb = (
         read_table(spark, sf_dir, "embeddings")
+        .filter(vec_is_finite("embedding"))
         .select("vec_id", as_double("embedding").alias("ve"))
         .cache()
     )
@@ -2826,12 +2850,12 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_scalar_quantize",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
         list_min(embedding::DOUBLE[]) AS vmin,
         list_max(embedding::DOUBLE[]) AS vmax
-      FROM embeddings
+      FROM embeddings WHERE {_FINITE_EMB_SQL}
     ),
     q AS (
       SELECT vec_id, e, vmin, vmax,
@@ -2865,7 +2889,14 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no Python; at 100 TB this is a map-only rewrite of the
     vector table, and the quantized table feeds the IVF/LSH probes
     (sim_ann_ivf) at a quarter of the scan bytes."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from wiki_data_pipeline_spark.functions.vectors import vec_is_finite
+
+    # garbage-embedding gate: NaN components split min/max asymmetry
+    # across engines (Spark array_min skips NaN where list_max keeps
+    # it) and quantize to nothing meaningful — excluded by contract
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        vec_is_finite("embedding")
+    )
     e = F.col("e")
     vmin, vmax = F.col("vmin"), F.col("vmax")
     # vmax > vmin guard: a CONSTANT vector (dead/padding embedding) has

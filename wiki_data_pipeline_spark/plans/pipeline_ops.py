@@ -3314,7 +3314,7 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS total_err_micro,
       CAST((2 * sum(CAST(round(sq_err * 1000000) AS BIGINT)) + count(*))
            // (2 * count(*)) AS BIGINT) AS mean_err_micro
-    FROM codes GROUP BY subspace
+    FROM codes WHERE isfinite(sq_err) GROUP BY subspace
     """,
 )
 def ann_pq_reconstruction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3329,6 +3329,14 @@ def ann_pq_reconstruction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: rides the encode pass + an m-row aggregate."""
     codes = _PREG["ann_pq_codes"].fn(spark, sf_dir)
+    # non-finite residuals (a garbage NaN/Inf vector's subspaces)
+    # carry no tuning signal and would crash the ANSI micro-cast —
+    # excluded by contract on both engines (codes itself keeps them
+    # visible; this is the aggregate's gate)
+    sq = F.col("sq_err")
+    codes = codes.filter(
+        ~F.isnan(sq) & (F.abs(sq) < F.lit(float("inf")))
+    )
     return (
         codes.groupBy(F.col("subspace").cast("bigint").alias("subspace"))
         .agg(

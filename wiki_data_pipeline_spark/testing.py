@@ -33,7 +33,9 @@ def _norm(v):
         return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return ("f", "nan")
+            # own tag: ("f", "nan") made sorted() compare str vs float
+            # against ordinary ("f", x) tuples and raise TypeError
+            return ("fn", "")
         return ("f", v)
     if isinstance(v, (list, tuple)):
         return ("l", tuple(_norm(x) for x in v))
