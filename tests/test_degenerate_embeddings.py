@@ -175,6 +175,7 @@ def test_vec_is_finite_gate(spark):
         (6, [float("-inf"), 1.0, 1.0], False),
         (7, [None, 1.0, 1.0], False),        # NULL component
         (8, None, None),                     # NULL vector -> NULL (filter drops)
+        (9, [], False),                      # empty: zero-dim garbage (r13)
     ]
     df = spark.createDataFrame(
         [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
@@ -195,7 +196,10 @@ def test_vec_is_finite_gate(spark):
 
 def test_finite_gate_sql_mirror_matches(spark):
     """_FINITE_EMB_SQL (the DuckDB mirror) classifies the same shapes
-    identically — NaN/Inf rows excluded, degenerate-but-finite kept.
+    identically — NaN/Inf rows excluded, degenerate-but-finite kept,
+    and (r13, ADVICE) the EMPTY vector excluded on both engines: Spark
+    forall([]) is vacuously True while list_aggregate([], 'min') is
+    NULL, so each gate needs (and now has) an explicit length term.
     (NULL-component lists are outside the mirror's contract: DuckDB's
     vector functions reject them before any gate could run.)"""
     import duckdb as _duck
@@ -213,9 +217,13 @@ def test_finite_gate_sql_mirror_matches(spark):
               UNION ALL SELECT 4, ['nan'::DOUBLE, 1.0, 1.0]
               UNION ALL SELECT 5, ['inf'::DOUBLE, 1.0, 1.0]
               UNION ALL SELECT 6, ['-inf'::DOUBLE, 1.0, 1.0]
+              UNION ALL SELECT 9, []::DOUBLE[]
             )
             """
         ).fetchall()
     }
     con.close()
-    assert got == {1: True, 2: True, 4: False, 5: False, 6: False}
+    # the filter semantics match Spark's: True kept, False/NULL dropped
+    assert got[1] and got[2]
+    assert not got[4] and not got[5] and not got[6]
+    assert not got[9]

@@ -1075,6 +1075,49 @@ def test_bench_gate_session_normalization():
         assert s in registered and s in frozen, s
 
 
+def test_bench_sentinel_spread_guard():
+    """The sentinel-DISAGREEMENT band (r13, verdict item 3): a single
+    session_ratio is only trusted when the sentinels moved together.
+    r12's driver box read sentinels 1.034-1.312 — a 27% band — while
+    one 1.241 divisor was applied to every normalized delta; the
+    spread check flags exactly that shape, the re-measure merge takes
+    the per-sentinel MIN (host load only inflates, so min is closer
+    to truth AND yields a smaller divisor = a stricter gate), and a
+    genuinely regressed sentinel survives the merge because both of
+    its medians carry the regression."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    # agreement: tight band -> no alert
+    assert bench.sentinel_spread({"a": 1.05, "b": 1.1, "c": 1.08}) < 1.2
+    # the r12 driver shape -> over the band
+    r12 = {"a": 1.034, "b": 1.241, "c": 1.312}
+    assert bench.sentinel_spread(r12) > bench.SENTINEL_SPREAD_BOUND
+    # degenerate inputs are neutral, never a crash
+    assert bench.sentinel_spread({}) == 1.0
+    assert bench.sentinel_spread({"a": 1.3}) == 1.0
+
+    # merge: transient spike on one sentinel washes out via min...
+    timings = {s: 1.0 for s in bench.SENTINELS}
+    timings[bench.SENTINELS[0]] = 2.6  # spiked trial median
+    fresh = {bench.SENTINELS[0]: 1.05}
+    merged = bench.merge_remeasured(timings, fresh)
+    assert merged[bench.SENTINELS[0]] == 1.05
+    # ...but a REAL regression persists (fresh median equally high)
+    still = bench.merge_remeasured(
+        timings, {bench.SENTINELS[0]: 2.55}
+    )
+    assert still[bench.SENTINELS[0]] == 2.55
+    # non-sentinel keys are untouched
+    t2 = bench.merge_remeasured({"x": 9.0, **timings}, fresh)
+    assert t2["x"] == 9.0
+
+
 def test_sf1_gate_tier_membership():
     """The gated sf1 tier (bench.py SF1_QUERIES) covers the ENTIRE
     registry (r11 final widening — the sf1 gate has caught five
@@ -1276,6 +1319,57 @@ def test_png_gray_codec_roundtrip():
     truncated = _chunk(b"IDAT", zlib.compress(b"\x00" * 30))  # < 8*(9+1)
     with _pytest.raises(ValueError, match="pixel data"):
         decode_png_gray(sig + ihdr + truncated + _chunk(b"IEND", b""))
+
+    # r13 ADVICE: an IHDR shorter than the 10 bytes struct.unpack
+    # needs must be a ValueError, not a struct.error
+    short_ihdr = _chunk(b"IHDR", b"\x00" * 6)
+    with _pytest.raises(ValueError, match="truncated IHDR"):
+        decode_png_gray(sig + short_ihdr + _chunk(b"IEND", b""))
+    # r13 ADVICE: a chunk whose declared length overruns the payload
+    # must be a ValueError, not silently truncated data
+    overrun = struct.pack(">I", 1000) + b"IDAT" + b"\x00" * 8
+    with _pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png_gray(sig + ihdr + overrun)
+
+
+def test_image_dhash_rejects_truncated_chunks(spark):
+    """The dhash-embedded decoder mirrors decode_png_gray's r13
+    guards: short IHDR and overrunning chunk lengths fail loudly."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from wiki_data_pipeline_spark.operators.multimodal import image_dhash
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = [
+        (1, sig + _chunk(b"IHDR", b"\x00" * 6), "truncated IHDR"),
+        (
+            2,
+            sig
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
+            + struct.pack(">I", 1000)
+            + b"IDAT"
+            + b"\x00" * 8,
+            "truncated PNG chunk",
+        ),
+    ]
+    for doc_id, payload, msg in bad:
+        media = spark.createDataFrame(
+            [(doc_id, payload, "image/png")],
+            "doc_id long, payload binary, media_type string",
+        )
+        with _pytest.raises(Exception, match=msg):
+            image_dhash(media, width=9, height=8).collect()
 
 
 def test_image_dhash_rejects_mismatched_geometry(spark):

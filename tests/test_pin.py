@@ -102,6 +102,32 @@ def test_pin_reliable_redirects_when_dir_config_changes(
     assert files_b, "second pin did not follow the reconfigured dir"
 
 
+def test_pin_reliable_keeps_caller_cache(spark, pin_conf, tmp_path):
+    """A frame the CALLER deliberately persisted stays persisted after
+    a reliable pin (r13, ADVICE): pin()'s internal persist/unpersist
+    pair must only drop persistence pin() itself added, never evict an
+    iterative-ML-style cache the caller still relies on."""
+    pin_conf.set(PIN_MODE_KEY, "reliable")
+    pin_conf.set(PIN_DIR_KEY, str(tmp_path / "keep_cache_pins"))
+    df = _frame(spark).persist()
+    try:
+        df.count()  # materialize the caller's cache
+        pinned = pin(df)
+        assert pinned.count() == df.count()
+        lvl = df.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (
+            "reliable pin() evicted the caller's cache"
+        )
+    finally:
+        df.unpersist()
+    # and an unpersisted frame still gets (and then loses) pin()'s own
+    # internal persistence — the original behavior is unchanged
+    plain = _frame(spark)
+    pin(plain).count()
+    lvl = plain.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+
 def test_pin_reliable_drives_a_registry_fixpoint(spark, pin_conf, tmp_path):
     """A real multi-pin query (the connected-components fixpoint)
     runs unchanged under the reliable tier — every pin site routes

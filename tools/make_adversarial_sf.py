@@ -13,7 +13,12 @@ exercises the boundary shapes the generator never produces:
 - events: exact-equal timestamps (tie-breaks), timestamps exactly on
   hour / half-hour window edges and +/-1s/1us around them, gaps of
   exactly the 30-min session threshold, malformed / empty / non-object
-  props JSON, zero and negative values;
+  props JSON, zero and negative values; degenerate sessions (r13): one
+  user with ALL events at one instant (zero-duration session, gap 0),
+  a user straddling the 30-min gap by exactly +/-1s, a NULL-props vs
+  empty-string-props pair, and bare-\r-inside-JSON props on both the
+  passthrough and guarded-splice writer generations (Java-vs-RE2 dot
+  semantics);
 - lineitem: zero quantity (unit-cost division guard), zero price,
   discount 0 and 1, orphan order/part/supplier keys;
 - orders: customer with no orders / order with missing customer,
@@ -165,6 +170,37 @@ def build(out_dir: str) -> str:
         # 900013 (%3==1, the guarded splice the finding was about).
         (B + "13:00:04.000000", 93, "purchase", 9.9, '{"k": 4}\n'),
         (B + "13:00:05.000000", 93, "purchase", 9.9, '{"k": 5}\n'),
+        # --- r13 additions. Row INDEX matters below: the schema-audit
+        # synth branches on event_id % 3 (ids are 900000+i, 900000%3==0
+        # so branch == i%3), and the two \r rows must land on BOTH the
+        # %3==0 passthrough and the %3==1 guarded splice — the branch
+        # whose '^\{[^\n\r]+\}\z' gate replaced the engine-divergent
+        # dot (Java's . excludes \r, RE2's does not).
+        # i=14 (%3==2, renamed branch) — also session pathology user 94:
+        # ALL events at ONE timestamp -> a zero-duration session, every
+        # gap 0, funnel time-to-convert 0.
+        (B + "14:00:00.000000", 94, "view", 1.0, '{"k": 14}'),
+        # i=15 (%3==0): bare \r INSIDE the payload, passthrough branch
+        # (\r is JSON whitespace — both engines must parse it).
+        (B + "14:00:00.000000", 94, "click", 1.0, '{"k":\r15}'),
+        # i=16 (%3==1): bare \r INSIDE the payload on the GUARDED
+        # splice branch — the r13 ADVICE divergence bait: both engines
+        # must now take the fresh-tag arm.
+        (B + "14:00:00.000000", 94, "purchase", 2.5, '{"k":\r16}'),
+        # i=17 (%3==2): fourth same-instant event closes user 94.
+        (B + "14:00:00.000000", 94, "view", 0.0, '{"k": 17}'),
+        # user 95: events that straddle the 30-min session gap by
+        # exactly +/-1s — 29:59 (same session), then 30:01 (new
+        # session), then exactly 30:00 (threshold-equal gap).
+        (B + "15:00:00.000000", 95, "view", 1.0, "{}"),
+        (B + "15:29:59.000000", 95, "view", 1.0, "{}"),
+        (B + "16:00:00.000000", 95, "click", 1.0, "{}"),
+        (B + "16:30:00.000000", 95, "purchase", 3.0, '{"k": 21}'),
+        # user 96: NULL-props vs empty-string-props pair — the two
+        # "no payload" spellings must classify identically on both
+        # engines everywhere props is parsed.
+        (B + "17:00:00.000000", 96, "view", 1.0, None),
+        (B + "17:00:01.000000", 96, "view", 1.0, ""),
     ]
     _append(
         f"{SRC}/events.parquet",

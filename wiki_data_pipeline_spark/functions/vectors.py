@@ -26,10 +26,15 @@ def vec_is_finite(col: Column | str) -> Column:
     consumers that aggregate across vectors (kmeans, residuals,
     quantizers) filter on this on BOTH engines; pure per-vector
     propagation paths (cosine/dot) deliberately do NOT — NaN in, NaN
-    out is cross-engine-consistent and visible. DuckDB mirror:
+    out is cross-engine-consistent and visible. Empty vectors are
+    non-finite too (r13, ADVICE): ``forall`` over ``[]`` is vacuously
+    True while the DuckDB mirror's ``list_aggregate([], 'min')`` is
+    NULL, so without the size gate an empty embedding silently broke
+    hash parity — and a zero-dim vector is encoder garbage for any
+    trainer/quantizer anyway. DuckDB mirror:
     ``llm_ops._FINITE_EMB_SQL``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.forall(
+    return (F.size(c) > 0) & F.forall(
         c,
         lambda x: x.isNotNull()
         & ~F.isnan(x.cast("double"))

@@ -24,10 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    # Fan a small-file input out to full core parallelism before the
-    # compute-heavy explode (rationale: plans/llm_ops.py _spread).
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+# Conditional fan-out before the compute-heavy explode — shared gated
+# definition (rationale: operators/spread.py; r13, verdict item 1).
+from .spread import spread as _spread
 
 
 def word_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:

@@ -552,9 +552,16 @@ def decode_png_gray(payload: bytes) -> tuple[bytes, int, int]:
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
+        # a declared length overrunning the payload would otherwise
+        # slice silently-truncated data (r13, ADVICE): 12 = 4 length
+        # + 4 type + 4 CRC bytes framing the chunk
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
+            if len(data) < 10:
+                raise ValueError("truncated IHDR chunk")
             w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
             if depth != 8 or ctype != 0:
                 raise ValueError("only 8-bit grayscale PNGs supported")
@@ -666,9 +673,15 @@ def image_dhash(media: DataFrame, width: int = 9, height: int = 8) -> DataFrame:
             while pos + 8 <= len(payload):
                 (ln,) = struct.unpack(">I", payload[pos : pos + 4])
                 typ = payload[pos + 4 : pos + 8]
+                # overrunning declared length -> loud, not silently
+                # truncated data (r13, ADVICE; mirrors decode_png_gray)
+                if pos + 12 + ln > len(payload):
+                    raise ValueError("truncated PNG chunk")
                 data = payload[pos + 8 : pos + 8 + ln]
                 pos += 12 + ln
                 if typ == b"IHDR":
+                    if len(data) < 10:
+                        raise ValueError("truncated IHDR chunk")
                     w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
                     if depth != 8 or ctype != 0:
                         raise ValueError(

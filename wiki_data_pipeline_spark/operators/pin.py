@@ -89,12 +89,19 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         # persist across the checkpoint write: the eager count and the
         # checkpoint-write job must consume ONE evaluation of the plan
         # (nondeterministic upstreams — reservoir seeds, range-exchange
-        # sampling — would otherwise desync the two)
-        cached = df.persist()
+        # sampling — would otherwise desync the two). Only unpersist
+        # what pin() itself persisted (r13, ADVICE): a caller that
+        # deliberately cached the frame (an iterative-ML cache) keeps
+        # its cache — dropping it in the finally would evict a
+        # still-live cache mid-query.
+        lvl = df.storageLevel
+        caller_cached = lvl.useMemory or lvl.useDisk
+        cached = df if caller_cached else df.persist()
         try:
             return cached.checkpoint(eager=True)
         finally:
-            cached.unpersist()
+            if not caller_cached:
+                cached.unpersist()
     raise ValueError(
         f"unknown {PIN_MODE_KEY} {mode!r} (expected 'local' or 'reliable')"
     )

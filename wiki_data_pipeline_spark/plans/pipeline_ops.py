@@ -2163,7 +2163,7 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE event_id % 3
           WHEN 0 THEN props
           WHEN 1 THEN CASE
-            WHEN props IS NOT NULL AND regexp_matches(props, '^\{.+\}\z')
+            WHEN props IS NOT NULL AND regexp_matches(props, '^\{[^\n\r]+\}\z')
             THEN regexp_replace(props, '\}$',
               ', "extra": "tag", "v2": true}')
             ELSE '{"extra": "tag", "v2": true}' END
@@ -2222,9 +2222,16 @@ def st_props_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # \z, not $: Java's $ matches before a final line
             # terminator while RE2's is end-of-text — a props ending
             # in a newline would splice on one engine and not the
-            # other (review finding r12; adversarial row pins it)
+            # other (review finding r12; adversarial row pins it).
+            # [^\n\r], not .: Java's dot excludes \r, NEL, and the
+            # U+2028/U+2029 separators while RE2's excludes only \n,
+            # so a bare carriage
+            # return INSIDE the payload spliced on DuckDB but fell to
+            # the fresh-tag branch on Spark (r13, ADVICE); the explicit
+            # class means exactly the same thing in both engines
+            # (adversarial rows 900015/900016 pin it).
             F.when(
-                F.col("props").rlike(r"^\{.+\}\z"),
+                F.col("props").rlike(r"^\{[^\n\r]+\}\z"),
                 F.regexp_replace(
                     F.col("props"), r"\}$", ', "extra": "tag", "v2": true}'
                 ),
