@@ -11,6 +11,16 @@ is produced:
     python tools/make_adversarial_sf.py /tmp/adversarial_sf
     python tools/check_parity.py --json ADVERSARIAL_PARITY.json \
         /tmp/adversarial_sf
+
+``--pin-mode reliable [--pin-dir DIR]`` runs the sweep with the
+configurable pin durability tier flipped to reliable checkpoints
+(operators/pin.py), and ``--pin-sites`` restricts the sweep to the
+queries that actually route through pin() (discovered live via the
+pin observer, not a hand-kept list) — together they regenerate the
+per-round RELIABLE_PARITY.json (r13, verdict item 2):
+
+    python tools/check_parity.py --json RELIABLE_PARITY.json \
+        --pin-mode reliable --pin-sites /root/testdata/sf0.001
 """
 
 from __future__ import annotations
@@ -41,16 +51,23 @@ def _row(
     }
 
 
+def _flag_value(args: list[str], flag: str) -> tuple[str | None, list[str]]:
+    if flag not in args:
+        return None, args
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        raise SystemExit(f"{flag} needs a value")
+    return args[i + 1], args[:i] + args[i + 2 :]
+
+
 def main() -> int:
     args = sys.argv[1:]
-    json_out = None
-    if "--json" in args:
-        i = args.index("--json")
-        if i + 1 >= len(args):
-            print("usage: check_parity.py [--json OUT] [sf_dir] [name ...]")
-            return 2
-        json_out = args[i + 1]
-        args = args[:i] + args[i + 2 :]
+    json_out, args = _flag_value(args, "--json")
+    pin_mode, args = _flag_value(args, "--pin-mode")
+    pin_dir, args = _flag_value(args, "--pin-dir")
+    pin_sites = "--pin-sites" in args
+    if pin_sites:
+        args.remove("--pin-sites")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -58,6 +75,28 @@ def main() -> int:
     queries = all_queries()
     oracles = all_oracles()
     selected = names or list(queries)
+    if pin_sites:
+        # discovery runs under the DEFAULT pin tier (cheap local
+        # checkpoints); only the measured sweep below pays for the
+        # reliable tier's DFS writes
+        from wiki_data_pipeline_spark.testing import pin_using_queries
+
+        live = pin_using_queries(spark, sf_dir, selected)
+        selected = [n for n in selected if n in live]
+        print(f"-- pin-sites: {len(selected)} queries route through pin()")
+    if pin_mode is not None:
+        from wiki_data_pipeline_spark.operators.pin import (
+            PIN_DIR_KEY,
+            PIN_MODE_KEY,
+        )
+
+        if pin_mode == "reliable" and pin_dir is None:
+            import tempfile
+
+            pin_dir = tempfile.mkdtemp(prefix="reliable_pins_")
+        spark.conf.set(PIN_MODE_KEY, pin_mode)
+        if pin_dir is not None:
+            spark.conf.set(PIN_DIR_KEY, pin_dir)
 
     report: dict[str, dict] = {}
     failures = 0
@@ -113,6 +152,8 @@ def main() -> int:
             "n_queries": len(selected),
             "n_pass": len(selected) - failures,
             "generated_by": "tools/check_parity.py --json",
+            "pin_mode": pin_mode,
+            "pin_sites_only": pin_sites,
         }
         with open(json_out, "w") as fh:
             json.dump(report, fh, indent=2, sort_keys=True)

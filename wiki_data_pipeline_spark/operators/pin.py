@@ -44,6 +44,16 @@ from pyspark.sql import DataFrame
 PIN_MODE_KEY = "spark.wiki_data_pipeline.pin.mode"
 PIN_DIR_KEY = "spark.wiki_data_pipeline.pin.checkpointDir"
 
+# Observation hook for the reliable-tier sweep tooling (r13, verdict
+# item 2): when set, called (no args) on EVERY pin() invocation. Call
+# sites import ``pin`` by name, so patching any module attribute can
+# miss one — instrumenting the single shared implementation cannot.
+# Used by testing.pin_using_queries to derive the live set of
+# pin-routed queries; the RELIABLE_PARITY meta-test compares that set
+# against the committed artifact so a new pin site can't dodge the
+# per-round reliable-mode sweep.
+_observer = None
+
 
 def _base_of(checkpoint_dir: str) -> str:
     """Strip scheme and trailing separators for base-dir comparison
@@ -62,6 +72,8 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     where the caller immediately drives the frame anyway and wants to
     avoid a separate job). The reliable tier ignores it — see module
     docstring."""
+    if _observer is not None:
+        _observer()
     spark = df.sparkSession
     mode = spark.conf.get(PIN_MODE_KEY, "local")
     if mode == "local":

@@ -101,3 +101,38 @@ def compare_query(
         if not res.details:
             res.details.append("row multiset mismatch (length tail)")
     return res
+
+
+def pin_using_queries(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> set[str]:
+    """The LIVE set of registered queries that route through
+    ``operators.pin.pin`` (r13, verdict item 2). Builds every query's
+    DataFrame with the pin observer installed — pin() is invoked at
+    plan-construction time at every site (eager pins materialize
+    there; lazy ones still CALL pin() to wrap the frame), so building
+    the frame is sufficient and no query result is consumed. Because
+    the hook sits inside the single shared pin() implementation, a new
+    call site anywhere in the package is discovered automatically —
+    this is what the RELIABLE_PARITY meta-test compares the committed
+    artifact against, so a new pin site cannot dodge the per-round
+    reliable-tier sweep."""
+    from wiki_data_pipeline_spark.operators import pin as pin_mod
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+
+    queries = all_queries()
+    selected = names or list(queries)
+    hits: set[str] = set()
+    current: dict[str, str] = {}
+
+    def _observe() -> None:
+        hits.add(current["name"])
+
+    pin_mod._observer = _observe
+    try:
+        for name in selected:
+            current["name"] = name
+            queries[name](spark, sf_dir)
+    finally:
+        pin_mod._observer = None
+    return hits
