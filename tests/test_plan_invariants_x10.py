@@ -40,9 +40,12 @@ import pytest
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(HERE, "tools"))
-from plan_audit import audit_plan  # noqa: E402
+from plan_audit import audit_plan, unbounded_global_windows  # noqa: E402
 
-from test_plan_invariants import MANIFEST  # noqa: E402
+from test_plan_invariants import (  # noqa: E402
+    MANIFEST,
+    UNBOUNDED_WINDOW_WHITELIST,
+)
 
 from wiki_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 
@@ -96,6 +99,13 @@ def test_plan_invariants_hold_at_x10(spark, name):
         errors.append(f"SortMergeJoin {a['smj']} > ceiling {inv['max_smj']}")
     if inv.get("pushdown") and pushed == 0:
         errors.append("no scan carries a non-empty PushedFilters list")
+    if name not in UNBOUNDED_WINDOW_WHITELIST:
+        wins = unbounded_global_windows(df)
+        if wins:
+            errors.append(
+                f"partition-less Window over unbounded input at 10x: "
+                f"{wins[0][:150]}"
+            )
     assert not errors, (
         f"{name} at 10x: scale-critical plan shape degraded — "
         f"{'; '.join(errors)}\nnote: {inv.get('note', '')}\naudit: {a}\n"

@@ -76,6 +76,74 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+# --- partition-less Window audit (r13, verdict item 6) ---------------
+# A Window with no PARTITION BY moves its entire input to ONE
+# partition — fine above an aggregate/limit whose output is
+# schema-sized, a 100 TB scale-killer above anything corpus-sized.
+# Today's partition-less windows all sit above bounded frames (or are
+# the documented fixture-scale L3 form); this audit is what stops
+# query #210 from silently sorting a corpus on one partition. Tree
+# walk over the JVM plan (not text): WindowExec's partitionSpec and
+# the bounding Aggregate/Limit are unambiguous on the nodes, brittle
+# in the string form.
+
+_WINDOW_NODES = {"WindowExec", "WindowGroupLimitExec"}
+_BOUNDING_NODES = {
+    # aggregates: output is group-count-sized, not input-sized
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    # limits: output is limit-sized by construction
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "TakeOrderedAndProjectExec",
+    "WindowGroupLimitExec",
+}
+
+
+def _jchildren(node):
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return [node.initialPlan()]
+    if name == "ReusedExchangeExec":
+        # references (not re-executes) another exchange subtree — the
+        # bound, if any, lives in the referenced child
+        return [node.child()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.length())]
+
+
+def _subtree_is_bounded(node) -> bool:
+    if node.getClass().getSimpleName() in _BOUNDING_NODES:
+        return True
+    return any(_subtree_is_bounded(c) for c in _jchildren(node))
+
+
+def unbounded_global_windows(df) -> list[str]:
+    """Partition-less Window nodes whose input subtree carries NO
+    Aggregate/Limit bound — each is a whole-input single-partition
+    sort. Returns one description per violation (empty = clean)."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if (
+            name in _WINDOW_NODES
+            and node.partitionSpec().isEmpty()
+            and not any(_subtree_is_bounded(c) for c in _jchildren(node))
+        ):
+            out.append(
+                f"{name} with empty partitionSpec over an unbounded "
+                f"input: {node.nodeName()}"
+            )
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def flags_for(name: str, a: dict) -> list[str]:
     out = []
     if a["cartesian"]:
@@ -118,6 +186,11 @@ def main() -> None:
             continue
         a = audit_plan(plan)
         fl = flags_for(name, a)
+        try:
+            for v in unbounded_global_windows(df):
+                fl.append(f"UNBOUNDED_GLOBAL_WINDOW: {v[:120]}")
+        except Exception as e:  # noqa: BLE001
+            fl.append(f"WINDOW_AUDIT_ERROR: {str(e)[:120]}")
         if fl:
             flagged[name] = fl
         print(json.dumps({"name": name, **a, "flags": fl}))

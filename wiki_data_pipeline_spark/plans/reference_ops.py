@@ -617,16 +617,24 @@ def a5_progress_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2_fifo_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO dequeue order (reference L2, src/queue_manager.py:66-72:
     ``queue.pop(0)``). Insertion order ≡ ordering by the enqueue
-    sequence column; the head-of-queue peek is orderBy+limit
-    (TakeOrderedAndProject — no global sort)."""
+    sequence column; the head-of-queue peek is orderBy+limit.
+
+    The LIMIT sits BELOW the row_number window (r13, window audit):
+    taking the 20 smallest event_ids first (TakeOrderedAndProject — a
+    per-partition top-k, never a global sort) and numbering only
+    those is equivalent to numbering everything and keeping the first
+    20 — row_number over ORDER BY event_id assigns 1..20 to exactly
+    the 20 smallest ids either way — but the window's single-partition
+    frame is then 20 rows by construction instead of the whole queue,
+    which is the difference between a peek and a corpus sort at
+    100 TB."""
     events = read_table(spark, sf_dir, "events")
+    head = (
+        events.select("event_id", "event_type").orderBy("event_id").limit(20)
+    )
     w = Window.orderBy("event_id")
-    return (
-        events.select(
-            "event_id", "event_type", F.row_number().over(w).alias("dequeue_seq")
-        )
-        .orderBy("event_id")
-        .limit(20)
+    return head.select(
+        "event_id", "event_type", F.row_number().over(w).alias("dequeue_seq")
     )
 
 
