@@ -20,16 +20,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def load_profile(path: str) -> dict[str, str]:
+    """Parse a Spark properties file (``key value`` lines, ``#``
+    comments) into a conf dict — the format of
+    conf/spark-cluster-profile.conf (and of ``spark-submit
+    --properties-file``, so one profile serves both entry points)."""
+    conf: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, value = line.partition(" ")
+            value = value.strip()
+            if not key.startswith("spark.") or not value:
+                raise ValueError(f"malformed profile line: {raw!r}")
+            if key in conf:
+                raise ValueError(f"duplicate profile key: {key}")
+            conf[key] = value
+    return conf
+
+
 def get_spark(
     app_name: str = "wiki_data_pipeline_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with scale-minded defaults."""
+    """Build (or fetch) a SparkSession with scale-minded defaults.
+
+    ``profile`` (or env ``SPARK_GRAFT_PROFILE``) names a Spark
+    properties file overlaid on the defaults — the checked-in 100 TB
+    deployment profile is conf/spark-cluster-profile.conf (SCALE.md
+    "Cluster profile"). Overlay order: defaults < profile <
+    ``extra_conf``."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    profile = profile or os.environ.get("SPARK_GRAFT_PROFILE")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -44,6 +73,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if profile:
+        for k, v in load_profile(profile).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
