@@ -58,6 +58,16 @@ ADVERSARIAL_PRONE = [
     "multimodal_resize_stats",
     "bloom_filter_probe",
     "sketch_bloom_fpp_curve",
+    # r13: the degenerate-sessions axis (same-instant event pile-up,
+    # exact +/-1s gap straddles, NULL-vs-empty props) found the
+    # cogrouped asof leaking a same-timestamp-but-later view (fixed:
+    # lexicographic (ts, event_id) rank key); these pin the whole
+    # session/asof family over the new rows
+    "join_cogrouped_asof",
+    "sessionize_events",
+    "sessionize_session_stats",
+    "funnel_time_to_convert",
+    "window_session_30m",
 ]
 
 

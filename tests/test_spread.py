@@ -26,12 +26,36 @@ def _physical(df) -> str:
 def test_spread_is_identity_on_presplit_input(spark):
     """An input already at (or above) target parallelism passes
     through untouched — not merely exchange-free, the SAME DataFrame
-    object, so no plan node of any kind is inserted."""
+    object, so no plan node of any kind is inserted. Range sources
+    carry their partition count like file splits do."""
     target = spark.sparkContext.defaultParallelism
-    wide = spark.range(10_000).repartition(max(target, 2))
+    wide = spark.range(0, 10_000, 1, max(target, 2))
     assert wide.rdd.getNumPartitions() >= target
     out = spread(wide)
     assert out is wide
+
+
+def test_spread_is_identity_on_post_exchange_input(spark):
+    """A frame whose plan already contains an Exchange is returned
+    as-is WITHOUT the partition probe: its parallelism belongs to
+    that shuffle + AQE, and under AQE the probe itself (df.rdd)
+    would materialize the exchange's query stages — a measured extra
+    job. Asserted via the job counter: spread() on a post-shuffle
+    frame must run zero jobs."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs() -> int:
+        return len(tracker.getJobIdsForGroup() or [])
+
+    shuffled = spark.range(1_000).groupBy((F.col("id") % 5)).count()
+    before = njobs()
+    assert spread(shuffled) is shuffled
+    assert njobs() == before, "spread() ran a job on a shuffled input"
+    # the scan-stage probe is job-free too
+    docs = read_table(spark, SF_DIR, "documents")
+    before = njobs()
+    spread(docs)
+    assert njobs() == before, "spread() ran a job probing a scan frame"
 
 
 def test_spread_fans_out_single_split_input(spark):
@@ -51,7 +75,7 @@ def test_spread_fans_out_single_split_input(spark):
 
 
 def test_spread_explicit_target(spark):
-    df3 = spark.range(100).repartition(3)
+    df3 = spark.range(0, 100, 1, 3)
     assert spread(df3, target=2) is df3
     assert spread(df3, target=5).rdd.getNumPartitions() == 5
 

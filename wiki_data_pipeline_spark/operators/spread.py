@@ -27,10 +27,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _contains_exchange(jnode) -> bool:
+    name = jnode.getClass().getSimpleName()
+    if "Exchange" in name or "QueryStage" in name:
+        return True
+    if name == "AdaptiveSparkPlanExec":
+        return _contains_exchange(jnode.initialPlan())
+    ch = jnode.children()
+    return any(_contains_exchange(ch.apply(i)) for i in range(ch.length()))
+
+
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     """Fan ``df`` out to ``target`` partitions (default: the
-    cluster's ``defaultParallelism``) iff it currently has fewer —
-    otherwise return ``df`` unchanged, inserting NO exchange."""
+    cluster's ``defaultParallelism``) iff it is a scan-stage frame
+    that currently has fewer — otherwise return ``df`` unchanged,
+    inserting NO exchange.
+
+    Two gates, both plan-time:
+
+    1. A frame whose plan already contains an Exchange is returned
+       as-is without even inspecting its partition count: its
+       parallelism is governed by that shuffle (and AQE coalescing),
+       an extra repartition on top is pure waste — and under AQE,
+       ``df.rdd`` on a post-exchange plan MATERIALIZES the exchange's
+       query stages (measured: one job), so the partition probe
+       itself would double-execute the upstream. All production call
+       sites pass scan-stage frames; this gate keeps a future
+       mid-plan caller from paying that silently.
+    2. On an exchange-free (scan-stage) frame,
+       ``df.rdd.getNumPartitions()`` is pure partition math over the
+       scan splits — measured zero jobs — and the repartition is
+       inserted only when the source genuinely lacks parallelism
+       (the single-file fixture tables)."""
+    if _contains_exchange(df._jdf.queryExecution().executedPlan()):
+        return df
     tgt = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= tgt:
         return df

@@ -3174,10 +3174,20 @@ def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``merge_asof`` inside the cogrouped function — the two streams
     arrive as separate per-key pandas frames, Spark shuffles both
     sides ONCE on user_id and hands co-partitioned groups to Arrow.
-    Lag is exported in exact epoch microseconds; ties on ts resolve to
-    the larger view event_id (merge_asof takes the last sorted row —
-    the (ts, event_id) sort makes that the SQL max(struct) row, so the
-    pandas path hash-matches the relational oracle).
+    Lag is exported in exact epoch microseconds.
+
+    Tie semantics (r13, adversarial finding): "most recent preceding"
+    is LEXICOGRAPHIC on (ts, event_id) — at equal timestamps only
+    views whose event_id precedes the purchase's are eligible (a
+    same-instant view with a LARGER event_id arrived after the
+    purchase in sequence order; point-in-time correctness excludes
+    it). merge_asof on ts alone leaked exactly that future row once
+    the adversarial fixture gained four same-instant events, so the
+    asof now runs on a per-bucket dense rank of (ts, event_id) built
+    over the UNION of both sides — backward match on that key IS the
+    oracle's ``v.ts < p.ts OR (v.ts = p.ts AND v.event_id <=
+    p.event_id)`` predicate, and the picked row is its
+    ``max(struct(ts, event_id))``.
 
     Scale: one co-shuffle on the key, bounded per-group pandas work —
     the distributed form of the point-in-time-correct feature joins
@@ -3197,9 +3207,10 @@ def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed Python overhead, so thousands of micro-groups dominated the
     # wall clock (measured 10.6s -> ~1s at sf0.1). merge_asof(by=
     # "user_id") preserves exact per-user semantics inside each bucket;
-    # global (ts, event_id) sort keeps ties resolving to the max
-    # event_id, matching the oracle's max(struct) row.
+    # the asof key is a dense (ts, event_id) rank so tied timestamps
+    # resolve lexicographically (see docstring, r13).
     def _align(pdfs, vdfs):
+        import numpy as np
         import pandas as pd
 
         p = pdfs.drop(columns=["bucket"]).sort_values(
@@ -3212,11 +3223,23 @@ def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "purchase_id", "view_id", "lag_us"]
             )
+        # dense (ts, event_id) rank over the UNION of both sides: the
+        # asof key that makes backward matching lexicographic — at
+        # tied timestamps only smaller-event_id views precede (the
+        # oracle's tie predicate); overflow-free (no ts*K+id packing)
+        u = (
+            pd.concat([p[["ts", "event_id"]], v[["ts", "event_id"]]])
+            .sort_values(["ts", "event_id"])
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        u["seq"] = np.arange(len(u), dtype="int64")
+        p = p.merge(u, on=["ts", "event_id"], how="left")
+        v = v.merge(u, on=["ts", "event_id"], how="left")
         merged = pd.merge_asof(
             p,
             v.rename(columns={"ts": "v_ts", "event_id": "view_id"}),
-            left_on="ts",
-            right_on="v_ts",
+            on="seq",
             by="user_id",
             direction="backward",
             allow_exact_matches=True,
