@@ -173,9 +173,18 @@ SENTINEL_SPREAD_BOUND = 1.2
 
 
 def sentinel_spread(ratios: dict[str, float]) -> float:
-    """max/min disagreement across the measured sentinel ratios
-    (1.0 when fewer than two sentinels measured)."""
-    vals = [v for v in ratios.values() if v]
+    """max/min disagreement across the measured sentinel ratios,
+    each CLAMPED at 1.0 first (1.0 when fewer than two measured).
+
+    The clamp mirrors gate_norm's own floor: the applied divisor is
+    never below 1.0, so a sentinel reading FASTER than its baseline
+    (routine on an idle box whose baseline was frozen under load)
+    cannot move the divisor or mask anything — normalized deltas are
+    raw deltas on such a session. Only disagreement ABOVE 1.0 is
+    divisor-relevant uncertainty; an unclamped spread alerted on
+    exactly the harmless fast-session shape (r13: sentinels
+    1.00/0.79/0.70 with divisor 1.0 applied)."""
+    vals = [max(1.0, v) for v in ratios.values() if v]
     if len(vals) < 2:
         return 1.0
     return max(vals) / min(vals)

@@ -1098,6 +1098,16 @@ def test_bench_sentinel_spread_guard():
     # the r12 driver shape -> over the band
     r12 = {"a": 1.034, "b": 1.241, "c": 1.312}
     assert bench.sentinel_spread(r12) > bench.SENTINEL_SPREAD_BOUND
+    # the r13 FAST-session shape (two sentinels under baseline, one
+    # at it) is harmless — the divisor clamps at 1.0 so nothing can
+    # be masked — and must NOT alert: sub-1.0 ratios clamp before
+    # the spread is taken
+    fast = {"a": 1.002, "b": 0.792, "c": 0.70}
+    assert bench.sentinel_spread(fast) < bench.SENTINEL_SPREAD_BOUND
+    # ...but genuine above-1.0 disagreement still alerts even when
+    # one sentinel sits below baseline
+    mixed = {"a": 1.31, "b": 0.9, "c": 1.02}
+    assert bench.sentinel_spread(mixed) > bench.SENTINEL_SPREAD_BOUND
     # degenerate inputs are neutral, never a crash
     assert bench.sentinel_spread({}) == 1.0
     assert bench.sentinel_spread({"a": 1.3}) == 1.0
