@@ -3362,7 +3362,8 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-length pass (O(n log n) per doc, JVM codegen), and the distinct
     bigram count is adjacent-inequality over the sorted bigram array
     via index-aware ``filter``. The only exchange left is `_spread`'s
-    tiny fixture-parallelism repartition of raw doc rows. Everything
+    tiny fixture-parallelism repartition of raw doc rows (conditional
+    since r13 — absent entirely on a pre-split production scan). Everything
     JVM-side; ratios are exact int/int double divisions so the oracle
     hash-matches bitwise."""
     docs = read_table(spark, sf_dir, "documents")

@@ -1478,7 +1478,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric). The char histogram is a run-length pass over the SORTED
     char array: one `array_sort` + one linear `aggregate` per doc,
     JVM codegen, no join, no explode; the only exchange is `_spread`'s
-    raw-row fixture repartition. Run lengths in the sorted array ARE
+    raw-row fixture repartition (conditional since r13 — absent
+    entirely on a pre-split production scan). Run lengths in the sorted array ARE
     the per-char counts, each -p·ln(p) term is quantized to BIGINT
     micro-units from the same (run, n) integers the oracle's (cnt, n)
     produce, and integer summation makes the differing term order
