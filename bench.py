@@ -475,13 +475,6 @@ def run_sf1() -> None:
 
     t01 = _time_set(spark, queries, SF1_QUERIES, sf01_dir)
     t1 = _time_set(spark, queries, SF1_QUERIES, sf1_dir)
-    # scaling exponent: 1.0 = linear in data size, <1 sublinear (fixed
-    # costs amortizing), >1 superlinear (a finding). Self-normalized:
-    # both scales timed in this session, so host load cancels.
-    exponents = {
-        n: round(math.log10(max(t1[n], 1e-3) / max(t01[n], 1e-3)), 2)
-        for n in SF1_QUERIES
-    }
 
     base_path = os.path.join(here, SF1_BASELINE_PATH)
     frozen_now = False
@@ -516,6 +509,17 @@ def run_sf1() -> None:
         raw_sentinels = sentinel_ratios(t1, baseline)
         sentinels_remeasured = True
     spread_val = sentinel_spread(raw_sentinels)
+    # scaling exponent: 1.0 = linear in data size, <1 sublinear (fixed
+    # costs amortizing), >1 superlinear (a finding). Self-normalized:
+    # both scales timed in this session, so host load cancels.
+    # Computed AFTER the sentinel re-measure merge (r13 review fix):
+    # exponents from the pre-merge t1 could flag a superlinear finding
+    # the same run's re-measurement had just disproved, and would
+    # disagree with the queries_sf1 values shipped beside them.
+    exponents = {
+        n: round(math.log10(max(t1[n], 1e-3) / max(t01[n], 1e-3)), 2)
+        for n in SF1_QUERIES
+    }
     raw_norm = session_ratio(t1, baseline)
     norm = gate_norm(raw_norm)
     regressions = compute_regressions(
@@ -648,7 +652,6 @@ def main() -> None:
             trials[name].append(round(time.perf_counter() - t0, 3))
 
     all_timings = {name: sorted(ts)[1] for name, ts in trials.items()}
-    spread = {name: [min(ts), max(ts)] for name, ts in trials.items()}
 
     # Per-query regression gate vs the previous round's bench: flag
     # anything slower than REGRESSION_FACTOR× its baseline (median-of-3
@@ -666,8 +669,15 @@ def main() -> None:
         all_timings = merge_remeasured(all_timings, fresh)
         raw_sentinels = sentinel_ratios(all_timings, baseline)
         sentinels_remeasured = True
+        # the fresh medians join the trial record so the sidecar's
+        # per-query [min, max] stays consistent with the merged
+        # median (r13 review fix: a merged median below its own
+        # recorded min is an impossible artifact row)
+        for s, sec in fresh.items():
+            trials.setdefault(s, []).append(sec)
     spread_val = sentinel_spread(raw_sentinels)
     spread_alert = spread_val > SENTINEL_SPREAD_BOUND
+    spread = {name: [min(ts), max(ts)] for name, ts in trials.items()}
     timings = {name: all_timings[name] for name in HEADLINE}
     total = round(sum(timings.values()), 3)
     deltas = {

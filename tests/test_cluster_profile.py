@@ -39,6 +39,27 @@ def test_checked_in_profile_parses_and_covers_the_design_claims():
     assert conf[PIN_DIR_KEY]
 
 
+def test_load_profile_accepts_all_properties_separators(tmp_path):
+    """java.util.Properties (what spark-submit --properties-file
+    uses) accepts space, '=', ':', and tab separators — one profile
+    must load identically under both entry points (r13 review fix)."""
+    p = tmp_path / "seps.conf"
+    p.write_text(
+        "spark.a 1\n"
+        "spark.b=2\n"
+        "spark.c: 3\n"
+        "spark.d\t4\n"
+        "spark.e = 5\n"
+    )
+    assert load_profile(str(p)) == {
+        "spark.a": "1",
+        "spark.b": "2",
+        "spark.c": "3",
+        "spark.d": "4",
+        "spark.e": "5",
+    }
+
+
 def test_load_profile_rejects_malformed_lines(tmp_path):
     bad = tmp_path / "bad.conf"
     bad.write_text("not_a_spark_key true\n")

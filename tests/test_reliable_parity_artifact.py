@@ -94,9 +94,25 @@ def test_pin_observer_records_and_detaches(spark):
         pin_mod._observer = None
     assert calls, "observer did not fire on a direct pin() call"
 
-    # pin_using_queries detaches on exceptions too
+    # pin_using_queries detaches on exceptions too (strict mode raises)
     from wiki_data_pipeline_spark import testing as t
 
     with pytest.raises(KeyError):
         t.pin_using_queries(spark, "/nonexistent", names=["not_a_query"])
+    assert pin_mod._observer is None
+
+    # tool mode (strict=False): a failing builder is recorded and
+    # conservatively INCLUDED instead of aborting discovery (r13
+    # review fix — one broken builder must not block the whole
+    # RELIABLE_PARITY regeneration)
+    errs: dict = {}
+    got = t.pin_using_queries(
+        spark,
+        "/nonexistent",
+        names=["dedup_exact"],
+        strict=False,
+        errors=errs,
+    )
+    assert got == {"dedup_exact"}
+    assert "dedup_exact" in errs
     assert pin_mod._observer is None

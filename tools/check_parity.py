@@ -81,9 +81,16 @@ def main() -> int:
         # reliable tier's DFS writes
         from wiki_data_pipeline_spark.testing import pin_using_queries
 
-        live = pin_using_queries(spark, sf_dir, selected)
+        build_errors: dict[str, str] = {}
+        live = pin_using_queries(
+            spark, sf_dir, selected, strict=False, errors=build_errors
+        )
         selected = [n for n in selected if n in live]
         print(f"-- pin-sites: {len(selected)} queries route through pin()")
+        for n, err in build_errors.items():
+            # conservatively swept (included): the main loop below
+            # records the honest err row instead of discovery dying
+            print(f"-- pin-sites: {n} failed to build during discovery: {err}")
     if pin_mode is not None:
         from wiki_data_pipeline_spark.operators.pin import (
             PIN_DIR_KEY,

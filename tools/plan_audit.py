@@ -87,7 +87,13 @@ def audit_plan(plan: str) -> dict:
 # the bounding Aggregate/Limit are unambiguous on the nodes, brittle
 # in the string form.
 
-_WINDOW_NODES = {"WindowExec", "WindowGroupLimitExec"}
+# Only WindowExec is the hazard: WindowGroupLimitExec is Spark's
+# rank-limit PUSHDOWN (a partial-mode WGL above a scan keeps k rows
+# per partition — scale-safe by construction, and the reason a
+# partition-less rank()<=k plan avoids the global sort), so it counts
+# as a BOUND below, never as a violation itself (r13 review fix: the
+# first cut flagged the partial WGL and excused the costly Final one).
+_WINDOW_NODES = {"WindowExec"}
 _BOUNDING_NODES = {
     # aggregates: output is group-count-sized, not input-sized
     "HashAggregateExec",

@@ -21,20 +21,26 @@ from pyspark.sql import SparkSession
 
 
 def load_profile(path: str) -> dict[str, str]:
-    """Parse a Spark properties file (``key value`` lines, ``#``
-    comments) into a conf dict — the format of
-    conf/spark-cluster-profile.conf (and of ``spark-submit
-    --properties-file``, so one profile serves both entry points)."""
+    """Parse a Spark properties file into a conf dict — the format of
+    conf/spark-cluster-profile.conf and of ``spark-submit
+    --properties-file``, so one profile serves both entry points.
+    Java's Properties accepts ``key value``, ``key=value``,
+    ``key: value``, and tab separators; all four load identically
+    here (r13 review fix — the first cut split on a single space
+    only, so an ``=``-separated file loaded under spark-submit but
+    raised here, breaking the dual-entry-point contract)."""
+    import re
+
     conf: dict[str, str] = {}
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
             line = raw.strip()
-            if not line or line.startswith("#"):
+            if not line or line.startswith(("#", "!")):
                 continue
-            key, _, value = line.partition(" ")
-            value = value.strip()
-            if not key.startswith("spark.") or not value:
+            m = re.match(r"([^\s=:]+)\s*[=:\s]\s*(.+)$", line)
+            if not m or not m.group(1).startswith("spark."):
                 raise ValueError(f"malformed profile line: {raw!r}")
+            key, value = m.group(1), m.group(2).strip()
             if key in conf:
                 raise ValueError(f"duplicate profile key: {key}")
             conf[key] = value
