@@ -442,6 +442,43 @@ SF1_BASELINE_PATH = "BENCH_SF1_BASELINE.json"
 SF1_ABS_FLOOR_SEC = 5.0  # 10x data -> 10x the sf0.1 floor
 
 
+def replica_layout_fingerprint(sf1_dir: str) -> dict[str, dict[str, int]]:
+    """Physical layout of the x10 replica's non-dim tables: non-empty
+    part-file count and total parquet row-group count per table.
+
+    Why this is gated (r13): the sf1 baselines are append-only values
+    frozen against a SPECIFIC replica layout — the lineitem replica is
+    one 6M-row row group, so scan-bound x10 timings are single-core
+    measurements (root-caused in NOTES_r13.md). If build_scaled's
+    write path ever changes the layout, every scan-bound query's x10
+    time shifts for reasons that have nothing to do with code, and a
+    faster layout would strand the frozen baselines slow — a future
+    genuine regression could then hide inside the stale baseline. The
+    fingerprint makes that drift loud: the baseline records the layout
+    it was frozen against, and a mismatch ships as
+    replica_layout_changed=true (re-freeze the baseline in the same
+    commit that changes the layout)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    fp: dict[str, dict[str, int]] = {}
+    for t in ("lineitem", "orders", "documents", "events", "embeddings"):
+        files = 0
+        row_groups = 0
+        for p in sorted(
+            _glob.glob(os.path.join(sf1_dir, f"{t}.parquet", "part-*.parquet"))
+        ):
+            md = _pq.ParquetFile(p).metadata
+            if md.num_rows:
+                files += 1
+                # empty part files still carry one empty row group —
+                # only rows-bearing files shape scan parallelism
+                row_groups += md.num_row_groups
+        fp[t] = {"files": files, "row_groups": row_groups}
+    return fp
+
+
 def _time_set(spark, queries, names, sf_dir, trials=3) -> dict[str, float]:
     for name in names:  # warmup: codegen + parquet footers
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -493,12 +530,29 @@ def run_sf1() -> None:
     # values are NEVER refreshed here (same discipline as
     # tools/freeze_baseline.py)
     new_names = sorted(set(t1) - set(baseline))
-    if new_names:
+    # replica-layout fingerprint (r13): stamp the layout the baselines
+    # were frozen against (once, if absent) and flag any later drift
+    layout = replica_layout_fingerprint(sf1_dir)
+    layout_stamped = "replica_layout" not in doc0
+    if layout_stamped:
+        doc0["replica_layout"] = layout
+    layout_changed = doc0["replica_layout"] != layout
+    if new_names or layout_stamped:
         baseline.update({n: t1[n] for n in new_names})
-        appended = doc0.setdefault("appended", {})
-        appended[f"append_{len(appended) + 1}"] = new_names
+        if new_names:
+            appended = doc0.setdefault("appended", {})
+            appended[f"append_{len(appended) + 1}"] = new_names
         with open(base_path, "w", encoding="utf-8") as f:
             json.dump(doc0, f, indent=1)
+    if layout_changed:
+        print(
+            "-- WARNING: x10 replica layout differs from the one the "
+            "sf1 baselines were frozen against — every scan-bound x10 "
+            "timing shifted for non-code reasons; re-freeze "
+            f"{SF1_BASELINE_PATH} in the same commit that changed the "
+            "layout",
+            file=sys.stderr,
+        )
     # sentinel agreement check (r13) — same retry/merge as the sf0.1
     # gate; see SENTINEL_SPREAD_BOUND
     raw_sentinels = sentinel_ratios(t1, baseline)
@@ -543,6 +597,8 @@ def run_sf1() -> None:
         "sentinel_spread": round(spread_val, 3),
         "sentinel_spread_alert": spread_val > SENTINEL_SPREAD_BOUND,
         "sentinels_remeasured": sentinels_remeasured,
+        "replica_layout": layout,
+        "replica_layout_changed": layout_changed,
         "regressions_over_2x": regressions,
         "regressions_over_2x_normalized": {
             n: round(t1[n] / baseline[n] / norm, 2) for n in regressions

@@ -1128,6 +1128,39 @@ def test_bench_sentinel_spread_guard():
     assert t2["x"] == 9.0
 
 
+def test_replica_layout_fingerprint(tmp_path):
+    """The x10 replica layout fingerprint (r13): counts non-empty
+    part files and total row groups per table — the physical facts
+    the frozen sf1 baselines depend on (a single-row-group fact file
+    makes scan-bound x10 timings single-core; see NOTES_r13.md). A
+    layout change must flip the fingerprint."""
+    import os
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    d = tmp_path / "lineitem.parquet"
+    d.mkdir()
+    # one empty part (Spark writes these), one with two row groups
+    pq.write_table(pa.table({"a": pa.array([], pa.int64())}),
+                   str(d / "part-00000.parquet"))
+    pq.write_table(pa.table({"a": list(range(10))}),
+                   str(d / "part-00001.parquet"), row_group_size=5)
+    fp = bench.replica_layout_fingerprint(str(tmp_path))
+    assert fp["lineitem"] == {"files": 1, "row_groups": 2}
+    # absent tables read as zeros, not a crash
+    assert fp["orders"] == {"files": 0, "row_groups": 0}
+    # a re-layout (more files) flips the fingerprint
+    pq.write_table(pa.table({"a": [1, 2]}), str(d / "part-00002.parquet"))
+    assert bench.replica_layout_fingerprint(str(tmp_path)) != fp
+
+
 def test_sf1_gate_tier_membership():
     """The gated sf1 tier (bench.py SF1_QUERIES) covers the ENTIRE
     registry (r11 final widening — the sf1 gate has caught five
