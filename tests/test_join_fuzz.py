@@ -338,3 +338,23 @@ def test_sessionize_gap_boundary_fuzz_vs_duckdb(spark):
     con.close()
     assert len(got) > 100
     assert got == want
+
+
+def test_cogrouped_asof_survives_output_pruning(spark):
+    """count() regression pin (r14, caught by the driver-contract
+    verify): when a parent prunes the cogrouped-map's output columns
+    (count() needs none), Spark's column pruning used to strip the
+    RIGHT cogroup child down to its grouping key because both children
+    carried identical attribute exprIds (same parent events frame) —
+    the pandas function then received v=['bucket'] and KeyError'd.
+    join_cogrouped_asof now mints fresh exprIds on the view side; this
+    pins that count() — a plan shape no parity/noop run exercises —
+    both runs and agrees with the collected row count."""
+    from wiki_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["join_cogrouped_asof"](
+        spark, "/root/testdata/sf0.001"
+    )
+    n = df.count()  # used to raise PythonException(KeyError: 'ts')
+    assert n == len(df.collect())
+    assert n > 0

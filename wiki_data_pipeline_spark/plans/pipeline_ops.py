@@ -3184,8 +3184,9 @@ def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase in sequence order; point-in-time correctness excludes
     it). merge_asof on ts alone leaked exactly that future row once
     the adversarial fixture gained four same-instant events, so the
-    asof now runs on a per-bucket dense rank of (ts, event_id) built
-    over the UNION of both sides — backward match on that key IS the
+    asof now runs on a per-bucket lexicographic rank of (ts, event_id)
+    built over the UNION of both sides (np.lexsort, r14) — backward
+    match on that key IS the
     oracle's ``v.ts < p.ts OR (v.ts = p.ts AND v.event_id <=
     p.event_id)`` predicate, and the picked row is its
     ``max(struct(ts, event_id))``.
@@ -3196,8 +3197,22 @@ def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch for semantics built-ins can't express)."""
     events = read_table(spark, sf_dir, "events")
     bucket = (F.col("user_id") % 32).alias("bucket")
+    # r14 (caught by the driver-contract verify, present since r10):
+    # the view side re-aliases every column to mint FRESH attribute
+    # exprIds. Both cogroup children derive from the same events frame,
+    # so without this they carry IDENTICAL attribute IDs — and under a
+    # parent that prunes the cogroup output (e.g. count()), Spark's
+    # column pruning attributes the shared IDs to the left child and
+    # prunes the right child down to its grouping key alone: the
+    # cogrouped function then receives v=['bucket'] and KeyErrors.
+    # Distinct IDs make the right child's column demand visible to the
+    # optimizer; noop/collect plans were unaffected (nothing pruned),
+    # which is why parity never saw it.
     views = events.filter(F.col("event_type") == "view").select(
-        bucket, "user_id", "ts", "event_id"
+        bucket,
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         bucket, "user_id", "ts", "event_id"
@@ -3214,32 +3229,57 @@ def join_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        p = pdfs.drop(columns=["bucket"]).sort_values(
-            ["ts", "event_id"]
-        ).reset_index(drop=True)
-        v = vdfs.drop(columns=["bucket"]).sort_values(
-            ["ts", "event_id"]
-        ).reset_index(drop=True)
-        if p.empty or v.empty:
+        if pdfs.empty or vdfs.empty:
             return pd.DataFrame(
                 columns=["user_id", "purchase_id", "view_id", "lag_us"]
             )
-        # dense (ts, event_id) rank over the UNION of both sides: the
-        # asof key that makes backward matching lexicographic — at
-        # tied timestamps only smaller-event_id views precede (the
-        # oracle's tie predicate); overflow-free (no ts*K+id packing)
-        u = (
-            pd.concat([p[["ts", "event_id"]], v[["ts", "event_id"]]])
-            .sort_values(["ts", "event_id"])
-            .drop_duplicates()
-            .reset_index(drop=True)
+        # (ts, event_id) rank over the UNION of both sides: the asof
+        # key that makes backward matching lexicographic — at tied
+        # timestamps only smaller-event_id views precede (the oracle's
+        # tie predicate); overflow-free (no ts*K+id packing). r14: ONE
+        # np.lexsort over the union replaces the r13 pandas concat +
+        # drop_duplicates + two hash merges (which tripled per-bucket
+        # Python work and breached the 2× bench gate, BENCH_r13) AND
+        # the two per-side sort_values — the union order contains each
+        # side's sorted order, so both merge_asof inputs are carved
+        # from the same sort. event_ids are unique across the events
+        # table, so ranks need not be dense or deduplicated — any
+        # strictly order-preserving map of the lexicographic order is
+        # a valid merge_asof key (views are concatenated FIRST so even
+        # a hypothetical exact (ts, event_id) collision would rank the
+        # view before the purchase, matching the oracle's
+        # `v.event_id <= p.event_id`).
+        v_ts = vdfs["ts"].to_numpy()
+        p_ts = pdfs["ts"].to_numpy()
+        nv = len(v_ts)
+        ts_all = np.concatenate([v_ts, p_ts])
+        id_all = np.concatenate(
+            [vdfs["event_id"].to_numpy(), pdfs["event_id"].to_numpy()]
         )
-        u["seq"] = np.arange(len(u), dtype="int64")
-        p = p.merge(u, on=["ts", "event_id"], how="left")
-        v = v.merge(u, on=["ts", "event_id"], how="left")
+        order = np.lexsort((id_all, ts_all))
+        seq = np.empty(len(order), dtype="int64")
+        seq[order] = np.arange(len(order), dtype="int64")
+        v_idx = order[order < nv]  # v rows in ascending-seq order
+        p_idx = order[order >= nv] - nv
+        v = pd.DataFrame(
+            {
+                "user_id": vdfs["user_id"].to_numpy()[v_idx],
+                "v_ts": v_ts[v_idx],
+                "view_id": id_all[:nv][v_idx],
+                "seq": seq[:nv][v_idx],
+            }
+        )
+        p = pd.DataFrame(
+            {
+                "user_id": pdfs["user_id"].to_numpy()[p_idx],
+                "ts": p_ts[p_idx],
+                "event_id": id_all[nv:][p_idx],
+                "seq": seq[nv:][p_idx],
+            }
+        )
         merged = pd.merge_asof(
             p,
-            v.rename(columns={"ts": "v_ts", "event_id": "view_id"}),
+            v,
             on="seq",
             by="user_id",
             direction="backward",
