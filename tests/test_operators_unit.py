@@ -966,6 +966,24 @@ def test_bench_gate_covers_entire_registry():
         f"queries registered but missing a frozen bench baseline "
         f"(run bench.py then tools/freeze_baseline.py): {sorted(unfrozen)}"
     )
+    # ...and the other direction (r14, verdict item 4): a baseline row
+    # whose query was de-registered is dead weight that misstates the
+    # gated surface (r12's sketch_approx_distinct lingered for two
+    # rounds). Baseline key set must EQUAL the registry — mirroring
+    # the RELIABLE_PARITY set-equality meta-test.
+    stale = set(baseline) - registered
+    assert not stale, (
+        f"bench baseline rows for de-registered queries "
+        f"(drop them from BENCH_BASELINE.json): {sorted(stale)}"
+    )
+    sf1_path = os.path.join(root, "BENCH_SF1_BASELINE.json")
+    if os.path.exists(sf1_path):
+        sf1 = json.load(open(sf1_path, encoding="utf-8"))["queries"]
+        assert set(sf1) == registered, (
+            f"BENCH_SF1_BASELINE.json keys diverge from the registry: "
+            f"stale={sorted(set(sf1) - registered)} "
+            f"missing={sorted(registered - set(sf1))}"
+        )
     unknown_headline = set(bench.HEADLINE) - registered
     assert not unknown_headline, sorted(unknown_headline)
 

@@ -33,6 +33,7 @@ import re
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(
     0,
@@ -389,3 +390,34 @@ def test_round_plan_variants_are_auditable(spark, sf_dir):
         assert a["cartesian"] == 0, f"{name}: cartesian at fixture SF"
         assert a["row_python"] == 0, f"{name}: row-at-a-time Python"
         assert a["scans"] >= 1, f"{name}: no source scan visible"
+
+
+def test_window_audit_catches_reexpanded_bound(spark):
+    """r14 (ADVICE): a bound BELOW a row-multiplying operator does not
+    bound the window — explode(agg(...)) re-expands cardinality, so a
+    partition-less window above it must flag even though an Aggregate
+    sits in the subtree. The pre-fix audit searched the whole subtree
+    for any bound and passed exactly this shape."""
+    from pyspark.sql import Window
+
+    from plan_audit import unbounded_global_windows
+
+    agged = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("g"))
+        .agg(F.collect_list("id").alias("ids"))
+    )
+    # bounded: partition-less window directly over the aggregate
+    w = Window.orderBy("g")
+    bounded = agged.select("g", F.row_number().over(w).alias("r"))
+    assert unbounded_global_windows(bounded) == []
+    # re-expanded: explode between the aggregate and the window
+    exploded = agged.select("g", F.explode("ids").alias("id"))
+    w2 = Window.orderBy("id")
+    reexpanded = exploded.select(
+        "id", F.row_number().over(w2).alias("r")
+    )
+    assert unbounded_global_windows(reexpanded), (
+        "window over explode(agg(...)) must flag: the aggregate bound "
+        "is re-expanded by the explode"
+    )

@@ -120,9 +120,27 @@ def _jchildren(node):
     return [ch.apply(i) for i in range(ch.length())]
 
 
+# Row-multiplying nodes BETWEEN a bound and the window re-expand
+# cardinality, so a bound below them does not bound the window's
+# frame (r14, ADVICE: a partition-less window over explode(agg(...))
+# sorted a re-expanded frame on one partition yet passed the audit).
+# The bounded-subtree search must stop when it crosses one. Joins:
+# every join exec can multiply rows (even Left/Semi variants change
+# cardinality in ways the audit can't bound statically), so any
+# *Join* node name stops the search.
+_ROW_MULTIPLYING_NODES = {"GenerateExec", "ExpandExec"}
+
+
+def _is_row_multiplying(name: str) -> bool:
+    return name in _ROW_MULTIPLYING_NODES or "Join" in name
+
+
 def _subtree_is_bounded(node) -> bool:
-    if node.getClass().getSimpleName() in _BOUNDING_NODES:
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING_NODES:
         return True
+    if _is_row_multiplying(name):
+        return False
     return any(_subtree_is_bounded(c) for c in _jchildren(node))
 
 

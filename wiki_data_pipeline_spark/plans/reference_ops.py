@@ -627,7 +627,14 @@ def l2_fifo_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 20 smallest ids either way — but the window's single-partition
     frame is then 20 rows by construction instead of the whole queue,
     which is the difference between a peek and a corpus sort at
-    100 TB."""
+    100 TB.
+
+    NOTE: Spark still logs ``WARN WindowExec: No Partition Defined``
+    for this plan — that warning is generic to any partition-less
+    window and cannot see the 20-row bound. It is expected and safe
+    here (SCALE.md "Ordering, top-k, global indexing" documents it for
+    operators reading driver logs); the plan audit asserts the bound
+    instead of muting the logger."""
     events = read_table(spark, sf_dir, "events")
     head = (
         events.select("event_id", "event_type").orderBy("event_id").limit(20)

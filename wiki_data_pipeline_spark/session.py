@@ -28,8 +28,20 @@ def load_profile(path: str) -> dict[str, str]:
     ``key: value``, and tab separators; all four load identically
     here (r13 review fix — the first cut split on a single space
     only, so an ``=``-separated file loaded under spark-submit but
-    raised here, breaking the dual-entry-point contract)."""
+    raised here, breaking the dual-entry-point contract).
+
+    Divergence semantics also mirror ``--properties-file`` (r14,
+    ADVICE — the r13 cut raised on non-``spark.`` keys and duplicate
+    keys, so a file that loaded fine natively could raise here):
+    non-``spark.`` keys are WARNED and skipped (spark-submit logs
+    "Ignoring non-Spark config property"), and duplicate keys are
+    last-wins with a warning (java.util.Properties.load overwrites).
+    The one place this stays deliberately stricter than Properties is
+    a key with NO value — Properties admits an empty value, but an
+    empty conf value in a deployment profile is a profile bug and
+    raises here."""
     import re
+    import warnings
 
     conf: dict[str, str] = {}
     with open(path, encoding="utf-8") as fh:
@@ -38,11 +50,22 @@ def load_profile(path: str) -> dict[str, str]:
             if not line or line.startswith(("#", "!")):
                 continue
             m = re.match(r"([^\s=:]+)\s*[=:\s]\s*(.+)$", line)
-            if not m or not m.group(1).startswith("spark."):
+            if not m:
                 raise ValueError(f"malformed profile line: {raw!r}")
             key, value = m.group(1), m.group(2).strip()
+            if not key.startswith("spark."):
+                warnings.warn(
+                    f"ignoring non-Spark config property in {path}: "
+                    f"{key}",
+                    stacklevel=2,
+                )
+                continue
             if key in conf:
-                raise ValueError(f"duplicate profile key: {key}")
+                warnings.warn(
+                    f"duplicate profile key {key} in {path}: "
+                    f"last value wins (Properties semantics)",
+                    stacklevel=2,
+                )
             conf[key] = value
     return conf
 
