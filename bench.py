@@ -447,17 +447,20 @@ def replica_layout_fingerprint(sf1_dir: str) -> dict[str, dict[str, int]]:
     part-file count and total parquet row-group count per table.
 
     Why this is gated (r13): the sf1 baselines are append-only values
-    frozen against a SPECIFIC replica layout — the lineitem replica is
-    one 6M-row row group, so scan-bound x10 timings are single-core
-    measurements (root-caused in NOTES_r13.md). If build_scaled's
-    write path ever changes the layout, every scan-bound query's x10
-    time shifts for reasons that have nothing to do with code, and a
-    faster layout would strand the frozen baselines slow — a future
-    genuine regression could then hide inside the stale baseline. The
-    fingerprint makes that drift loud: the baseline records the layout
-    it was frozen against, and a mismatch ships as
-    replica_layout_changed=true (re-freeze the baseline in the same
-    commit that changes the layout)."""
+    frozen against a SPECIFIC replica layout — r13's replica packed
+    each fact table into ONE row group, so scan-bound x10 timings
+    were single-core measurements (root-caused in NOTES_r13.md;
+    build_scaled writes 4·mult files per fact table since r14, and
+    the baselines were re-frozen against that layout in the same
+    commit). If build_scaled's write path ever changes the layout
+    again, every scan-bound query's x10 time shifts for reasons that
+    have nothing to do with code, and a faster layout would strand
+    the frozen baselines slow — a future genuine regression could
+    then hide inside the stale baseline. The fingerprint makes that
+    drift loud: the baseline records the layout it was frozen
+    against, and a mismatch ships as replica_layout_changed=true
+    (re-freeze the baseline in the same commit that changes the
+    layout)."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -514,11 +517,21 @@ def run_sf1() -> None:
     t1 = _time_set(spark, queries, SF1_QUERIES, sf1_dir)
 
     base_path = os.path.join(here, SF1_BASELINE_PATH)
+    layout = replica_layout_fingerprint(sf1_dir)
     frozen_now = False
     if not os.path.exists(base_path):
+        # Freeze timings AND the layout fingerprint from the SAME run
+        # against the SAME replica, so the baseline's provenance is
+        # self-evident — no retroactive stamping (r13 ADVICE: a stamp
+        # written later than the freeze could bless a rebuilt replica
+        # the frozen timings never saw).
         with open(base_path, "w", encoding="utf-8") as f:
             json.dump(
-                {"sf": 1.0, "note": "frozen at first --sf1 run (r9)",
+                {"sf": 1.0,
+                 "note": "timings and replica_layout frozen together "
+                         "at this file's creating --sf1 run "
+                         "(re-frozen r14: multi-file replica layout)",
+                 "replica_layout": layout,
                  "queries": t1},
                 f, indent=1,
             )
@@ -530,9 +543,11 @@ def run_sf1() -> None:
     # values are NEVER refreshed here (same discipline as
     # tools/freeze_baseline.py)
     new_names = sorted(set(t1) - set(baseline))
-    # replica-layout fingerprint (r13): stamp the layout the baselines
-    # were frozen against (once, if absent) and flag any later drift
-    layout = replica_layout_fingerprint(sf1_dir)
+    # replica-layout fingerprint (r13): flag drift from the layout the
+    # baselines were frozen against. The stamp-if-absent branch only
+    # exists for pre-r14 baseline files (fresh freezes above carry the
+    # fingerprint from birth); its retroactive-blessing caveat is
+    # recorded in NOTES_r13.md §9 / the r13 ADVICE entry.
     layout_stamped = "replica_layout" not in doc0
     if layout_stamped:
         doc0["replica_layout"] = layout

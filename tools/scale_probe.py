@@ -198,6 +198,22 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
     done = os.path.join(out, "_DONE")
     if os.path.exists(done) and _complete(out):
         return out
+
+    # Replica tables are written through an explicit repartition so the
+    # layout is multi-file (r14, verdict item 3). The broadcast
+    # crossJoin preserves the SOURCE's partitioning — one single-file
+    # fixture scan in, one output file with ONE giant row group out —
+    # and parquet cannot split inside a row group, so every scan-bound
+    # x10 measurement was a single-core measurement (NOTES_r13 §9: the
+    # (11+1)/12 straggler stage; q1's exponent partly an artifact; the
+    # sentinel-spread alert). 4·mult files (x10 → 40 ≥ the 32 local
+    # cores) restores the scan parallelism a real 10× dataset would
+    # have. Fixed formula, not defaultParallelism: the layout must not
+    # depend on which session (local[32] bench vs local[8] heap probe)
+    # happens to build the replica first. Baselines are re-frozen
+    # against this layout in the same commit (replica_layout
+    # fingerprint in BENCH_SF1_BASELINE.json).
+    n_files = 4 * mult
     from wiki_data_pipeline_spark.io import read_table
 
     docs = read_table(spark, SRC, "documents")
@@ -249,10 +265,10 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
     )
-    scaled_docs.write.mode("overwrite").parquet(
+    scaled_docs.repartition(n_files).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
-    scaled_emb.write.mode("overwrite").parquet(
+    scaled_emb.repartition(n_files).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
     # events: replicate with offset user/event ids (decorrelated users —
@@ -270,7 +286,7 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
         "value",
         "props",
     )
-    scaled_events.write.mode("overwrite").parquet(
+    scaled_events.repartition(n_files).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
     # star-schema facts: lineitem + orders replicate with offset
@@ -284,12 +300,16 @@ def build_scaled(spark, workdir: str, mult: int) -> str:
     orders.crossJoin(reps).select(
         (F.col("o_orderkey") + F.col("k") * max_ok).alias("o_orderkey"),
         *[c for c in orders.columns if c != "o_orderkey"],
-    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
     lineitem = read_table(spark, SRC, "lineitem")
     lineitem.crossJoin(reps).select(
         (F.col("l_orderkey") + F.col("k") * max_ok).alias("l_orderkey"),
         *[c for c in lineitem.columns if c != "l_orderkey"],
-    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
     for dim in ("customer", "supplier", "part", "nation", "region"):
         link = os.path.join(out, f"{dim}.parquet")
         # lexists, not exists: a BROKEN symlink (SRC moved) fails the
