@@ -2389,7 +2389,14 @@ def cdc_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both sides compact map-side before a key-equi join of two
     ≤|keys| tables (never event×event); delta is id-bounded
-    (high-watermark resume). The version tie-break is total (event_id
+    (high-watermark resume). Both sides grow with |users| — neither is
+    fixed-size — so the classification join is a DESIGNED shuffle join
+    at 100 TB: Catalyst broadcasts it at fixture SF and flips to
+    SortMergeJoin once stats outgrow the threshold (observed at x10
+    with the r14 multi-file replica; registered as an expected flip in
+    tools/plan_scale_diff.py EXPECTED_SHUFFLE_AT_SCALE — do not "fix"
+    with a broadcast hint, which would OOM the build side at scale).
+    The version tie-break is total (event_id
     unique), so both engines classify identically. Compaction is
     operators/cdc.py compact_latest (version-only payload)."""
     from wiki_data_pipeline_spark.operators.cdc import compact_latest
