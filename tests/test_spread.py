@@ -107,3 +107,32 @@ def test_spread_gate_adds_no_exchange_to_presplit_plan(spark):
     single = read_table(spark, SF_DIR, "documents")
     if single.rdd.getNumPartitions() < target:
         assert "RoundRobinPartitioning" in _physical(pipeline(single))
+
+
+def test_spread_memoizes_equivalent_plans(spark):
+    """r14: the probe decision is memoized on (exprId-normalized
+    analyzed plan, sizeInBytes, target, maxPartitionBytes) — the
+    measured fix for the r13 drift (~115 ms of py4j probing per call
+    on every query construction). Two independently-built but
+    equivalent frames must share ONE cache entry and the SAME
+    decision; a different target must key separately."""
+    from wiki_data_pipeline_spark.operators import spread as mod
+
+    mod._clear_decision_cache()
+    target = spark.sparkContext.defaultParallelism
+
+    def fresh():
+        return read_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+
+    out1 = spread(fresh())
+    assert len(mod._DECISIONS) == 1
+    out2 = spread(fresh())
+    assert len(mod._DECISIONS) == 1  # hit, not a second probe
+    # same decision both times (both repartition or both pass)
+    assert ("Repartition" in out1._jdf.queryExecution().analyzed().treeString()) == (
+        "Repartition" in out2._jdf.queryExecution().analyzed().treeString()
+    )
+    spread(fresh(), target=target + 7)  # different target -> new key
+    assert len(mod._DECISIONS) == 2
