@@ -83,8 +83,14 @@ MANIFEST: dict[str, dict] = {
         note="3 dedup families joined on pair keys",
     ),
     "dedup_keep_best": dict(
-        max_exchanges=1, max_scans=3, min_bhj=1, max_smj=0, pushdown=True,
-        note="cluster winner via broadcast of the (small) cluster map",
+        max_exchanges=3, max_scans=3, max_smj=1, pushdown=True,
+        note="r15 (verdict item 1): the hard F.broadcast(comp) hint is "
+        "GONE — the components table is dup-rate-sized (a corpus "
+        "fraction, unbounded at 100 TB), so forcing it into every "
+        "executor was an OOM-class hint. Statically the checkpointed "
+        "comp frame has unknown stats -> ONE SortMergeJoin on doc_id "
+        "(the scale-correct plan); AQE owns the runtime choice. The "
+        "2 extra exchanges are that join's two hash exchanges",
     ),
     "dedup_simhash": dict(
         max_exchanges=2, max_scans=3, max_smj=0, pushdown=True,
@@ -92,7 +98,9 @@ MANIFEST: dict[str, dict] = {
     ),
     "dedup_simhash_hamming_histogram": dict(
         max_exchanges=8, max_scans=9, min_bhj=2, max_smj=0, pushdown=True,
-        note="block-join candidates + popcount histogram",
+        note="block-join candidates + popcount histogram; r15: the "
+        "participant semi-filter broadcast is stats-chosen, not "
+        "hinted (pair-participant set is a corpus fraction)",
     ),
     "dedup_minhash_lsh": dict(
         max_exchanges=3, max_scans=3, max_smj=0, pushdown=True,
@@ -149,8 +157,10 @@ MANIFEST: dict[str, dict] = {
     ),
     "contamination_apply_clean": dict(
         max_exchanges=5, max_scans=3, min_bhj=2, max_smj=0, pushdown=True,
-        note="decontamination anti-join MUST broadcast the (small) "
-        "contaminated-id set; an SMJ here shuffles the whole corpus",
+        note="decontamination anti-join broadcasts the contaminated-id "
+        "set BY STATS at fixture scale (r15: the hard hint is gone — "
+        "the flag set is contamination-rate-sized, a corpus fraction, "
+        "so the planner must stay free to flip at scale)",
     ),
     # -- graph / clustering --
     "graph_triangle_stats": dict(
@@ -421,3 +431,79 @@ def test_window_audit_catches_reexpanded_bound(spark):
         "window over explode(agg(...)) must flag: the aggregate bound "
         "is re-expanded by the explode"
     )
+
+
+def test_window_audit_union_needs_all_children_bounded(spark):
+    """r15 (ADVICE): a union's cardinality is the SUM of its children,
+    so union(bounded, corpus-sized) is NOT bounded — the pre-fix any()
+    search blessed a partition-less window over exactly that shape.
+    union(bounded, bounded) stays clean."""
+    from pyspark.sql import Window
+
+    from plan_audit import unbounded_global_windows
+
+    bounded = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select((F.col("k") + F.col("n")).alias("v"))
+    )
+    corpus = spark.range(100_000).select(F.col("id").alias("v"))
+    w = Window.orderBy("v")
+
+    mixed = bounded.unionAll(corpus).select(
+        "v", F.row_number().over(w).alias("r")
+    )
+    assert unbounded_global_windows(mixed), (
+        "union(agg-bounded, corpus-sized) under a partition-less "
+        "window must flag — the union re-introduces the corpus side"
+    )
+
+    bounded2 = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select((F.col("k") * F.col("n")).alias("v"))
+    )
+    both = bounded.unionAll(bounded2).select(
+        "v", F.row_number().over(w).alias("r")
+    )
+    assert unbounded_global_windows(both) == [], (
+        "union of two aggregate-bounded branches is bounded"
+    )
+
+
+def test_window_audit_cartesian_product_stops_bound_search(spark):
+    """r15 (ADVICE): CartesianProductExec's node name does not contain
+    'Join', so the row-multiplying stop-list must name it explicitly —
+    a bound BELOW a cartesian product does not bound the product."""
+    from pyspark.sql import Window
+
+    from plan_audit import unbounded_global_windows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a genuine CartesianProductExec (broadcast disabled;
+        # with it on, the small side becomes a BNLJ which already
+        # stops the search via the 'Join' substring)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        agged = (
+            spark.range(1000)
+            .groupBy((F.col("id") % 10).alias("k"))
+            .agg(F.count("*").alias("n"))
+        )
+        wide = spark.range(50_000).select(F.col("id").alias("j"))
+        prod = agged.crossJoin(wide)
+        plan = prod._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" in plan, (
+            "test setup: expected a CartesianProductExec in the plan"
+        )
+        w = Window.orderBy("j")
+        windowed = prod.select("j", F.row_number().over(w).alias("r"))
+        assert unbounded_global_windows(windowed), (
+            "partition-less window over cartesian(agg, corpus) must "
+            "flag — the aggregate bound is below a row-multiplying "
+            "product"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -127,8 +127,15 @@ def _jchildren(node):
 # The bounded-subtree search must stop when it crosses one. Joins:
 # every join exec can multiply rows (even Left/Semi variants change
 # cardinality in ways the audit can't bound statically), so any
-# *Join* node name stops the search.
-_ROW_MULTIPLYING_NODES = {"GenerateExec", "ExpandExec"}
+# *Join* node name stops the search — and CartesianProductExec, whose
+# name does NOT contain "Join", is listed explicitly (r15 ADVICE: the
+# blanket cartesian==0 asserts cover registered queries, but the
+# bounded-subtree search itself must not bless a bound below one).
+_ROW_MULTIPLYING_NODES = {
+    "GenerateExec",
+    "ExpandExec",
+    "CartesianProductExec",
+}
 
 
 def _is_row_multiplying(name: str) -> bool:
@@ -141,7 +148,15 @@ def _subtree_is_bounded(node) -> bool:
         return True
     if _is_row_multiplying(name):
         return False
-    return any(_subtree_is_bounded(c) for c in _jchildren(node))
+    children = _jchildren(node)
+    if name == "UnionExec":
+        # a union's cardinality is the SUM of its children — one
+        # bounded branch does not bound the union (r15 ADVICE:
+        # union(limit-bounded, corpus-sized) passed the any() search)
+        return bool(children) and all(
+            _subtree_is_bounded(c) for c in children
+        )
+    return any(_subtree_is_bounded(c) for c in children)
 
 
 def unbounded_global_windows(df) -> list[str]:

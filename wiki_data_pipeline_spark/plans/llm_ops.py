@@ -3520,11 +3520,23 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: components from the iterative min-label plan (bounded
     rounds, localCheckpoint lineage control); the quality projection
-    is narrow; the left join keys doc_id (components table ≪ corpus —
-    only clustered docs appear in it, so it broadcasts in practice);
-    the per-component top-1 is a rank-1 window that Spark rewrites to
-    WindowGroupLimit — partial top-1 per map task before the
-    (component_id) exchange, never a full sort of the corpus."""
+    is narrow; the left join keys doc_id with NO broadcast hint (r15,
+    verdict item 1): only clustered docs appear in the components
+    table, but at a realistic dup rate that is a corpus-FRACTION
+    table — it grows with the data, so a hard ``F.broadcast`` would
+    force an OOM-class build into every executor at 100 TB (the exact
+    both-sides-grow shape ``cdc_merge_plan`` refused to hint, NOTES_r14
+    §9). The strategy is now the planner's call from stats: statically
+    the checkpointed components frame has unknown size → SortMergeJoin;
+    at runtime AQE sees the tiny build side but (measured at sf0.1)
+    keeps the shuffle join with local reads — its demote rule fires on
+    the mostly-empty build-side partitions, and the already-written
+    probe shuffle makes conversion pointless. Either outcome is a
+    stats-driven decision that stays safe when comp grows 1000×. The
+    per-component top-1
+    is a rank-1 window that Spark rewrites to WindowGroupLimit —
+    partial top-1 per map task before the (component_id) exchange,
+    never a full sort of the corpus."""
     corpus = _dedup_corpus(spark, sf_dir)
     comp = dedup_cluster_components(spark, sf_dir)
     cc = F.length("text").cast("double")
@@ -3534,9 +3546,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0), awl / 8.0
     )
     scored = corpus.select("doc_id", quality.alias("quality_score"))
-    labeled = scored.join(
-        F.broadcast(comp), "doc_id", "left"
-    ).select(
+    labeled = scored.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component_id", "doc_id").alias("component_id"),
         "quality_score",

@@ -3027,9 +3027,14 @@ def contamination_apply_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     run records next to its data recipe. The actual clean corpus is
     the same anti-join minus the aggregate; this query IS the receipt.
 
-    Scale: the flag set is contamination-rate-sized → broadcast
-    anti-join against the corpus (never a shuffle of the corpus on
-    doc_id), then a |langs|-row aggregate."""
+    Scale: the flag set is contamination-rate-sized, i.e. a corpus
+    FRACTION — it grows with the data, so the reconciliation join
+    carries NO hard broadcast hint (r15, verdict item 1's audit: the
+    same class as dedup_keep_best's components table). The planner's
+    own stats broadcast it at fixture scale, where the flagged set is
+    measurably tiny; at 100 TB it may legitimately choose the doc_id
+    shuffle join instead of an unbounded build side. Then a
+    |langs|-row aggregate."""
     docs = read_table(spark, sf_dir, "documents")
     flagged = _PREG["contamination_ngram_overlap"].fn(spark, sf_dir)
     contaminated = flagged.filter(
@@ -3037,7 +3042,7 @@ def contamination_apply_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     return (
         docs.join(
-            F.broadcast(contaminated.withColumn("hit", F.lit(1))),
+            contaminated.withColumn("hit", F.lit(1)),
             on="doc_id",
             how="left",
         )
@@ -4435,12 +4440,18 @@ def dedup_simhash_hamming_histogram(
 
     Scale: the candidate pairs are materialized once (localCheckpoint
     — pair-sized, tiny vs the corpus) and their participant set is
-    pushed BELOW the SimHash tokenize/aggregate as a broadcast
-    semi-filter, so signatures are computed only for docs that appear
-    in a pair (the inner joins discard all others anyway — identical
-    result, corpus-sized tokenize/hash work saved). Then two point
-    joins of the candidate list against the participant-only signature
-    table + a ≤33-row aggregate."""
+    pushed BELOW the SimHash tokenize/aggregate as a semi-filter, so
+    signatures are computed only for docs that appear in a pair (the
+    inner joins discard all others anyway — identical result,
+    corpus-sized tokenize/hash work saved). The filter join carries NO
+    broadcast hint (r15, verdict item 1's audit): the participant set
+    is dup-rate-sized — a corpus FRACTION that grows with the data —
+    so a hard hint would force an unbounded build side at 100 TB; the
+    planner's own stats still pick broadcast at fixture scale where
+    it is measurably tiny, and are free to flip to the shuffle join
+    once it is not.
+    Then two point joins of the candidate list against the
+    participant-only signature table + a ≤33-row aggregate."""
     from wiki_data_pipeline_spark.plans.llm_ops import (
         _dedup_corpus,
         _simhash_from,
@@ -4455,7 +4466,7 @@ def dedup_simhash_hamming_histogram(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     sh64 = _simhash_from(
-        _dedup_corpus(spark, sf_dir).join(F.broadcast(participants), "doc_id")
+        _dedup_corpus(spark, sf_dir).join(participants, "doc_id")
     )
     sa = sh64.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     sb = sh64.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
