@@ -136,3 +136,73 @@ def test_spread_memoizes_equivalent_plans(spark):
     )
     spread(fresh(), target=target + 7)  # different target -> new key
     assert len(mod._DECISIONS) == 2
+
+
+def test_spread_memo_keys_on_packing_confs(spark):
+    """r15 (ADVICE): the split count is FilePartition packing math, so
+    every packing input keys separately — a mid-session change to
+    openCostInBytes (or maxPartitionBytes) must MISS the memo, not
+    serve the decision computed under the old conf."""
+    from wiki_data_pipeline_spark.operators import spread as mod
+
+    mod._clear_decision_cache()
+    docs = read_table(spark, SF_DIR, "documents")
+    old = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    try:
+        spread(docs)
+        assert len(mod._DECISIONS) == 1
+        spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
+        spread(read_table(spark, SF_DIR, "documents"))
+        assert len(mod._DECISIONS) == 2, (
+            "openCostInBytes change reused the stale decision key"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", old)
+        mod._clear_decision_cache()
+
+
+def test_spread_decision_flips_after_layout_rewrite(spark, tmp_path):
+    """r15 (verdict item 4): a table rewritten in-process into a
+    different number of files — same path, ~same bytes, IDENTICAL plan
+    text — must not be served the pre-rewrite decision. File count is
+    deliberately not in the memo key (recovering it per call would
+    re-introduce the probe cost the memo exists to remove), so the
+    rewrite path calls note_layout_rewrite(); this pins both the flip
+    and the hook's contract."""
+    from wiki_data_pipeline_spark.operators import spread as mod
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "t.parquet")
+    base = spark.range(0, 50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("pad")
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(path)
+
+    mod._clear_decision_cache()
+    single = spark.read.parquet(path)
+    out1 = spread(single)
+    assert out1 is not single, "single-file scan should repartition"
+    stale_key = next(iter(mod._DECISIONS))
+
+    # rewrite IN PLACE to many files (same rows, plan text identical
+    # modulo exprIds; byte size shifts only by per-file footer
+    # overhead — the hazard is precisely that the key may not change)
+    base.repartition(max(target, 32)).write.mode("overwrite").parquet(path)
+    mod.note_layout_rewrite()
+    assert not mod._DECISIONS, "rewrite hook must drop ALL decisions"
+
+    multi = spark.read.parquet(path)
+    out2 = spread(multi)
+    assert out2 is multi, (
+        "post-rewrite multi-file scan must pass through — a stale "
+        "memoized decision would have repartitioned it"
+    )
+    # the recomputed decision must not have landed under the stale key
+    # with the old value (guards against a future key regression IF
+    # the sizes happen to collide)
+    if stale_key in mod._DECISIONS:
+        assert mod._DECISIONS[stale_key] is True
+    mod._clear_decision_cache()

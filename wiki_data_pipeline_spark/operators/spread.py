@@ -62,10 +62,26 @@ from pyspark.sql import DataFrame
 # the string a stable key across re-builds of the same query.
 _ID_RE = re.compile(r"#\d+")
 
-# (normalized analyzed plan, sizeInBytes, target, maxPartitionBytes)
+# (normalized analyzed plan, sizeInBytes, target, maxPartitionBytes,
+# openCostInBytes, minPartitionNum conf, defaultParallelism)
 # -> True = pass through, False = repartition(target). Bounded LRU —
 # a long-lived session building many distinct plans must not grow a
 # driver-side leak.
+#
+# Key completeness (r15, verdict item 4 + ADVICE): the memoized
+# decision is a pure function of the scan's SPLIT COUNT vs target,
+# and split count is FilePartition packing math over (file layout,
+# maxPartitionBytes, openCostInBytes, minPartitionNum/parallelism).
+# The confs are cheap session-local reads, so they live IN the key.
+# The file LAYOUT is not: recovering file count per call would mean
+# a py4j plan walk (the exact per-call cost the r14 memo removed) or
+# transferring the file list (millions of paths at 100 TB). Instead,
+# every in-process path that REWRITES a table's layout under an
+# unchanged path must call :func:`note_layout_rewrite` — a same-size
+# different-file-count rewrite is otherwise invisible to the key
+# (plan text and sizeInBytes both unchanged) and would serve a stale
+# decision. tools/scale_probe.build_scaled (the replica writer) is
+# wired; tests/test_spread.py pins the contract.
 _DECISIONS: OrderedDict[tuple, bool] = OrderedDict()
 _CACHE_CAP = 256
 
@@ -84,8 +100,18 @@ def _plan_has_exchange(tree: str) -> bool:
 
 
 def _clear_decision_cache() -> None:
-    """Test hook: drop memoized decisions (e.g. around fixture
-    rewrites that change a table's layout under an unchanged plan)."""
+    """Test hook: drop memoized decisions."""
+    _DECISIONS.clear()
+
+
+def note_layout_rewrite() -> None:
+    """Invalidate memoized decisions after an IN-PROCESS table-layout
+    rewrite (same path, different file count). Split count depends on
+    the file layout, which is deliberately NOT in the memo key (see
+    the key-completeness note above) — so whoever rewrites a table's
+    files under a path this session may already have probed must call
+    this. A rewrite that lands byte-identical in size with unchanged
+    plan text would otherwise return the pre-rewrite decision."""
     _DECISIONS.clear()
 
 
@@ -98,7 +124,8 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     Decision semantics identical to r13; the probe cost is memoized —
     see the module docstring."""
     spark = df.sparkSession
-    tgt = target or spark.sparkContext.defaultParallelism
+    default_par = spark.sparkContext.defaultParallelism
+    tgt = target or default_par
     qe = df._jdf.queryExecution()
     analyzed = qe.analyzed()
     key = (
@@ -106,6 +133,14 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
         int(analyzed.stats().sizeInBytes()),
         tgt,
         spark.conf.get("spark.sql.files.maxPartitionBytes", None),
+        # the rest of FilePartition's packing inputs (r15): open-cost
+        # padding, the explicit min-split floor, and the parallelism
+        # floor applied when no explicit minimum is set — any of these
+        # changing mid-session changes the split count under an
+        # unchanged plan, so each keys separately
+        spark.conf.get("spark.sql.files.openCostInBytes", None),
+        spark.conf.get("spark.sql.files.minPartitionNum", None),
+        default_par,
     )
     passthrough = _DECISIONS.get(key)
     if passthrough is None:
