@@ -29,9 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotated_names() -> list[str]:
-    """Harness-adapter concern: order the export stalest-first by the
-    driver's own ``CORRECTNESS_r*.json`` artifacts (tools/rotation.py)
-    so its fixed-size sampling prefix refreshes stale coverage first.
+    """Harness-adapter concern: order the export by the driver's own
+    ``CORRECTNESS_r*.json`` artifacts (tools/rotation.py) — queries
+    whose source changed since their last driver row first (r15,
+    PLAN_FINGERPRINTS.json), then failed rows, then never-sampled,
+    then stalest-green — so the fixed-size sampling prefix re-checks
+    round-touched code and stale coverage before fresh results.
     Library order (``plans.registry``) stays plain registration order."""
     from wiki_data_pipeline_spark.plans.registry import (
         all_oracles,

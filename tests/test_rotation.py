@@ -118,6 +118,70 @@ def test_failing_rows_resample_first(tmp_path):
     assert order[0] == "q007"
 
 
+def test_round_touched_queries_front_the_order(tmp_path):
+    """r15 (verdict item 2): a query whose source fingerprint changed
+    AFTER its green row must lead the order — ahead of failed rows and
+    never-sampled names — and stop fronting once a row postdating the
+    change lands."""
+    names = [f"q{i:03d}" for i in range(60)]
+    oracles = {n: "SELECT 1" for n in names}
+    root = str(tmp_path)
+    _write_artifact(root, 7, names[:50])  # q000..q049 green at r7
+    # q010 rewritten in round 9: fingerprint snapshot records round 9
+    snap = {
+        "queries": {
+            n: {"src_md5": "irrelevant", "round": 9 if n == "q010" else 0}
+            for n in names
+        }
+    }
+    with open(os.path.join(root, "PLAN_FINGERPRINTS.json"), "w") as fh:
+        json.dump(snap, fh)
+    order = rotate(list(names), oracles, root)
+    assert order[0] == "q010", (
+        "round-touched green row must front the order"
+    )
+    # never-sampled q050.. follow AFTER the touched query
+    assert set(order[1:11]) == set(names[50:60])
+    # a failed row still outranks never-sampled, but not the touched
+    path = os.path.join(root, "CORRECTNESS_r7.json")
+    rows = json.load(open(path))
+    rows["q020"]["hash_match"] = False
+    json.dump(rows, open(path, "w"))
+    order = rotate(list(names), oracles, root)
+    assert order[:2] == ["q010", "q020"]
+    # a NEW green row at r10 (post-change) retires the fronting
+    _write_artifact(root, 10, ["q010", "q020"])
+    order = rotate(list(names), oracles, root)
+    assert order[0] != "q010"
+    assert set(order[:10]) == set(names[50:60]), (
+        "after a post-change green row, never-sampled names lead again"
+    )
+
+
+def test_fingerprint_snapshot_matches_live_source():
+    """The committed PLAN_FINGERPRINTS.json must match the registry's
+    CURRENT function sources — a drift here means someone edited a
+    query without refreshing the snapshot (python
+    tools/plan_fingerprints.py <round> regenerates), which would
+    front the edited query forever instead of until its next row."""
+    from plan_fingerprints import current_fingerprints, load_snapshot
+
+    snap = load_snapshot(REPO_ROOT)
+    if not snap:
+        return  # fresh checkout without the artifact
+    cur = current_fingerprints()
+    drift = sorted(
+        n
+        for n, md5 in cur.items()
+        if n in snap and snap[n].get("src_md5") != md5
+    )
+    missing = sorted(set(cur) - set(snap))
+    assert not drift and not missing, (
+        f"fingerprint snapshot stale — drift={drift} missing={missing}; "
+        f"run: python tools/plan_fingerprints.py <round> [names...]"
+    )
+
+
 def test_real_artifact_history_within_bound():
     """The repo's committed CORRECTNESS_r*.json artifacts must show no
     current-registry query older than ceil(N/S) rounds behind the

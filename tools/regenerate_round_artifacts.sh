@@ -41,7 +41,14 @@ python bench.py --sf1
 echo "== 5/6 registry-wide x10 join-strategy diff"
 python tools/plan_scale_diff.py
 
-echo "== 6/6 shuffle-byte scaling audit"
+echo "== 6/7 shuffle-byte scaling audit"
 python tools/shuffle_audit.py
+
+echo "== 7/7 query-source fingerprint snapshot (rotation fronting)"
+# round number = latest driver CORRECTNESS round + 1 (the round whose
+# driver sampling these changes should front)
+ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null \
+    | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+python tools/plan_fingerprints.py "$(( ${ROUND:-0} + 1 ))"
 
 echo "all artifacts regenerated — review git diff, then commit"

@@ -63,25 +63,72 @@ def correctness_history(
     return history
 
 
+def plan_change_rounds(repo_root: str, names: list[str]) -> dict[str, int]:
+    """name → round the query's source fingerprint last changed, from
+    the committed ``PLAN_FINGERPRINTS.json`` snapshot (maintained by
+    ``tools/plan_fingerprints.py``). A query whose CURRENT source no
+    longer matches the snapshot (edited after the last regen) maps to
+    a round newer than any driver artifact, so it fronts immediately.
+    Missing snapshot / unimportable registry → empty (pure
+    stalest-first ordering, the pre-r15 behavior — and what the
+    synthetic-name simulation tests exercise)."""
+    import sys
+
+    path = os.path.join(repo_root, "PLAN_FINGERPRINTS.json")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            snap = json.load(fh)["queries"]
+    except (OSError, ValueError, KeyError):
+        return {}
+    try:
+        for p in (repo_root, os.path.join(repo_root, "tools")):
+            if p not in sys.path:
+                sys.path.insert(0, p)
+        from plan_fingerprints import current_fingerprints
+
+        current = current_fingerprints()
+    except Exception:  # registry unimportable here: snapshot-only view
+        current = {}
+    out: dict[str, int] = {}
+    for n in names:
+        entry = snap.get(n)
+        if not isinstance(entry, dict):
+            continue
+        if n in current and current[n] != entry.get("src_md5"):
+            out[n] = 1 << 30  # post-snapshot edit: newer than any round
+        else:
+            out[n] = int(entry.get("round", 0))
+    return out
+
+
 def rotate(
     names: list[str], oracles: dict[str, str], repo_root: str
 ) -> list[str]:
-    """Stalest-first sampling order: names whose latest sampled row
-    failed come first, then never-sampled names, then passing names
-    with the oldest green row first — so a fixed-size sampling prefix
-    re-confirms stale results before re-checking fresh ones.
+    """Sampling order for the driver's fixed-size prefix:
+
+    1. ROUND-TOUCHED queries — a green row exists but the query's
+       source fingerprint changed AFTER it was sampled (r15, verdict
+       item 2: a rewrite must not hide behind its pre-rewrite green
+       row for ~N/S rounds);
+    2. names whose latest sampled row FAILED;
+    3. never-sampled names;
+    4. passing names, oldest green row first (stalest-first).
+
     Registration order breaks all ties, keeping the order stable; with
     no artifacts present the input order is returned unchanged."""
     history = correctness_history(repo_root, oracles)
     if not history:
         return list(names)
+    changed = plan_change_rounds(repo_root, names)
     reg_idx = {n: i for i, n in enumerate(names)}
 
     def key(name: str) -> tuple[int, int, int]:
         row = history.get(name)
         if row is None:
-            return (1, 0, reg_idx[name])
+            return (2, 0, reg_idx[name])
         rnd, ok = row
-        return (2, rnd, reg_idx[name]) if ok else (0, rnd, reg_idx[name])
+        if ok and changed.get(name, 0) > rnd:
+            return (0, rnd, reg_idx[name])
+        return (3, rnd, reg_idx[name]) if ok else (1, rnd, reg_idx[name])
 
     return sorted(names, key=key)
