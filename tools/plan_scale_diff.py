@@ -20,7 +20,9 @@ Usage:
     python tools/plan_scale_diff.py [fixture_dir] [x10_dir]
     # defaults: /root/testdata/sf0.001  and  .scale/x10
 
-Exit 0 when no query degrades. Compile-only throughout (r10): the
+Exit 0 when no query degrades AND no EXPECTED_SHUFFLE_AT_SCALE entry
+is stale (r15: a registered flip that no longer occurs fails the run —
+prune the entry). Compile-only throughout (r10): the
 fixpoint queries — whose returned frame is a checkpoint scan carrying
 no join nodes — are audited through their ROUND PLANS (one
 un-checkpointed iteration, plans/scale_audit.py: the plan that
@@ -70,6 +72,39 @@ def compile_audit(spark, fn, sf_dir: str) -> dict:
     return audit_plan(plan)
 
 
+def classify(name: str, a: dict, b: dict) -> tuple[list[str], list[str]]:
+    """Adjudicate one query's fixture-vs-x10 audit pair.
+
+    Returns ``(probs, excused_flips)``: ``probs`` are the degradations
+    to report; ``excused_flips`` are join-strategy flips absorbed by
+    the query's EXPECTED_SHUFFLE_AT_SCALE entry (empty unless the
+    query is registered there AND a flip occurred). The register's
+    promises, pinned by tests/test_plan_invariants_x10.py:
+
+    1. cartesian / row-at-a-time Python at x10 is NEVER excusable —
+       a registered query still fails on those;
+    2. an entry whose flip no longer occurs is reported stale (and
+       fails the run — see main()'s exit code);
+    3. every entry's rationale is mirrored in the query docstring.
+    """
+    probs: list[str] = []
+    join_flip: list[str] = []
+    if b["bhj"] < a["bhj"]:
+        join_flip.append(f"bhj {a['bhj']}->{b['bhj']}")
+    if b["smj"] > a["smj"]:
+        join_flip.append(f"smj {a['smj']}->{b['smj']}")
+    # cartesian / row-python are NEVER excusable, even for
+    # expected-shuffle queries
+    if b["cartesian"] and not a["cartesian"]:
+        probs.append(f"cartesian 0->{b['cartesian']}")
+    if b["row_python"] and not a["row_python"]:
+        probs.append(f"row_python 0->{b['row_python']}")
+    if join_flip and name in EXPECTED_SHUFFLE_AT_SCALE:
+        return probs, join_flip
+    probs.extend(join_flip)
+    return probs, []
+
+
 def main() -> int:
     fixture = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     x10 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(HERE, ".scale", "x10")
@@ -99,27 +134,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e)[:200]
             continue
-        probs = []
-        join_flip = []
-        if b["bhj"] < a["bhj"]:
-            join_flip.append(f"bhj {a['bhj']}->{b['bhj']}")
-        if b["smj"] > a["smj"]:
-            join_flip.append(f"smj {a['smj']}->{b['smj']}")
-        # cartesian / row-python are NEVER excusable, even for
-        # expected-shuffle queries
-        if b["cartesian"] and not a["cartesian"]:
-            probs.append(f"cartesian 0->{b['cartesian']}")
-        if b["row_python"] and not a["row_python"]:
-            probs.append(f"row_python 0->{b['row_python']}")
-        if join_flip and name in EXPECTED_SHUFFLE_AT_SCALE:
+        probs, excused = classify(name, a, b)
+        if excused:
             expected[name] = {
-                "fixture": a, "x10": b, "flip": join_flip,
+                "fixture": a, "x10": b, "flip": excused,
                 "rationale": EXPECTED_SHUFFLE_AT_SCALE[name],
             }
             print(f"ok {name}: designed shuffle at scale "
-                  f"({'; '.join(join_flip)})")
-        else:
-            probs.extend(join_flip)
+                  f"({'; '.join(excused)})")
         if probs:
             degraded[name] = {"fixture": a, "x10": b, "probs": probs}
             print(f"XX {name}: {'; '.join(probs)}")
@@ -153,7 +175,11 @@ def main() -> int:
             f, indent=1,
         )
     print(f"wrote {out}")
-    return 1 if degraded else 0
+    # stale expectations FAIL the run (r15 ADVICE): the register's
+    # comment promises it "can't outlive the plans it excuses", and an
+    # exit-0 on staleness made that promise print-only — nothing
+    # downstream reads the artifact's stale list.
+    return 1 if (degraded or stale_expectations) else 0
 
 
 if __name__ == "__main__":
