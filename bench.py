@@ -511,7 +511,16 @@ def run_sf1() -> None:
         "SPARK_GRAFT_SF1_DIR", os.path.join(here, ".scale")
     )
     sf1_dir = build_scaled(spark, workdir, 10)
-    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # The 1x side of the scaling exponent is measured on a MULTI-FILE
+    # re-layout of sf0.1 built by the same repartition(4*mult) formula
+    # at mult=1 (r15, verdict item 3): the r14 replica re-layout gave
+    # the x10 side 40-file scan parallelism while the driver's sf0.1
+    # source stayed single-file-single-row-group, so every scan-bound
+    # exponent carried a DOWNWARD layout bias (NOTES_r14 §3). With
+    # both decades on the same layout formula the log-ratio measures
+    # the engine, not the file count. The sf0.1 GATE (main bench) is
+    # unaffected — it still times the driver's own source dir.
+    sf01_dir = build_scaled(spark, workdir, 1)
 
     t01 = _time_set(spark, queries, SF1_QUERIES, sf01_dir)
     t1 = _time_set(spark, queries, SF1_QUERIES, sf1_dir)
@@ -601,6 +610,12 @@ def run_sf1() -> None:
         "sf": 1.0,
         "queries_sf1": t1,
         "queries_sf01": t01,
+        "sf01_source": sf01_dir,
+        "exponent_note": (
+            "symmetric layouts since r15: the 1x side runs on the "
+            "x1 replica (same repartition(4*mult) write formula as "
+            "x10), retiring the r14 downward layout bias"
+        ),
         "scaling_exponents": exponents,
         "superlinear": {n: e for n, e in exponents.items() if e > 1.1},
         "baseline": SF1_BASELINE_PATH,
@@ -649,7 +664,8 @@ def run_sf1_full() -> None:
         "SPARK_GRAFT_SF1_DIR", os.path.join(here, ".scale")
     )
     sf1_dir = build_scaled(spark, workdir, 10)
-    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # symmetric-layout 1x side (r15, verdict item 3 — see run_sf1)
+    sf01_dir = build_scaled(spark, workdir, 1)
 
     names = sorted(queries)
     t01 = _time_set(spark, queries, names, sf01_dir, trials=1)
