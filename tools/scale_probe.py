@@ -87,6 +87,11 @@ HEAP_PROBED = [
     "dedup_cluster_components",
     "text_winnow_fingerprint",
     "cluster_kmeans_embeddings",
+    # r15: the de-hinted keep-best join (the r14 verdict's one scale
+    # flag) — its components join is now a stats-owned shuffle join,
+    # so the probe proves THAT plan spills-and-finishes rather than
+    # trusting the fixture-scale measurement
+    "dedup_keep_best",
 ]
 
 
