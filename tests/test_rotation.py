@@ -158,6 +158,61 @@ def test_round_touched_queries_front_the_order(tmp_path):
     )
 
 
+def test_staleness_bound_holds_under_steady_round_touches(tmp_path):
+    """r15: fronting steals prefix slots from the stale tail, so the
+    staleness guarantee must be re-proven with touches flowing: K
+    touches per round leaves S-K slots for the tail, giving bound
+    ceil(N/(S-K)). Simulates 25 rounds with 5 rotating touches per
+    round and asserts (a) every touched query is sampled the very
+    next round — the fronting contract end-to-end — and (b) no query
+    goes stale beyond the adjusted bound."""
+    names = [f"q{i:03d}" for i in range(200)]
+    oracles = {n: "SELECT 1" for n in names}
+    root = str(tmp_path)
+    touches = 5
+    touch_round = {n: 0 for n in names}
+    last: dict[str, int] = {}
+    n_rounds = 25
+    for rnd in range(1, n_rounds + 1):
+        # rotate which queries get "edited" this round
+        edited = [
+            names[((rnd - 1) * touches + j) % len(names)]
+            for j in range(touches)
+        ]
+        for n in edited:
+            touch_round[n] = rnd
+        snap = {
+            "queries": {
+                n: {"src_md5": "irrelevant", "round": touch_round[n]}
+                for n in names
+            }
+        }
+        with open(
+            os.path.join(root, "PLAN_FINGERPRINTS.json"), "w"
+        ) as fh:
+            json.dump(snap, fh)
+        order = rotate(list(names), oracles, root)
+        picked = order[:SAMPLE_SIZE]
+        # every query touched THIS round with an existing green row
+        # must be in this round's sample (fresh never-sampled ones get
+        # in via the never-sampled bucket early on)
+        if rnd > 4:  # steady state: everything has a row by now
+            missing = [n for n in edited if n not in picked]
+            assert not missing, (
+                f"round {rnd}: touched queries not fronted: {missing}"
+            )
+        _write_artifact(root, rnd, picked)
+        for n in picked:
+            last[n] = rnd
+    assert set(last) == set(names)
+    bound = math.ceil(len(names) / (SAMPLE_SIZE - touches))
+    worst = max(n_rounds - r for r in last.values())
+    assert worst < bound, (
+        f"staleness {worst} >= adjusted bound {bound} with {touches} "
+        f"touches/round — fronting is starving the stale tail"
+    )
+
+
 def test_fingerprint_snapshot_matches_live_source():
     """The committed PLAN_FINGERPRINTS.json must match the registry's
     CURRENT function sources — a drift here means someone edited a
