@@ -70,6 +70,10 @@ PROBED_DEEP = [
     "q21_sole_blame_suppliers",
     "text_shingle_novelty",
     "dedup_minhash_lsh",
+    # r15: the de-hinted keep-best join — its components join is now
+    # a stats-owned shuffle join, so the 30x decade directly measures
+    # THAT plan's growth instead of the removed broadcast's
+    "dedup_keep_best",
 ]
 SCALES_DEEP = [1, 30]
 
