@@ -83,7 +83,7 @@ def update(
     cur = current_fingerprints()
     unknown = sorted(set(touch) - set(cur))
     if unknown:
-        raise SystemExit(f"--touch names not in registry: {unknown}")
+        raise SystemExit(f"touch names not in registry: {unknown}")
     seeding = not prev
     changed: list[str] = []
     queries: dict[str, dict] = {}

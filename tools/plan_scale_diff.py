@@ -79,7 +79,7 @@ def classify(name: str, a: dict, b: dict) -> tuple[list[str], list[str]]:
     to report; ``excused_flips`` are join-strategy flips absorbed by
     the query's EXPECTED_SHUFFLE_AT_SCALE entry (empty unless the
     query is registered there AND a flip occurred). The register's
-    promises, pinned by tests/test_plan_invariants_x10.py:
+    promises, pinned by tests/test_plan_scale_diff_contract.py:
 
     1. cartesian / row-at-a-time Python at x10 is NEVER excusable —
        a registered query still fails on those;

@@ -143,6 +143,11 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
         default_par,
     )
     passthrough = _DECISIONS.get(key)
+    if passthrough is not None:
+        # refresh recency so eviction is true LRU, not FIFO — the
+        # hottest keys (every query's frames, rebuilt per bench trial)
+        # must outlive one-off probe keys once the cache fills
+        _DECISIONS.move_to_end(key)
     if passthrough is None:
         if _plan_has_exchange(qe.executedPlan().treeString()):
             # exchange-governed frame: never probe (df.rdd would
