@@ -69,14 +69,15 @@ MANIFEST: dict[str, dict] = {
         "(plans/llm_ops.py:497-530)",
     ),
     "dedup_minhash_calibration": dict(
-        max_exchanges=8, max_scans=9, min_bhj=2, max_smj=0, pushdown=True,
-        note="r11 single-consumption spelling: ONE (signatures + "
-        "shingle-array) per-doc state frame pinned behind a "
-        "repartition exchange (ReusedExchange shares it across the "
-        "band pipeline and both pair-side joins); the estimate and "
-        "the exact array_intersect Jaccard ride the SAME two pair "
-        "joins — the r6 inverted shingle join (16 exchanges, 24 "
-        "scans) is gone. audit verified identical at sf0.001 and x10",
+        max_exchanges=2, max_scans=0, min_bhj=2, max_smj=0,
+        note="r15: the shared (signatures + shingle-array) state frame "
+        "is now an eager pin — the r11 repartition-exchange form "
+        "relied on exchange reuse that column pruning silently broke "
+        "(the band consumer's 9-col exchange no longer canonicalized "
+        "with the pair joins' 10-col one, so the md5 map ran twice). "
+        "Visible plan is checkpoint scans + 2 broadcast pair joins; "
+        "zero parquet scans, so no pushdown assertion (filters ran "
+        "at pin time)",
     ),
     "dedup_family_agreement": dict(
         max_exchanges=19, max_scans=27, min_bhj=6, max_smj=2, pushdown=True,
@@ -178,17 +179,27 @@ MANIFEST: dict[str, dict] = {
         "scans — pipeline shape pinned under dedup_minhash_lsh",
     ),
     "cluster_kmeans_embeddings": dict(
-        max_exchanges=7, max_scans=6, min_bhj=2, max_bnlj=3,
-        note="fixed rounds, broadcast centroids (BNLJ = the tiny "
-        "centroid cross for min_by assignment — broadcast-small)",
+        max_exchanges=7, max_scans=6, max_bnlj=3, max_smj=0,
+        note="r15: assignment is a narrow argmin fold over a one-row "
+        "broadcast centroid array (BNLJ = that scalar cross, one per "
+        "assignment) and update explodes the vector carried through "
+        "the fold — the r14 min_by(struct) aggregate (SortAggregate "
+        "of N·k rows + exchange) and the per-iteration join back to "
+        "emb (the old min_bhj floor) are gone by design",
     ),
     # -- ANN --
     "sim_ann_ivf": dict(
         max_exchanges=5, max_scans=6, min_bhj=2, max_bnlj=2, max_smj=1,
         pushdown=True,
-        note="inline IVF: broadcast centroids + probe-cell semi-join; "
-        "the persisted-index twin prunes partitions instead "
-        "(operators/ann_index.py:63)",
+        note="inline IVF: r15 narrow argmin/probe folds over the "
+        "one-row broadcast centroid array (assignment SortAggregate "
+        "+ exchange and the probe window exchange are gone — at the "
+        "fixture SF the plan audits 3 exchanges / 0 SMJ, down from "
+        "5 / 1); ceilings stay at the x10 shape, where the "
+        "posting-list join of two corpus-sized sides correctly "
+        "plans as a shuffle join (max_smj=1) — the scale-correct "
+        "strategy, not a regression; the persisted-index twin "
+        "prunes partitions instead (operators/ann_index.py)",
     ),
     "sim_ann_recall_eval": dict(
         max_exchanges=10, max_scans=10, min_bhj=2, max_bnlj=4, pushdown=True,
@@ -243,12 +254,17 @@ MANIFEST: dict[str, dict] = {
         note="OR-of-ANDs partially pushed; broadcast part side",
     ),
     "range_partition_plan": dict(
-        max_exchanges=4, max_scans=2, max_bnlj=2,
+        max_exchanges=7, max_scans=3, max_bnlj=4, min_bhj=2,
         note="r11 cumulative-quantile rewrite: bounds come from ONE "
         "distributed prefix-sum pass (checkpointed, invisible here) "
-        "instead of 7 percentile_disc buffers; two O(1)-row broadcast "
-        "scalars (total, bounds) -> 2 BNLJ; exchanges = bucket "
-        "groupBy + single-partition bounds agg + 2 broadcasts",
+        "instead of 7 percentile_disc buffers. r15: the per-bucket "
+        "aggregate carries only the count (any_value(bounds) made it "
+        "a SortAggregate — a full sort of orders); the 1-row bounds "
+        "frame re-attaches by a second broadcast cross join, so its "
+        "subtree appears twice STATICALLY (4 BNLJ, 7 exchanges, 3 "
+        "scans) but the identical broadcast is built once at runtime "
+        "(AQE stage reuse); min_bhj=2 pins the prefix-sum offset "
+        "broadcasts inside it",
     ),
     # -- iterative fixpoints: the returned DF is a localCheckpoint
     # scan (rounds ran eagerly), so only blanket invariants apply --

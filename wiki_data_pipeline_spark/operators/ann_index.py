@@ -43,21 +43,32 @@ def build_ivf_index(
         & (F.col("vec_id") < centroid_mod * n_centroids)
     ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
     v = emb.select("vec_id", as_double("embedding").alias("ve"))
-    s = F.round(cosine(F.col("ve"), F.col("ce")), 6)
-    assign = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", s.alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))
-            ).alias("cid")
+    # Narrow argmax fold over a one-row broadcast centroid array —
+    # same ordering as the max_by(cid, struct(s, nc)) aggregate it
+    # replaces (see sim_ann_ivf), minus that form's SortAggregate of
+    # N·k scored rows, its exchange, and the join back to v for a
+    # column the projection already holds.
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("ve"), c.ce), 6).alias("s"),
+                (-c.cid).alias("nc"),
+            ),
         )
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ve", best.alias("best"))
+        .filter(F.col("best").isNotNull())
+        .select("vec_id", "ve", (-F.col("best.nc")).alias("cid"))
     )
     cent.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     (
-        assign.join(v, on="vec_id")
-        .repartition("cid")
+        assign.repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(os.path.join(index_dir, "postings"))

@@ -695,32 +695,63 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
     v = emb.select("vec_id", as_double("embedding").alias("ve"))
 
-    # Nearest centroid via max_by over (score, -cid) — one hash
-    # aggregate instead of a window sort exchange (same deterministic
-    # tie-break: highest score, then lowest cid); ~35% faster on the
-    # N-vectors side, where the work is.
-    score_vc = F.round(cosine(F.col("ve"), F.col("ce")), 6)
-    assign = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", score_vc.alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))
-            ).alias("cid")
+    # Nearest centroid as a narrow argmax fold (r15, guide §5): the k
+    # centroids collect into ONE broadcast array row and each vector
+    # folds array_max over struct(s, -cid) — the exact ordering the
+    # previous max_by(cid, struct(s, nc)) aggregate used (highest
+    # score, then lowest cid; NULL scores lose under the same
+    # nulls-first struct ordering). The max_by form compiled to a
+    # SortAggregate pair (struct-typed buffer is not hash-aggregable):
+    # a full sort of N·k scored rows plus an Exchange, all of which
+    # the fold removes. An empty centroid set folds to NULL —
+    # filtered, matching the old inner cross join's empty result.
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("cents")
+    )
+    best_vc = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("ve"), c.ce), 6).alias("s"),
+                (-c.cid).alias("nc"),
+            ),
         )
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", best_vc.alias("best"))
+        .filter(F.col("best").isNotNull())
+        .select("vec_id", (-F.col("best.nc")).alias("cid"))
     )
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
     )
-    score_qc = F.round(cosine(F.col("qe"), F.col("ce")), 6)
-    w_probe = Window.partitionBy("query_id").orderBy(score_qc.desc(), F.col("cid"))
+    # Probe selection folds over the SAME one-row broadcast centroid
+    # array (the two identical broadcast subtrees are built once and
+    # reused): descending sort_array over struct(s, -cid) is the
+    # row_number ordering (score desc, cid asc — NULL scores last,
+    # identical struct-ordering semantics), sliced to nprobe and
+    # exploded. Removes the old probe path's window exchange + sort
+    # and the separate k-row centroid broadcast.
+    probe_structs = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.round(cosine(F.col("qe"), c.ce), 6).alias("s"),
+                    (-c.cid).alias("nc"),
+                ),
+            ),
+            False,
+        ),
+        1,
+        _NPROBE,
+    )
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _NPROBE)
-        .select("query_id", "cid")
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", F.explode(probe_structs).alias("p"))
+        .select("query_id", (-F.col("p.nc")).alias("cid"))
     )
 
     cand = (
@@ -2099,13 +2130,24 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg order and DuckDB's single-threaded order agree bitwise.
 
     Plan shape per iteration (all JVM-side higher-order exprs, no
-    Python): assignment = vectors × broadcast(centroids) cross join →
-    min_by hash aggregate on vec_id (no window sort); update =
-    posexplode members → two-level hash aggregate ((cid,pos) then cid,
-    re-packing with array_sort). At 100 TB: k centroids always fit in
-    a broadcast; per-iteration cost is one map pass + shuffles keyed
-    on (vec_id) and (cid,pos) — both uniform, skew-free; lineage stays
-    shallow (k fixed iterations over aggregates, no recursion blowup).
+    Python): assignment = ONE narrow projection — the k centroids are
+    collected into a single broadcast array row and each vector folds
+    argmin over it (array_min over struct(d, cid): identical
+    lexicographic ordering to the previous min_by(struct(d,cid))
+    aggregate, same rounding, same lowest-cid tie-break). The r14 form
+    (vectors × broadcast(centroids) cross join → groupBy(vec_id) +
+    min_by) compiled to a SortAggregate pair — min_by's struct-typed
+    buffer is not hash-aggregable — i.e. a full sort of N·k scored
+    rows plus an Exchange per iteration (guide §5: hash vs sort
+    aggregate); the fold removes the blowup, both sorts, and the
+    exchange. update = posexplode the vector carried THROUGH the
+    assignment projection (no join back to emb — the r14 shape paid a
+    per-iteration join on vec_id for a column the assignment already
+    held) → two-level hash aggregate ((cid,pos) then cid, re-packing
+    with array_sort). At 100 TB: k centroids always fit in a
+    broadcast; per-iteration cost is one map pass + shuffles keyed on
+    (cid,pos) — uniform, skew-free; lineage stays shallow (k fixed
+    iterations over aggregates, no recursion blowup).
 
     Reference analog: none (SURVEY.md §2.10 — the engine's iterative
     surface; generalizes the same loop as dedup_cluster_components)."""
@@ -2131,22 +2173,40 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
 
     def assign(cent_df: DataFrame, keep_dist: bool = False) -> DataFrame:
-        d = F.round(sq_dist(F.col("ve"), F.col("ce")), 6)
-        scored = emb.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id", "cid", d.alias("d")
+        # k centroids → ONE broadcast array row (sort_array only for
+        # plan determinism; the fold's winner is order-independent).
+        cents = cent_df.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("cents")
         )
-        # Nearest centroid via min_by over (d, cid) — one hash
-        # aggregate, no window sort (tie → lowest cid).
-        agg = [F.min_by(F.struct("cid", "d"), F.struct("d", "cid")).alias("best")]
-        out = scored.groupBy("vec_id").agg(*agg)
-        cols = ["vec_id", F.col("best.cid").alias("cid")]
+        # Nearest centroid as a narrow argmin fold: array_min over
+        # struct(d, cid) uses the SAME interpreted struct ordering as
+        # the min_by(struct(d,cid)) aggregate it replaces (tie →
+        # lowest cid), with d the identical round(sq_dist, 6) double.
+        # No N·k row blowup, no SortAggregate, no exchange. An empty
+        # centroid set folds to NULL — filtered, matching the old
+        # inner cross join's empty result.
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.round(sq_dist(F.col("ve"), c.ce), 6).alias("d"),
+                    c.cid.alias("cid"),
+                ),
+            )
+        )
+        out = (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "ve", best.alias("best"))
+            .filter(F.col("best").isNotNull())
+        )
+        cols = ["vec_id", "ve", F.col("best.cid").alias("cid")]
         if keep_dist:
             cols.append(F.col("best.d").alias("d"))
         return out.select(*cols)
 
     def update(assign_df: DataFrame) -> DataFrame:
-        members = assign_df.join(emb, on="vec_id")
-        exploded = members.select("cid", F.posexplode("ve").alias("pos", "val"))
+        # the assignment projection carries ve — no join back to emb
+        exploded = assign_df.select("cid", F.posexplode("ve").alias("pos", "val"))
         sums = exploded.groupBy("cid", "pos").agg(
             (
                 F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
@@ -3830,14 +3890,27 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000,
         0,
     ).cast("long")
-    m = (
-        bg.join(c2, on="bigram")
+    # Per-bigram surprisal is a pure function of the bigram (n2 keys
+    # it; its ctx is the text before the first space — tokens are
+    # whitespace-split so they contain none — and n1/vocab attach to
+    # that), so the two VOCABULARY-sized count tables join each other
+    # first and the corpus-sized bigram stream is joined back ONCE on
+    # bigram. The r14 shape joined the stream against c2 AND then
+    # re-shuffled the full joined stream on ctx to meet c1 — one
+    # entire extra exchange of the heaviest axis in the plan (guide
+    # §2.3/§2.4: shuffle the lightweight proxy, not the payload).
+    per_bigram = (
+        c2.withColumn("ctx", F.substring_index(F.col("bigram"), " ", 1))
         .join(c1, on="ctx")
         .crossJoin(F.broadcast(vocab))
+        .select("bigram", surprisal_micro.alias("smic"))
+    )
+    m = (
+        bg.join(per_bigram, on="bigram")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum(surprisal_micro).alias("s_micro"),
+            F.sum("smic").alias("s_micro"),
         )
         .select(
             "doc_id",
@@ -4304,18 +4377,36 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = sub.filter(F.col("vec_id") < _PQ_NCENT).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    d = F.round(sq_dist(F.col("sv"), F.col("cv")), 6)
-    scored = sub.join(F.broadcast(cent), on="s").select(
-        "vec_id", "s", "cid", d.alias("d")
+    # Narrow per-subspace argmin fold (r15, guide §5): the m×k
+    # codebook collects into ONE broadcast array row; each (vec,
+    # subspace) row filters its own subspace's k entries and folds
+    # array_min over struct(d, cid) — identical ordering/rounding/
+    # tie-break to the min_by(struct(cid,d), struct(d,cid)) aggregate
+    # it replaces, minus that form's SortAggregate over N·m·k scored
+    # rows and its (vec_id, s) exchange. An empty codebook folds to
+    # NULL — filtered, matching the old inner join's empty result.
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("s", "cid", "cv"))).alias("cents")
     )
-    best = scored.groupBy("vec_id", "s").agg(
-        F.min_by(F.struct("cid", "d"), F.struct("d", "cid")).alias("best")
+    best = F.array_min(
+        F.transform(
+            F.filter(F.col("cents"), lambda c: c.s == F.col("s")),
+            lambda c: F.struct(
+                F.round(sq_dist(F.col("sv"), c.cv), 6).alias("d"),
+                c.cid.alias("cid"),
+            ),
+        )
     )
-    return best.select(
-        "vec_id",
-        F.col("s").alias("subspace"),
-        F.col("best.cid").alias("code"),
-        F.col("best.d").alias("sq_err"),
+    return (
+        sub.crossJoin(F.broadcast(cents))
+        .select("vec_id", "s", best.alias("best"))
+        .filter(F.col("best").isNotNull())
+        .select(
+            "vec_id",
+            F.col("s").alias("subspace"),
+            F.col("best.cid").alias("code"),
+            F.col("best.d").alias("sq_err"),
+        )
     )
 
 
@@ -4415,12 +4506,26 @@ def pq_adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = sub.filter(F.col("vec_id") < _PQ_NCENT).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    d = F.round(sq_dist(F.col("sv"), F.col("cv")), 6)
+    # same narrow per-subspace argmin fold as ann_pq_codes (r15,
+    # guide §5) — the scoring spec (round(sq_dist,6), lowest-cid tie)
+    # is shared verbatim; only the kept field differs (code only)
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("s", "cid", "cv"))).alias("cents")
+    )
+    best_code = F.array_min(
+        F.transform(
+            F.filter(F.col("cents"), lambda c: c.s == F.col("s")),
+            lambda c: F.struct(
+                F.round(sq_dist(F.col("sv"), c.cv), 6).alias("d"),
+                c.cid.alias("cid"),
+            ),
+        )
+    )
     codes = (
-        sub.join(F.broadcast(cent), on="s")
-        .select("vec_id", "s", "cid", d.alias("d"))
-        .groupBy("vec_id", "s")
-        .agg(F.min_by("cid", F.struct("d", "cid")).alias("code"))
+        sub.crossJoin(F.broadcast(cents))
+        .select("vec_id", "s", best_code.alias("best"))
+        .filter(F.col("best").isNotNull())
+        .select("vec_id", "s", F.col("best.cid").alias("code"))
     )
     dq = F.round(sq_dist(F.col("sv"), F.col("cv")), 6)
     dt = (

@@ -915,19 +915,29 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+    # The per-bucket aggregate carries ONLY the count (r15, guide §5):
+    # the r11 form dragged any_value(total)/any_value(bounds) through
+    # the groupBy, and an array-typed buffer is not hash-aggregable —
+    # the whole orders table was SORT-aggregated (a full sort of the
+    # corpus) just to keep two constants alive. Counting first (pure
+    # hash aggregate) and re-attaching the same 1-row bounds frame by
+    # a second broadcast cross join is plan-identical work otherwise
+    # (the two broadcast subtrees are identical, so the exchange is
+    # built once and reused).
     assigned = orders.crossJoin(F.broadcast(b)).select(
         F.size(
             F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)
         ).alias("bucket"),
-        "total",
-        "bounds",
     )
     return (
         assigned.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.any_value("total").alias("_total"),
-            F.any_value("bounds").alias("_bounds"),
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("total").alias("_total"),
+            F.col("bounds").alias("_bounds"),
+            "bucket",
+            "n_rows",
         )
         .select(
             F.col("bucket").cast("bigint").alias("bucket"),
@@ -1965,17 +1975,23 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (never all-pairs); the exact-intersection stage is
     a candidate-restricted join against per-doc state.
 
-    r11 single-consumption spelling (verdict item 5): ONE frame
-    carries BOTH per-doc states — the 8 minhashes AND the distinct
-    shingle array (the signature stage delegates to
+    r11 single-consumption spelling (verdict item 5), r15 repair: ONE
+    frame carries BOTH per-doc states — the 8 minhashes AND the
+    distinct shingle array (the signature stage delegates to
     operators/dedup.py minhash_signatures; the array is the
-    dedup_minhash_verified shape) — derived once and pinned behind an
-    explicit repartition exchange on doc_id. The signature pipeline is
-    all-narrow (no exchange of its own), so without the pin each of
-    its three consumers (band pipeline, a-side join, b-side join)
-    re-ran the md5/shingle map from the scan; with it the identical
-    exchange canonicalizes across consumers and ReusedExchange
-    computes the map once (the r10 _title_pair_join discipline). The
+    dedup_minhash_verified shape) — derived once and PINNED
+    (localCheckpoint). The r11 form pinned it behind an explicit
+    repartition exchange on doc_id, counting on ReusedExchange/AQE
+    stage reuse to compute the map once across the three consumers —
+    but column pruning rewrites the BAND consumer's exchange to a
+    9-column variant (it never reads ``sh``) while the pair-side
+    joins keep the 10-column one, so the exchanges no longer
+    canonicalize together and the md5 minhash map — the registry's
+    densest CPU stage — ran TWICE (r15 plan audit: three full
+    scan→union→signature subtrees in the static plan, zero
+    ReusedExchange; only the sa/sb pair deduped at runtime). An
+    eager pin is immune to consumer-side pruning: one
+    materialization, three checkpoint scans. The
     exact-Jaccard side rides the SAME two pair joins as the estimate
     (array_intersect per candidate, O(|A|+|B|) per pair) — the r6
     inverted shingle join needed three more joins and a groupBy over
@@ -1988,9 +2004,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _dedup_corpus(spark, sf_dir)
-    state = minhash_signatures(corpus, include_shingles=True).repartition(
-        F.col("doc_id")
-    )
+    state = minhash_signatures(corpus, include_shingles=True).transform(pin)
     pairs = pairs_from_bands(_bands_from_sigs(state))
     sa = state.select(
         F.col("doc_id").alias("doc_a"),
@@ -2612,16 +2626,27 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") < _CENT_ID_CAP)
     ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
     v = emb.select("vec_id", as_double("embedding").alias("ve"))
-    score = F.round(cosine(F.col("ve"), F.col("ce")), 6)
-    assign = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", score.alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))
-            ).alias("cid")
+    # Narrow argmax fold over a one-row broadcast centroid array (r15,
+    # guide §5) — same ordering as the max_by(cid, struct(s, nc))
+    # aggregate it replaces (see sim_ann_ivf), minus that form's
+    # SortAggregate sort of N·k rows and its exchange.
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("ve"), c.ce), 6).alias("s"),
+                (-c.cid).alias("nc"),
+            ),
         )
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", best.alias("best"))
+        .filter(F.col("best").isNotNull())
+        .select("vec_id", (-F.col("best.nc")).alias("cid"))
     )
     cells = assign.groupBy("cid").agg(F.count("*").alias("n_vectors"))
     tot = cells.agg(
