@@ -69,15 +69,21 @@ MANIFEST: dict[str, dict] = {
         "(plans/llm_ops.py:497-530)",
     ),
     "dedup_minhash_calibration": dict(
-        max_exchanges=2, max_scans=0, min_bhj=2, max_smj=0,
+        max_exchanges=8, max_scans=0, max_smj=2,
         note="r15: the shared (signatures + shingle-array) state frame "
         "is now an eager pin — the r11 repartition-exchange form "
         "relied on exchange reuse that column pruning silently broke "
         "(the band consumer's 9-col exchange no longer canonicalized "
         "with the pair joins' 10-col one, so the md5 map ran twice). "
-        "Visible plan is checkpoint scans + 2 broadcast pair joins; "
-        "zero parquet scans, so no pushdown assertion (filters ran "
-        "at pin time)",
+        "Visible plan is checkpoint scans + the 2 pair joins; zero "
+        "parquet scans, so no pushdown assertion (filters ran at pin "
+        "time). r16: the r15 entry pinned min_bhj=2/max_smj=0, but "
+        "the pair joins' build side is the PER-DOC state frame — "
+        "corpus-sized, the keep_best class — so the broadcast is an "
+        "accident of fixture stats, not a design; under the cluster "
+        "profile at x10 the stats-owned plan is (correctly) SMJ. "
+        "Floor dropped, SMJ ceiling 2, exchange ceiling covers the "
+        "SMJ regime's hash exchanges (pairs + sa + sb per join side)",
     ),
     "dedup_family_agreement": dict(
         max_exchanges=19, max_scans=27, min_bhj=6, max_smj=2, pushdown=True,
