@@ -86,8 +86,15 @@ MANIFEST: dict[str, dict] = {
         "SMJ regime's hash exchanges (pairs + sa + sb per join side)",
     ),
     "dedup_family_agreement": dict(
-        max_exchanges=19, max_scans=27, min_bhj=6, max_smj=2, pushdown=True,
-        note="3 dedup families joined on pair keys",
+        max_exchanges=8, max_scans=3, max_smj=2, pushdown=True,
+        note="r16: the Jaccard and containment arms project from ONE "
+        "pinned pairwise_shingle_overlap frame (the r15 plan ran the "
+        "shingle inverted-index join twice — 27 scans / 19 exchanges "
+        "pinned here, 54 scan nodes in the dump). Visible plan is the "
+        "LSH arm (3 corpus scans) + checkpoint-scan projections + the "
+        "2 full-outer membership SMJs (pair-keyed, never broadcast); "
+        "the old min_bhj=6 counted the overlap pipelines' internal "
+        "joins, which now run at pin time",
     ),
     "dedup_keep_best": dict(
         max_exchanges=3, max_scans=3, max_smj=1, pushdown=True,
@@ -115,8 +122,13 @@ MANIFEST: dict[str, dict] = {
         "here would mean an accidental all-pairs self-join",
     ),
     "dedup_impact_report": dict(
-        max_exchanges=23, max_scans=27, min_bhj=6, pushdown=True,
-        note="family union + per-family impact rollup",
+        max_exchanges=10, max_scans=3, pushdown=True,
+        note="r16: Jaccard/containment branches project from ONE "
+        "pinned pairwise_shingle_overlap frame (was 27 scans / 23 "
+        "exchanges with the inverted-index join once per score). "
+        "Visible plan: LSH arm (3 corpus scans) + checkpoint-scan "
+        "count branches; min_bhj dropped — the overlap joins run at "
+        "pin time",
     ),
     "dedup_substring_spans": dict(
         max_exchanges=4, max_scans=0, max_smj=0,
@@ -185,31 +197,41 @@ MANIFEST: dict[str, dict] = {
         "scans — pipeline shape pinned under dedup_minhash_lsh",
     ),
     "cluster_kmeans_embeddings": dict(
-        max_exchanges=7, max_scans=6, max_bnlj=3, max_smj=0,
+        max_exchanges=11, max_scans=6, max_bnlj=3, max_smj=0,
         note="r15: assignment is a narrow argmin fold over a one-row "
         "broadcast centroid array (BNLJ = that scalar cross, one per "
         "assignment) and update explodes the vector carried through "
         "the fold — the r14 min_by(struct) aggregate (SortAggregate "
         "of N·k rows + exchange) and the per-iteration join back to "
-        "emb (the old min_bhj floor) are gone by design",
+        "emb (the old min_bhj floor) are gone by design. r16: +4 "
+        "exchanges vs the r15 ceiling = the conditional _spread "
+        "repartition (the single-split fixture scan ran every fold "
+        "on ONE core; passthrough on a pre-split scan) and the "
+        "k-row centroid collects now counted un-reused statically",
     ),
     # -- ANN --
     "sim_ann_ivf": dict(
-        max_exchanges=5, max_scans=6, min_bhj=2, max_bnlj=2, max_smj=1,
+        max_exchanges=5, max_scans=4, min_bhj=1, max_bnlj=2, max_smj=0,
         pushdown=True,
         note="inline IVF: r15 narrow argmin/probe folds over the "
-        "one-row broadcast centroid array (assignment SortAggregate "
-        "+ exchange and the probe window exchange are gone — at the "
-        "fixture SF the plan audits 3 exchanges / 0 SMJ, down from "
-        "5 / 1); ceilings stay at the x10 shape, where the "
-        "posting-list join of two corpus-sized sides correctly "
-        "plans as a shuffle join (max_smj=1) — the scale-correct "
-        "strategy, not a regression; the persisted-index twin "
-        "prunes partitions instead (operators/ann_index.py)",
+        "one-row broadcast centroid array. r16: assignment CARRIES "
+        "the vector and probes carry the query vector, so the "
+        "posting-list probe is ONE BroadcastHashJoin on cid whose "
+        "build side is the |Q|·nprobe probe table (both factors "
+        "fixed index parameters — a designed bounded broadcast, "
+        "hinted, so it holds at any corpus size: max_smj=0 again); "
+        "the r15 joins back to the corpus on vec_id/query_id (two "
+        "corpus-keyed exchanges + the x10 SMJ allowance) are gone. "
+        "min_bhj=1 = that probe join. _spread feeds the fold "
+        "(single-split fixture scan ran it on one core)",
     ),
     "sim_ann_recall_eval": dict(
-        max_exchanges=10, max_scans=10, min_bhj=2, max_bnlj=4, pushdown=True,
-        note="ANN vs exact baseline; query vectors broadcast",
+        max_exchanges=9, max_scans=4, min_bhj=1, max_bnlj=2, pushdown=True,
+        note="ANN vs exact baseline; query vectors broadcast. r16: "
+        "the exact-baseline arm is PINNED (it was consumed twice — "
+        "hits join + qs distinct — re-running the O(Q·N) brute-force "
+        "pass per consumer); scans drop 10 -> 4 (the IVF arm's), and "
+        "the hits/qs joins run over |Q|·k checkpoint scans",
     ),
     # -- joins / TPC-H shapes --
     "join_bloom_runtime_filter": dict(
@@ -260,17 +282,19 @@ MANIFEST: dict[str, dict] = {
         note="OR-of-ANDs partially pushed; broadcast part side",
     ),
     "range_partition_plan": dict(
-        max_exchanges=7, max_scans=3, max_bnlj=4, min_bhj=2,
+        max_exchanges=1, max_scans=1, max_bnlj=2,
         note="r11 cumulative-quantile rewrite: bounds come from ONE "
-        "distributed prefix-sum pass (checkpointed, invisible here) "
-        "instead of 7 percentile_disc buffers. r15: the per-bucket "
-        "aggregate carries only the count (any_value(bounds) made it "
-        "a SortAggregate — a full sort of orders); the 1-row bounds "
-        "frame re-attaches by a second broadcast cross join, so its "
-        "subtree appears twice STATICALLY (4 BNLJ, 7 exchanges, 3 "
-        "scans) but the identical broadcast is built once at runtime "
-        "(AQE stage reuse); min_bhj=2 pins the prefix-sum offset "
-        "broadcasts inside it",
+        "distributed prefix-sum pass instead of 7 percentile_disc "
+        "buffers. r15: the per-bucket aggregate carries only the "
+        "count (any_value(bounds) made it a SortAggregate). r16 "
+        "(ADVICE item 1): the 1-row bounds frame is PINNED — the r15 "
+        "claim that the two broadcast subtrees canonicalize was "
+        "false (column pruning made them 1-col vs 2-col, so the "
+        "orders count shuffle + prefix sum ran TWICE); now the "
+        "quantile pipeline runs once at pin time and the visible "
+        "plan is one orders scan + 2 broadcast crosses of the "
+        "checkpointed row + the bucket-count exchange (min_bhj "
+        "dropped — the offset broadcasts run at pin time)",
     ),
     # -- iterative fixpoints: the returned DF is a localCheckpoint
     # scan (rounds ran eagerly), so only blanket invariants apply --

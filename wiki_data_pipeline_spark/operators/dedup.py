@@ -183,11 +183,12 @@ def pairwise_shingle_overlap(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def pairwise_jaccard(
-    corpus: DataFrame, threshold: float, n: int = 3
-) -> DataFrame:
-    """Symmetric near-dup pairs: Jaccard = |∩|/|∪| ≥ threshold."""
-    ov = pairwise_shingle_overlap(corpus, n)
+def jaccard_from_overlap(ov: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard = |∩|/|∪| ≥ threshold, projected from an already-built
+    :func:`pairwise_shingle_overlap` frame — split out (r16) so
+    composed reports that need BOTH scores (`dedup_family_agreement`,
+    `dedup_impact_report`) derive them from ONE pinned overlap frame
+    instead of re-running the shingle inverted-index join per score."""
     jac = F.col("c").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("c")
     )
@@ -196,14 +197,30 @@ def pairwise_jaccard(
     )
 
 
+def containment_from_overlap(ov: DataFrame, threshold: float) -> DataFrame:
+    """C = |∩|/min(|A|,|B|) ≥ threshold, projected from an
+    already-built :func:`pairwise_shingle_overlap` frame (see
+    :func:`jaccard_from_overlap` for why the projection is split
+    out)."""
+    cont = F.col("c").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return ov.select("doc_a", "doc_b", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
+    )
+
+
+def pairwise_jaccard(
+    corpus: DataFrame, threshold: float, n: int = 3
+) -> DataFrame:
+    """Symmetric near-dup pairs: Jaccard = |∩|/|∪| ≥ threshold."""
+    return jaccard_from_overlap(pairwise_shingle_overlap(corpus, n), threshold)
+
+
 def pairwise_containment(
     corpus: DataFrame, threshold: float, n: int = 3
 ) -> DataFrame:
     """Asymmetric near-dup pairs: C = |∩|/min(|A|,|B|) ≥ threshold —
     catches a short doc embedded in a long one, where Jaccard is tiny
     because the union is dominated by the long doc."""
-    ov = pairwise_shingle_overlap(corpus, n)
-    cont = F.col("c").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
-    return ov.select("doc_a", "doc_b", cont.alias("containment")).filter(
-        F.col("containment") >= threshold
+    return containment_from_overlap(
+        pairwise_shingle_overlap(corpus, n), threshold
     )

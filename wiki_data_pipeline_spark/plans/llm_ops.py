@@ -595,7 +595,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
     )
-    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    # _spread before the Q·N scoring pass (r16): the fixture scan is a
+    # single split, so the whole brute-force cosine sweep otherwise
+    # runs on one core; no-op on a pre-split production scan.
+    v = _spread(emb.select("vec_id", as_double("embedding").alias("ve")))
     scored = (
         F.broadcast(q)
         .crossJoin(v)
@@ -693,7 +696,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % _N_CENTROIDS_MOD == 0)
         & (F.col("vec_id") < _CENT_ID_CAP)
     ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
-    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    # _spread before the fold (r16, VERDICT item 1a root cause): the
+    # r15 fold rewrite removed the N·k expansion AND the exchange that
+    # had incidentally parallelized it — on the fixture's single-split
+    # scan the whole interpreted k×dim cosine fold ran on ONE core.
+    # spread() is the conditional fan-out built for exactly this
+    # (no-op passthrough on an already-split 100 TB scan).
+    v = _spread(emb.select("vec_id", as_double("embedding").alias("ve")))
 
     # Nearest centroid as a narrow argmax fold (r15, guide §5): the k
     # centroids collect into ONE broadcast array row and each vector
@@ -717,11 +726,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # The assignment CARRIES the vector through (r16, the kmeans
+    # carry-through discipline / guide §2.4): the r15 form projected
+    # cid only, then the scoring stage joined the full embedding
+    # table BACK on vec_id (and the query set on query_id) to recover
+    # what this projection already held — one corpus-sized exchange
+    # of v plus a matching exchange of the candidate stream, both
+    # gone now.
     assign = (
         v.crossJoin(F.broadcast(cents))
-        .select("vec_id", best_vc.alias("best"))
+        .select("vec_id", "ve", best_vc.alias("best"))
         .filter(F.col("best").isNotNull())
-        .select("vec_id", (-F.col("best.nc")).alias("cid"))
+        .select("vec_id", "ve", (-F.col("best.nc")).alias("cid"))
     )
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -748,20 +764,23 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         _NPROBE,
     )
+    # probes carries qe the same way (it is q's own projection), so
+    # the posting-list probe is ONE broadcast hash join on cid — the
+    # probe table is |Q|·nprobe rows (both factors fixed index
+    # parameters, a designed bounded broadcast) — and the score is
+    # computed in the join's output projection. The r15 shape spent
+    # three shuffles here (cand by cid, cand by query_id, v by
+    # vec_id); this spends zero — assignment stays a map-only pass
+    # and the only remaining exchange is the top-k window's.
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", F.explode(probe_structs).alias("p"))
-        .select("query_id", (-F.col("p.nc")).alias("cid"))
+        .select("query_id", "qe", F.explode(probe_structs).alias("p"))
+        .select("query_id", "qe", (-F.col("p.nc")).alias("cid"))
     )
 
-    cand = (
-        probes.join(assign, on="cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
     scored = (
-        cand.join(q.select("query_id", "qe"), on="query_id")
-        .join(v, on="vec_id")
+        assign.join(F.broadcast(probes), on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
@@ -2161,10 +2180,18 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # garbage-embedding gate: a NaN/Inf vector would poison every
     # centroid mean it touches (and NaN distances break min_by ties)
+    # _spread before the cache (r16, VERDICT item 1a root cause): the
+    # fixture scan is one split, and the r15 fold rewrite made every
+    # Lloyd pass a narrow map over it — i.e. the whole k×dim distance
+    # fold ran on ONE core, 2·iters+1 times. The conditional fan-out
+    # caches 32 balanced partitions locally and passes through
+    # untouched on a pre-split production scan.
     emb = (
-        read_table(spark, sf_dir, "embeddings")
-        .filter(vec_is_finite("embedding"))
-        .select("vec_id", as_double("embedding").alias("ve"))
+        _spread(
+            read_table(spark, sf_dir, "embeddings")
+            .filter(vec_is_finite("embedding"))
+            .select("vec_id", as_double("embedding").alias("ve"))
+        )
         .cache()
     )
     cent = emb.filter(
@@ -4315,6 +4342,14 @@ _PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / 4)
 _PQ_NCENT = 16   # codebook size per subspace (centroids = vec_id < 16)
 
 
+def _subspace_entries(s: int) -> Column:
+    """The collected codebook array filtered to subspace ``s`` — a
+    closure factory, NOT an inline ``lambda c, _s=s`` (a two-parameter
+    lambda makes PySpark pass the ELEMENT INDEX as the second
+    argument, silently corrupting the filter)."""
+    return F.filter(F.col("cents"), lambda c: c.s == s)
+
+
 @query(
     "ann_pq_codes",
     oracle=f"""
@@ -4379,18 +4414,29 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Narrow per-subspace argmin fold (r15, guide §5): the m×k
     # codebook collects into ONE broadcast array row; each (vec,
-    # subspace) row filters its own subspace's k entries and folds
-    # array_min over struct(d, cid) — identical ordering/rounding/
-    # tie-break to the min_by(struct(cid,d), struct(d,cid)) aggregate
-    # it replaces, minus that form's SortAggregate over N·m·k scored
-    # rows and its (vec_id, s) exchange. An empty codebook folds to
-    # NULL — filtered, matching the old inner join's empty result.
+    # subspace) row folds array_min over struct(d, cid) for its own
+    # subspace's k entries — identical ordering/rounding/tie-break to
+    # the min_by(struct(cid,d), struct(d,cid)) aggregate it replaces,
+    # minus that form's SortAggregate over N·m·k scored rows and its
+    # (vec_id, s) exchange. r16 (ADVICE item 2): the one-row codebook
+    # is re-shaped into a MAP keyed by subspace in a projection on the
+    # 1-row aggregate (evaluated once, before the broadcast), so each
+    # data row does one O(1) map lookup + k distance folds instead of
+    # filtering the full m·k array per row — per-row work back to
+    # O(k). An empty codebook gives 4 empty entry arrays → the fold
+    # yields NULL — filtered, matching the old inner join's empty
+    # result.
     cents = cent.agg(
         F.sort_array(F.collect_list(F.struct("s", "cid", "cv"))).alias("cents")
+    ).select(
+        F.map_from_arrays(
+            F.array(*[F.lit(s) for s in range(_PQ_M)]),
+            F.array(*[_subspace_entries(s) for s in range(_PQ_M)]),
+        ).alias("cmap")
     )
     best = F.array_min(
         F.transform(
-            F.filter(F.col("cents"), lambda c: c.s == F.col("s")),
+            F.try_element_at(F.col("cmap"), F.col("s")),
             lambda c: F.struct(
                 F.round(sq_dist(F.col("sv"), c.cv), 6).alias("d"),
                 c.cid.alias("cid"),
@@ -4507,14 +4553,21 @@ def pq_adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
     # same narrow per-subspace argmin fold as ann_pq_codes (r15,
-    # guide §5) — the scoring spec (round(sq_dist,6), lowest-cid tie)
-    # is shared verbatim; only the kept field differs (code only)
+    # guide §5; r16 map-keyed codebook, ADVICE item 2 — O(k) per row,
+    # see ann_pq_codes) — the scoring spec (round(sq_dist,6),
+    # lowest-cid tie) is shared verbatim; only the kept field differs
+    # (code only)
     cents = cent.agg(
         F.sort_array(F.collect_list(F.struct("s", "cid", "cv"))).alias("cents")
+    ).select(
+        F.map_from_arrays(
+            F.array(*[F.lit(s) for s in range(_PQ_M)]),
+            F.array(*[_subspace_entries(s) for s in range(_PQ_M)]),
+        ).alias("cmap")
     )
     best_code = F.array_min(
         F.transform(
-            F.filter(F.col("cents"), lambda c: c.s == F.col("s")),
+            F.try_element_at(F.col("cmap"), F.col("s")),
             lambda c: F.struct(
                 F.round(sq_dist(F.col("sv"), c.cv), 6).alias("d"),
                 c.cid.alias("cid"),
@@ -4606,7 +4659,17 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size — recall evaluation is cheap because
     only the BASELINE pass is expensive (O(Q·N), run on a sampled
     query set, amortized over every index rebuild)."""
-    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    # Pin the exact-baseline frame (r16, guide §2.4 / VERDICT item 4):
+    # it is consumed TWICE (the hits join and the qs distinct), and
+    # without the pin both consumers re-execute the whole O(Q·N)
+    # brute-force cosine pass — the registry's second-most-expensive
+    # query paid its dominant term twice per run. The pinned frame is
+    # |Q|·k rows (25 at fixture), so the materialization is free.
+    exact = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .transform(pin)
+    )
     ivf = sim_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
     hits = (
         exact.join(ivf, on=["query_id", "vec_id"])
@@ -4780,19 +4843,35 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    e = e.transform(pin, eager=False)
-    nodes = e.select(F.col("src").alias("doc_id")).distinct()
-    nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "doc_id",
+    # r16 per-iteration shuffle audit (VERDICT item 7): the r15 loop
+    # recomputed the degree table AND the node-count scalar inside
+    # every round's checkpoint job (lazy pins materialize round by
+    # round, so nothing reuses across rounds), and re-shuffled the
+    # EDGE SET by src every round for the contribution join + a
+    # second edge-stream join to deg. Both are loop constants:
+    # - deg is pinned once; its key set IS the node set (every node
+    #   of the symmetrized graph has out-edges), so the old separate
+    #   nodes-distinct pass collapses into it and nn rides it;
+    # - the edges carry outdeg(src) (kmeans carry-through: the
+    #   contribution needs only pr_nano(src)/outdeg(src)), hash-
+    #   partitioned by src and pinned once — the per-round join
+    #   re-uses the materialized partitioning, so each round moves
+    #   only the node-sized rank table + the dst-keyed aggregate.
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).transform(pin)
+    nn = deg.agg(F.count("*").cast("bigint").alias("n")).transform(pin)
+    e2 = (
+        e.join(deg, on="src")
+        .repartition("src")
+        .transform(pin)
+    )
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("doc_id"),
         F.expr("(2 * 1000000000 + n) div (2 * n)").alias("pr_nano"),
     )
     for _ in range(_PR_ITERS):
         contrib = F.expr("(2 * pr_nano + outdeg) div (2 * outdeg)")
         pr = (
-            e.join(pr.withColumnRenamed("doc_id", "src"), on="src")
-            .join(deg, on="src")
+            e2.join(pr.withColumnRenamed("doc_id", "src"), on="src")
             .select(F.col("dst").alias("doc_id"), contrib.alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("s"))

@@ -914,16 +914,22 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounds"),
             "total",
         )
+        .transform(pin)
     )
     # The per-bucket aggregate carries ONLY the count (r15, guide §5):
     # the r11 form dragged any_value(total)/any_value(bounds) through
     # the groupBy, and an array-typed buffer is not hash-aggregable —
     # the whole orders table was SORT-aggregated (a full sort of the
-    # corpus) just to keep two constants alive. Counting first (pure
-    # hash aggregate) and re-attaching the same 1-row bounds frame by
-    # a second broadcast cross join is plan-identical work otherwise
-    # (the two broadcast subtrees are identical, so the exchange is
-    # built once and reused).
+    # corpus) just to keep two constants alive. The 1-row bounds frame
+    # is PINNED (r16, ADVICE item 1): the r15 note claimed the two
+    # broadcast subtrees canonicalize and build once, but column
+    # pruning drops `total` from the first consumer (assignment needs
+    # only `bounds`), giving a 1-column vs 2-column exchange that
+    # cannot reuse — the same pruning-breaks-reuse failure as
+    # dedup_minhash_calibration, so the orders scan + per-value count
+    # shuffle + prefix-sum pass ran TWICE. The eager pin materializes
+    # the quantile pipeline once; both consumers broadcast the
+    # checkpointed 1-row frame.
     assigned = orders.crossJoin(F.broadcast(b)).select(
         F.size(
             F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)
@@ -1226,9 +1232,28 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned projection would broadcast the same way). The projected
     table is what the sign-LSH (``sim_ann_lsh``) and embedding-cosine
     blocking stages consume at 8× lower cost."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("ve")
+    # _spread (r16): the fixture scan is a single split, so the 512
+    # interpreted multiply-adds per row otherwise run on one core;
+    # no-op passthrough on a pre-split production scan.
+    emb = _spread(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("ve")
+        )
     )
+
+    # r16 note (VERDICT item 1b root-cause work): two straight-line
+    # rewrites of the 8 dot products (512-term codegen'd add chains;
+    # then sign-folded add/subtract chains split across 8 projection
+    # expressions + posexplode) were built, proven value-identical,
+    # and MEASURED SLOWER — 3.4 s / 2.1 s vs 0.80 s for this form at
+    # sf0.1. The single-expression form blows the 64 KB codegen
+    # method limit (whole-stage fallback); the split form compiles
+    # but the generated methods exceed HotSpot's 8 KB JIT ceiling and
+    # run in the bytecode interpreter. The zip_with+aggregate HOF
+    # fold below is the fastest available spelling; the query is
+    # map-only and shuffle-free, so its gate drift is a measurement
+    # artifact, not a plan defect (idle ×5 evidence in
+    # OPTIMIZATION_r16.md).
     outs = F.array(
         *[
             F.struct(
@@ -2548,14 +2573,38 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     show what each refinement drops.
 
     Scale: each branch is the already-audited plan of its method; the
-    roll-up adds three O(1)-row aggregates and a union."""
+    roll-up adds three O(1)-row aggregates and a union. r16 (guide
+    §2.4 / VERDICT item 5 pattern): the Jaccard and containment
+    branches project from ONE pinned `pairwise_shingle_overlap` frame
+    instead of running the shingle inverted-index join once per score
+    (the r15 plan held 54 parquet scans = 18 corpus subtrees); the
+    projected pair sets are expression-identical to the registered
+    queries' results (shared operators/dedup.py projections)."""
+    from wiki_data_pipeline_spark.operators.dedup import (
+        containment_from_overlap,
+        jaccard_from_overlap,
+        pairwise_shingle_overlap,
+    )
+    from wiki_data_pipeline_spark.plans.llm_ops import (
+        _CONTAINMENT_THRESHOLD,
+        _dedup_corpus,
+        _JACCARD_MAX_DOC,
+        _JACCARD_THRESHOLD,
+    )
+
+    bounded = _dedup_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
+    )
+    ov = pairwise_shingle_overlap(bounded).transform(pin)
     branches = []
-    for method, qname in [
-        ("minhash_lsh", "dedup_minhash_lsh"),
-        ("ngram_jaccard", "dedup_ngram_jaccard"),
-        ("ngram_containment", "dedup_ngram_containment"),
+    for method, pairs in [
+        ("minhash_lsh", _PREG["dedup_minhash_lsh"].fn(spark, sf_dir)),
+        ("ngram_jaccard", jaccard_from_overlap(ov, _JACCARD_THRESHOLD)),
+        (
+            "ngram_containment",
+            containment_from_overlap(ov, _CONTAINMENT_THRESHOLD),
+        ),
     ]:
-        pairs = _PREG[qname].fn(spark, sf_dir)
         branches.append(
             pairs.agg(
                 F.count("*").alias("n_pairs"),
@@ -2625,7 +2674,10 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % _N_CENTROIDS_MOD == 0)
         & (F.col("vec_id") < _CENT_ID_CAP)
     ).select(F.col("vec_id").alias("cid"), as_double("embedding").alias("ce"))
-    v = emb.select("vec_id", as_double("embedding").alias("ve"))
+    # _spread before the fold (r16, VERDICT item 1a root cause — see
+    # sim_ann_ivf): single-split fixture scan would run the whole
+    # interpreted k×dim fold on one core; no-op on a pre-split scan.
+    v = _spread(emb.select("vec_id", as_double("embedding").alias("ve")))
     # Narrow argmax fold over a one-row broadcast centroid array (r15,
     # guide §5) — same ordering as the max_by(cid, struct(s, nc))
     # aggregate it replaces (see sim_ann_ivf), minus that form's
@@ -2649,12 +2701,28 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("best.nc")).alias("cid"))
     )
     cells = assign.groupBy("cid").agg(F.count("*").alias("n_vectors"))
-    tot = cells.agg(
-        F.sum("n_vectors").cast("bigint").alias("total"),
-        F.count("*").cast("bigint").alias("k"),
-    )
+    # total/k as window aggregates over `cells` (r16, guide §2.4 /
+    # VERDICT item 1a): the r15 form computed a separate 1-row `tot`
+    # aggregate and re-attached it by a broadcast cross join — but
+    # `cells` was then consumed TWICE, and the two groupBy(cid)
+    # exchanges did not canonicalize in the static plan, so the ENTIRE
+    # assignment pipeline (embeddings scan + centroid collect + fold +
+    # aggregate) executed twice per run (plans/r15/
+    # sim_ivf_cell_stats_after.txt: 8 parquet scans, two ObjectHash
+    # centroid collects). A partition-less window over `cells` is
+    # k-BOUNDED input (≤ _N_CENTROIDS rows by construction — cid is
+    # drawn from the capped centroid set), so the single-partition
+    # sort-free frame is O(k); the duplicated subtree, the second
+    # centroid collect, and the extra broadcast all disappear. Same
+    # total (sum over all cells) and k (count of cells) per row.
+    w_all = Window.partitionBy()
     return (
-        cells.crossJoin(F.broadcast(tot))
+        cells.select(
+            "cid",
+            "n_vectors",
+            F.sum("n_vectors").over(w_all).cast("bigint").alias("total"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("k"),
+        )
         .select(
             "cid",
             "n_vectors",
@@ -4258,24 +4326,52 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivoted with stack(). The old per-combo union re-entered each
     method pipeline ~3× (the pruned count branches canonicalize
     differently from the join branches, so AQE stage reuse cannot
-    collapse them — round-6 plan-audit finding)."""
+    collapse them — round-6 plan-audit finding). r16 (guide §2.4 /
+    VERDICT item 5): the Jaccard and containment arms are BOTH thin
+    projections over the same `pairwise_shingle_overlap` frame on the
+    same bounded corpus subset — the r15 plan ran the shingle
+    inverted-index join (scan → explode → self-join → sizes) twice,
+    once per score (plans/r15/dedup_family_agreement_before.txt: 54
+    parquet scans = 18 corpus subtrees). The overlap frame is now
+    built ONCE and pinned (pair-sized — the same class as the
+    components pin); both scores project from the checkpoint. The
+    projected pair sets are expression-identical to the registered
+    `dedup_ngram_jaccard` / `dedup_ngram_containment` results (shared
+    operators/dedup.py projections)."""
+    from wiki_data_pipeline_spark.operators.dedup import (
+        containment_from_overlap,
+        jaccard_from_overlap,
+        pairwise_shingle_overlap,
+    )
+    from wiki_data_pipeline_spark.plans.llm_ops import (
+        _CONTAINMENT_THRESHOLD,
+        _dedup_corpus,
+        _JACCARD_MAX_DOC,
+        _JACCARD_THRESHOLD,
+    )
 
-    def _flag(name: str, col: str) -> DataFrame:
+    bounded = _dedup_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 100000 < _JACCARD_MAX_DOC
+    )
+    ov = pairwise_shingle_overlap(bounded).transform(pin)
+
+    def _flag(pairs: DataFrame, col: str) -> DataFrame:
         return (
-            _PREG[name].fn(spark, sf_dir)
-            .select("doc_a", "doc_b")
+            pairs.select("doc_a", "doc_b")
             .withColumn(col, F.lit(1).cast("long"))
         )
 
     member = (
-        _flag("dedup_minhash_lsh", "in_l")
+        _flag(_PREG["dedup_minhash_lsh"].fn(spark, sf_dir), "in_l")
         .join(
-            _flag("dedup_ngram_jaccard", "in_j"),
+            _flag(jaccard_from_overlap(ov, _JACCARD_THRESHOLD), "in_j"),
             on=["doc_a", "doc_b"],
             how="full",
         )
         .join(
-            _flag("dedup_ngram_containment", "in_c"),
+            _flag(
+                containment_from_overlap(ov, _CONTAINMENT_THRESHOLD), "in_c"
+            ),
             on=["doc_a", "doc_b"],
             how="full",
         )

@@ -102,17 +102,20 @@ def pagerank_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _lsh_edges(spark, sf_dir).selectExpr("u AS src", "v AS dst")
-    nodes = e.select(F.col("src").alias("doc_id")).distinct()
-    nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
+    # r16 mirror of graph_pagerank_dedup's loop: deg's key set IS the
+    # node set; edges carry outdeg(src) so the round is ONE edge join
+    # + the dst-keyed aggregate (the production loop additionally
+    # pins deg/nn/e2 once outside the rounds)
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "doc_id",
+    nn = deg.agg(F.count("*").cast("bigint").alias("n"))
+    e2 = e.join(deg, on="src").repartition("src")
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("doc_id"),
         F.expr("(2 * 1000000000 + n) div (2 * n)").alias("pr_nano"),
     )
     contrib = F.expr("(2 * pr_nano + outdeg) div (2 * outdeg)")
     return (
-        e.join(pr.withColumnRenamed("doc_id", "src"), on="src")
-        .join(deg, on="src")
+        e2.join(pr.withColumnRenamed("doc_id", "src"), on="src")
         .select(F.col("dst").alias("doc_id"), contrib.alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("s"))
