@@ -6,6 +6,12 @@ from __future__ import annotations
 
 import pytest
 
+# heavy tier (r16): the full 209-query sweep is the same comparison the
+# driver's own CORRECTNESS gate runs every round (at sf0.01); builders
+# run it before shipping (pytest -m heavy), the default tier keeps the
+# targeted parity guards (hand goldens, fuzz, adversarial fixtures)
+pytestmark = pytest.mark.heavy
+
 from wiki_data_pipeline_spark.plans.registry import all_oracles, all_queries
 from wiki_data_pipeline_spark.testing import compare_query
 

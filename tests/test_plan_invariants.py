@@ -318,6 +318,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _compile(spark, name: str) -> tuple[str, dict]:
+    # Compile under a CLEARED cache (r16): a cached frame left alive
+    # by an earlier test in the same session (kmeans caches its
+    # embedding projection) prints its whole InMemoryRelation subtree
+    # into every later compile that overlaps it, so the audited
+    # exchange/scan counts depended on suite order — the manifest must
+    # pin the query's OWN plan, not the session's cache history.
+    spark.catalog.clearCache()
     df = all_queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     audit = audit_plan(plan)

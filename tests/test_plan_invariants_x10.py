@@ -53,10 +53,15 @@ X10_DIR = os.environ.get(
     "SPARK_GRAFT_X10_DIR", os.path.join(HERE, ".scale", "x10")
 )
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(X10_DIR, "_DONE")),
-    reason="10x replica not built (python bench.py --sf1 builds it)",
-)
+pytestmark = [
+    # heavy tier (r16): the x10 recompile sweep ran ~8 min alone and
+    # the replica is a build product — builder-tier by construction
+    pytest.mark.heavy,
+    pytest.mark.skipif(
+        not os.path.exists(os.path.join(X10_DIR, "_DONE")),
+        reason="10x replica not built (python bench.py --sf1 builds it)",
+    ),
+]
 
 # Fixpoint queries execute their build-time rounds eagerly at compile;
 # at 10x data each costs tens of seconds and their returned DF is a

@@ -15,14 +15,17 @@ matches the snapshot at all (edits made after the last regen) — so
 round-touched queries lead the very next sampling prefix regardless
 of staleness.
 
-Granularity is the registered function's own source (docstring +
-body). A change confined to a helper module does not move the
-fingerprint — the repo's discipline of recording per-query rationale
-in the query docstring makes the function body the right tripwire,
-and module-level hashing would front every query in a 60-query file
-on any one-line edit, collapsing the prefix to one module. Forced
-seeding (``names...`` on the CLI) covers the helper-edit case when
-the editor knows which queries a helper change flows into.
+Granularity (r16, VERDICT item 3): the registered function's own
+source PLUS the sources of every in-repo function it transitively
+references (resolved through ``__globals__`` from the function's and
+its nested lambdas' ``co_names``). r15 hashed the function body only,
+so a rewrite that landed in a shared helper (``pq_adc_distances``)
+moved NO fingerprint and three rewritten queries dodged the rotation
+front. Closure hashing is still per-query — editing one helper fronts
+exactly the queries whose plans flow through it, not the whole module
+(module-level hashing would collapse the prefix to one file on any
+one-line edit). Forced seeding (``names...``) remains for anything
+source introspection cannot see (data-driven dispatch).
 
 Usage:
     python tools/plan_fingerprints.py <round> [names...]
@@ -30,6 +33,12 @@ Usage:
         # query, changed or not) record <round>; unchanged entries
         # keep their earlier round. Creates the file on first run
         # with every unchanged query at round 0 (pre-history).
+    python tools/plan_fingerprints.py --rehash-keep-rounds
+        # migration mode: refresh every hash under a NEW hashing
+        # scheme while keeping every entry's recorded round — used
+        # once when the r16 closure hashing landed, so the format
+        # change itself could not front all 209 queries at once and
+        # drown the genuinely touched ones out of the sample prefix.
 """
 
 from __future__ import annotations
@@ -46,19 +55,70 @@ sys.path.insert(0, HERE)
 SNAPSHOT = "PLAN_FINGERPRINTS.json"
 
 
+_PKG = "wiki_data_pipeline_spark"
+
+
+def _code_names(code) -> set[str]:
+    """Global names referenced by a code object INCLUDING its nested
+    code objects (lambdas, comprehensions, local defs) — nested code
+    carries its own co_names, so a helper referenced only inside a
+    lambda would otherwise be invisible."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if hasattr(const, "co_names"):
+            names |= _code_names(const)
+    return names
+
+
+def _closure_sources(fn) -> list[str]:
+    """Sources of ``fn`` plus every in-repo function it transitively
+    references through module globals. Unresolvable or source-less
+    references are skipped (builtin/bytecode-only callables)."""
+    import types
+
+    out: list[str] = []
+    visited: set[int] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        if id(f) in visited:
+            continue
+        visited.add(id(f))
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        try:
+            out.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            continue
+        g = getattr(f, "__globals__", {})
+        for n in sorted(_code_names(code)):
+            v = g.get(n)
+            if isinstance(v, types.FunctionType) and getattr(
+                v, "__module__", ""
+            ).startswith(_PKG):
+                stack.append(v)
+    return out
+
+
 def current_fingerprints() -> dict[str, str]:
-    """name -> md5 of the registered function's source, for every
-    query whose source is recoverable (dynamically-built callables
-    without source simply don't participate in fronting)."""
+    """name -> md5 of the registered function's source + its
+    transitive in-repo helper-closure sources (r16 — see module
+    docstring), for every query whose source is recoverable
+    (dynamically-built callables without source simply don't
+    participate in fronting). Helper sources are hashed as a sorted
+    de-duplicated set so traversal order cannot move the hash."""
     from wiki_data_pipeline_spark.plans.registry import all_queries
 
     out: dict[str, str] = {}
     for name, fn in all_queries().items():
         try:
-            src = inspect.getsource(fn)
+            own = inspect.getsource(fn)
         except (OSError, TypeError):
             continue
-        out[name] = hashlib.md5(src.encode("utf-8")).hexdigest()
+        helpers = sorted(set(_closure_sources(fn)) - {own})
+        blob = own + "\n\x00\n".join(helpers)
+        out[name] = hashlib.md5(blob.encode("utf-8")).hexdigest()
     return out
 
 
@@ -73,12 +133,18 @@ def load_snapshot(repo_root: str) -> dict[str, dict]:
 
 
 def update(
-    repo_root: str, round_no: int, touch: tuple[str, ...] = ()
+    repo_root: str,
+    round_no: int,
+    touch: tuple[str, ...] = (),
+    rehash_keep_rounds: bool = False,
 ) -> list[str]:
     """Refresh the snapshot; returns the names recorded at
     ``round_no`` (hash-diff detected + explicitly touched). De-
     registered queries are pruned; first run seeds unchanged entries
-    at round 0 so pre-history code can never outrank a driver row."""
+    at round 0 so pre-history code can never outrank a driver row.
+    ``rehash_keep_rounds`` refreshes every hash but keeps every
+    entry's recorded round — the one-time migration mode for hashing-
+    scheme changes (module docstring)."""
     prev = load_snapshot(repo_root)
     cur = current_fingerprints()
     unknown = sorted(set(touch) - set(cur))
@@ -89,6 +155,12 @@ def update(
     queries: dict[str, dict] = {}
     for name, md5 in sorted(cur.items()):
         entry = prev.get(name)
+        if rehash_keep_rounds:
+            queries[name] = {
+                "src_md5": md5,
+                "round": int(entry.get("round", 0)) if entry else round_no,
+            }
+            continue
         if name in touch or entry is None or entry.get("src_md5") != md5:
             # the seeding run records everything un-touched at round 0
             # (pre-history: must never outrank an existing driver row)
@@ -118,6 +190,10 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
+    if sys.argv[1] == "--rehash-keep-rounds":
+        update(HERE, 0, rehash_keep_rounds=True)
+        print(json.dumps({"mode": "rehash-keep-rounds"}))
+        return 0
     round_no = int(sys.argv[1])
     touch = tuple(sys.argv[2:])
     changed = update(HERE, round_no, touch)

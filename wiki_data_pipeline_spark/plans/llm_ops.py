@@ -1829,7 +1829,14 @@ def _min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     edges = pairs.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
-    edges = edges.transform(pin)
+    # Pin the symmetric edge set PRE-PARTITIONED on the join key
+    # (r16, the pagerank round-constant discipline): every propagation
+    # round joins edges on u, and an unpartitioned checkpoint
+    # re-shuffled the EDGE SET once per round — the largest per-round
+    # exchange. The materialized hash partitioning is reused by every
+    # round's join (and by the init aggregate below, which is keyed on
+    # u too); rounds now move only the node-sized label table.
+    edges = edges.repartition("u").transform(pin)
     # Round 1 folded into initialization: with lbl₀ = node, the first
     # propagation round computes least(node, min(neighbors)) — which is
     # ONE aggregate over the symmetric edge set (the groupBy(u) below
@@ -2184,8 +2191,11 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scan is one split, and the r15 fold rewrite made every
     # Lloyd pass a narrow map over it — i.e. the whole k×dim distance
     # fold ran on ONE core, 2·iters+1 times. The conditional fan-out
-    # caches 32 balanced partitions locally and passes through
-    # untouched on a pre-split production scan.
+    # caches 32 balanced partitions and passes through untouched on a
+    # pre-split production scan. (A pin() variant was measured: the
+    # eager checkpoint job costs +0.7 s at sf0.1 vs the lazy cache —
+    # cache kept; the plan-audit flakiness a live cache causes is
+    # handled at the audit, which compiles under a cleared cache.)
     emb = (
         _spread(
             read_table(spark, sf_dir, "embeddings")
@@ -2232,7 +2242,14 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select(*cols)
 
     def update(assign_df: DataFrame) -> DataFrame:
-        # the assignment projection carries ve — no join back to emb
+        # the assignment projection carries ve — no join back to emb.
+        # r16 note: a 64-column variant (one decimal sum + count per
+        # component in a single cid-keyed hash aggregate, no
+        # posexplode, one fewer exchange) was built, oracle-verified
+        # on all three fixtures, and MEASURED 2.1× SLOWER at sf0.1
+        # (2.10 → 4.33 s): 128 aggregation buffers per group cost
+        # more per input row than the 64× row blowup saves. Kept the
+        # posexplode form.
         exploded = assign_df.select("cid", F.posexplode("ve").alias("pos", "val"))
         sums = exploded.groupBy("cid", "pos").agg(
             (
